@@ -1,0 +1,118 @@
+"""Command-line renderer.
+
+Mirrors the reference invocation ``OptixHello.exe <scene.xml> <rays_per_pixel>``
+(README.md:10-13, optixHello.cpp:82-102) and its measurement protocol: setup
+time printed once, mean frame time printed at exit
+(optixHello.cpp:1156-1157,1260-1263).
+
+    python -m raytracingdiffusioncurves_tpu <scene.xml> <rays_per_pixel>
+        [--frames N] [--out image.png] [--width W --height H]
+        [--no-blur] [--no-denoiser] [--no-aa] [--zoom Z --offset-x X --offset-y Y]
+        [--backend auto|jax|pallas] [--viewer]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raytracingdiffusioncurves_tpu",
+        description="TPU-native diffusion-curve renderer",
+    )
+    p.add_argument("scene", help="path to a diffusion curve xml")
+    p.add_argument("rays", type=int, help="number of rays per pixel")
+    p.add_argument("--frames", type=int, default=1, help="frames to render")
+    p.add_argument("--out", default=None, help="output image path (png/jpg)")
+    p.add_argument("--width", type=int, default=None, help="override image width")
+    p.add_argument("--height", type=int, default=None, help="override image height")
+    p.add_argument("--no-blur", action="store_true")
+    p.add_argument("--no-denoiser", action="store_true")
+    p.add_argument("--no-aa", action="store_true")
+    p.add_argument("--no-diffusion-save", action="store_true")
+    p.add_argument("--zoom", type=float, default=1.0)
+    p.add_argument("--offset-x", type=float, default=0.0)
+    p.add_argument("--offset-y", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--flatten-k", type=int, default=16)
+    p.add_argument("--backend", choices=["auto", "jax", "pallas"], default="auto")
+    p.add_argument("--viewer", action="store_true", help="open the interactive viewer")
+    p.add_argument("--devices", type=int, default=0, help="shard across N devices (0 = single)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from . import (
+        Camera,
+        RenderConfig,
+        build_device_scene,
+        init_frame_state,
+        load_scene,
+        render_frame,
+        save_image,
+    )
+
+    setup_start = time.perf_counter()
+    scene = load_scene(args.scene, diffusion_curve_save=not args.no_diffusion_save)
+    if args.width or args.height:
+        scene.__dict__["width"] = args.width or scene.width
+        scene.__dict__["height"] = args.height or scene.height
+    dev = build_device_scene(scene, flatten_subdivisions=args.flatten_k)
+    config = RenderConfig(
+        rays_per_pixel=args.rays,
+        diffusion_curve_save=not args.no_diffusion_save,
+        use_blur=not args.no_blur,
+        use_aa=not args.no_aa,
+        use_denoiser=not args.no_denoiser,
+        seed=args.seed,
+    )
+    camera = Camera(args.zoom, args.offset_x, args.offset_y)
+    state = init_frame_state(scene.width, scene.height)
+
+    if args.devices > 1:
+        from .parallel import sharded
+
+        mesh = sharded.make_mesh(args.devices)
+        run = lambda cam, st: sharded.render_frame_sharded(mesh, dev, cam, st, config)
+    else:
+        run = lambda cam, st: render_frame(dev, cam, st, config, backend=args.backend)
+
+    # Warmup/compile counts as setup, matching the reference whose OptiX
+    # pipeline compilation happens before the timer print (optixHello.cpp:1156).
+    image, state = run(camera, state)
+    image.block_until_ready()
+    setup_time = time.perf_counter() - setup_start
+    print(f"Setup took : {setup_time * 1000:.1f}ms")
+
+    if args.viewer:
+        from .viewer import run_viewer
+
+        run_viewer(dev, config, camera, backend=args.backend)
+        return 0
+
+    frame_times = []
+    for f in range(args.frames - 1):
+        t0 = time.perf_counter()
+        image, state = run(camera, state)
+        image.block_until_ready()
+        frame_times.append(time.perf_counter() - t0)
+        print(f"\rframe : {f + 1}", end="", flush=True)
+    if frame_times:
+        mean_ms = 1000.0 * sum(frame_times) / len(frame_times)
+        print(f"\nAverage frame time : {mean_ms:.2f}ms")
+
+    path = save_image(
+        jax.device_get(image), args.out, flip_vertical=not args.no_diffusion_save
+    )
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,167 @@
+"""The flagship pipeline: scene -> traced image -> denoise -> blur.
+
+Equivalent of the reference render loop (optixHello.cpp:1163-1259):
+
+    optixLaunch (raygen fan per pixel)  ->  trace_image
+    optixDenoiserInvoke (temporal)      ->  ops.denoise.temporal_denoise
+    gaussianBlur (variable sigma)       ->  ops.blur.variable_gaussian_blur
+
+Everything is functional: the camera is a traced argument (zoom/pan never
+recompiles), the scene and config are static jit specializations, and frame
+state (previous output + optical flow) is threaded explicitly instead of the
+reference's mutable Params buffers (params.h:39-42).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Camera, RenderConfig
+from ..ops import blur as blur_ops
+from ..ops import denoise as denoise_ops
+from ..ops import intersect
+from ..scene.device import DeviceScene
+
+
+class FrameState(NamedTuple):
+    """Temporal state carried between frames (params.h:39-42: prev_image +
+    image_flow)."""
+
+    prev_image: jax.Array  # (H, W, 4) previous denoised output
+    flow: jax.Array  # (H, W, 2) pixel displacement to the previous frame
+    frame: jax.Array  # scalar int32 frame counter
+
+
+def init_frame_state(width: int, height: int) -> FrameState:
+    return FrameState(
+        prev_image=jnp.zeros((height, width, 4), jnp.float32),
+        flow=jnp.zeros((height, width, 2), jnp.float32),
+        frame=jnp.int32(0),
+    )
+
+
+def _pixel_block_counts(n_pixels: int, config: RenderConfig) -> tuple[int, int]:
+    """(pixels per block, number of blocks) honoring config.rays_per_block."""
+    px_per_block = max(1, config.rays_per_block // config.rays_per_pixel)
+    px_per_block = min(px_per_block, n_pixels)
+    n_blocks = -(-n_pixels // px_per_block)
+    return px_per_block, n_blocks
+
+
+def trace_image(
+    scene: DeviceScene,
+    camera: Camera,
+    config: RenderConfig,
+    frame: jax.Array | int = 0,
+    backend: str = "auto",
+):
+    """Render the raw (pre-postprocessing) image and blur map.
+
+    Returns (image (H, W, 4) float32, blur_map (H, W) float32).
+
+    The per-pixel result is the weight-normalized average over the ray fan
+    (DeviceCode.cu:153-181).  Pixels whose rays all return zero weight are
+    NaN in the reference (0/0); here they get config.background (documented
+    deviation; alpha is always 1 — the reference never writes it).
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    if backend == "pallas":
+        from ..ops import trace_pallas
+
+        color_sum, weight_sum, blur_sum = trace_pallas.trace_sums(scene, camera, config, frame)
+    else:
+        color_sum, weight_sum, blur_sum = _trace_sums_jax(scene, camera, config, frame)
+
+    h, w = scene.height, scene.width
+    bg = jnp.asarray(config.background, jnp.float32)
+    safe_w = jnp.where(weight_sum > 0.0, weight_sum, 1.0)[..., None]
+    rgb = jnp.where(
+        (weight_sum > 0.0)[..., None], color_sum / safe_w, bg[None, None, :]
+    )
+    alpha = jnp.ones((h, w, 1), jnp.float32)
+    image = jnp.concatenate([rgb, alpha], axis=-1)
+    blur_map = jnp.where(weight_sum > 0.0, blur_sum / safe_w[..., 0], 0.0)
+    return image, blur_map
+
+
+def _trace_sums_jax(scene: DeviceScene, camera: Camera, config: RenderConfig, frame):
+    """Chunked pure-JAX tracing: lax.map over ray blocks keeps the
+    (rays x segments) intermediates at a fixed memory footprint."""
+    h, w = scene.height, scene.width
+    rpp = config.rays_per_pixel
+    n_px = h * w
+    px_per_block, n_blocks = _pixel_block_counts(n_px, config)
+    n_px_pad = px_per_block * n_blocks
+
+    pixel_ids = jnp.arange(n_px_pad, dtype=jnp.int32) % n_px
+    sample_ids = jnp.tile(jnp.arange(rpp, dtype=jnp.int32), px_per_block)
+
+    def do_block(pids):
+        pid = jnp.repeat(pids, rpp)
+        origins, dirs = intersect.make_rays(pid, sample_ids, w, h, camera, config, frame)
+        color, weight, blur = intersect.trace_full(scene, origins, dirs, config)
+        color = color.reshape(px_per_block, rpp, 3)
+        weight = weight.reshape(px_per_block, rpp)
+        blur = blur.reshape(px_per_block, rpp)
+        return (
+            jnp.sum(color * weight[..., None], axis=1),
+            jnp.sum(weight, axis=1),
+            jnp.sum(blur * weight, axis=1),
+        )
+
+    csum, wsum, bsum = jax.lax.map(do_block, pixel_ids.reshape(n_blocks, px_per_block))
+    csum = csum.reshape(n_px_pad, 3)[:n_px].reshape(h, w, 3)
+    wsum = wsum.reshape(n_px_pad)[:n_px].reshape(h, w)
+    bsum = bsum.reshape(n_px_pad)[:n_px].reshape(h, w)
+    return csum, wsum, bsum
+
+
+@partial(jax.jit, static_argnames=("config", "backend", "max_blur_radius"))
+def render_frame(
+    scene: DeviceScene,
+    camera: Camera,
+    state: FrameState,
+    config: RenderConfig,
+    backend: str = "auto",
+    max_blur_radius: int | None = None,
+) -> tuple[jax.Array, FrameState]:
+    """One full frame: trace -> temporal denoise -> variable blur.
+
+    Returns (image (H, W, 4), next FrameState).  Mirrors the per-frame hot
+    path optixHello.cpp:1163-1259 including the order of operations: the
+    denoiser runs on the raw traced image and its output feeds both the
+    display path and prev_image; the blur runs after (:1186-1240); the flow
+    is zeroed after each denoise (:1234).
+    """
+    image, blur_map = trace_image(scene, camera, config, state.frame, backend)
+
+    if config.use_denoiser:
+        denoised = denoise_ops.temporal_denoise(
+            image, state.prev_image, state.flow, state.frame, config.corrected_image_mix
+        )
+        next_prev = denoised
+        image = denoised
+    else:
+        next_prev = image
+
+    if config.use_blur:
+        radius = max_blur_radius
+        if radius is None:
+            radius = config.max_blur_radius
+        if radius is None:
+            radius = int(np.ceil(3.0 * scene.max_blur))
+        if radius > 0:
+            image = blur_ops.variable_gaussian_blur(image, blur_map, radius)
+
+    next_state = FrameState(
+        prev_image=next_prev,
+        flow=jnp.zeros_like(state.flow),
+        frame=state.frame + 1,
+    )
+    return image, next_state

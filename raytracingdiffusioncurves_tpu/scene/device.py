@@ -1,0 +1,262 @@
+"""SceneTables -> DeviceScene: the TPU-resident scene representation.
+
+Design (replaces OptiX's BVH + implicit B-spline intersector,
+optixHello.cpp:764-830 + DeviceCode.cu):
+
+* Every cubic Bezier segment is flattened into straight line *sub-segments*.
+  Breakpoints are the union of ``flatten_subdivisions`` uniform parameter
+  values and every attribute knot that falls inside the segment, so the
+  piecewise-linear attribute tables (DeviceCode.cu:36-44) are reproduced
+  *exactly* by lerping precomputed endpoint values — no per-hit knot search
+  on device.
+
+* Ray/sub-segment intersection is bilinear in (ray features) x (segment
+  features): with ray feature vector f = [dx, dy, ox, oy, oy*dx - ox*dy, 1]
+  the three cross products of the 2x2 solve are matmuls f @ G, which run on
+  the MXU.  ``geom_features`` holds G packed as (RAY_FEATURES, 3*S_pad) with
+  the denominator / t-numerator / s-numerator blocks concatenated.
+
+* Everything a hit needs to shade (normals, colors, blur/weight tables,
+  portal exit geometry) is one row of ``shade_table`` (S_pad, SHADE_COLS),
+  gathered with a one-hot matmul — again MXU work, no scatter/gather.
+
+All arrays are padded to a multiple of 128 sub-segments (TPU lane width);
+padding rows are invalid and can never be hit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry
+from .xml_loader import AttrTable, SceneTables
+
+# --- shade_table column layout ---
+# fmt: off
+COL_D0X, COL_D0Y, COL_D1X, COL_D1Y = 0, 1, 2, 3          # curve derivative at ends
+COL_CL0, COL_CL1 = 4, 7                                   # left color rgb at ends
+COL_CR0, COL_CR1 = 10, 13                                 # right color rgb at ends
+COL_BLUR0, COL_BLUR1 = 16, 17
+COL_WM0, COL_WM1 = 18, 19                                 # weight multiplier
+COL_WD0, COL_WD1 = 20, 21                                 # weight degree
+COL_PORTAL = 22                                           # 1.0 if curve connects
+COL_EXP0X, COL_EXP0Y, COL_EXP1X, COL_EXP1Y = 23, 24, 25, 26  # portal exit pos
+COL_EXD0X, COL_EXD0Y, COL_EXD1X, COL_EXD1Y = 27, 28, 29, 30  # exit derivative
+COL_VALID = 31
+SHADE_COLS = 32
+# fmt: on
+
+RAY_FEATURES = 8  # [dx, dy, ox, oy, oy*dx - ox*dy, 1, pad, pad]
+LANE = 128
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["geom_features", "shade_table"],
+    meta_fields=["width", "height", "n_sub", "s_pad", "has_portals", "max_blur"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """Scene as consumed by the trace kernels. ``geom_features`` and
+    ``shade_table`` are device arrays; the metadata fields are static and
+    participate in jit specialization."""
+
+    geom_features: jax.Array  # (RAY_FEATURES, 3*S_pad) f32
+    shade_table: jax.Array  # (S_pad, SHADE_COLS) f32
+    width: int
+    height: int
+    n_sub: int
+    s_pad: int
+    has_portals: bool
+    max_blur: float
+
+
+def _attr_limits(table: AttrTable, curve: int, u0: float, u1: float) -> tuple[np.ndarray, np.ndarray]:
+    """Values of the piecewise-linear attribute at u0 and u1, using the linear
+    piece that covers the open interval (u0, u1).
+
+    The interval never straddles a knot (knots are flattening breakpoints), so
+    locating the piece at the midpoint and evaluating its linear form at both
+    endpoints yields the exact one-sided limits — this matches the reference's
+    scan (DeviceCode.cu:36-44) for every u strictly inside the interval.
+    """
+    start, count = int(table.index[curve][0]), int(table.index[curve][1])
+    us, vals = table.u, table.values
+    mid = 0.5 * (u0 + u1)
+    # Literal reference scan (DeviceCode.cu:39-41).  It must NOT be replaced
+    # by a binary search: shipped scenes contain non-monotonic knot sequences
+    # (e.g. lady_bug.xml left colors, dolphin.xml blur) and the linear scan's
+    # behaviour on those is part of the spec.
+    ind = start
+    while ind < start + count and ind + 1 < len(us) and us[ind + 1] < mid:
+        ind += 1
+    ind1 = min(ind + 1, len(us) - 1)
+    denom = float(us[ind1]) - float(us[ind])
+    if denom == 0.0:
+        return vals[ind].astype(np.float64), vals[ind].astype(np.float64)
+    v0, v1 = vals[ind].astype(np.float64), vals[ind1].astype(np.float64)
+    r0 = (u0 - float(us[ind])) / denom
+    r1 = (u1 - float(us[ind])) / denom
+    return v0 + (v1 - v0) * r0, v0 + (v1 - v0) * r1
+
+
+def _segment_breakpoints(scene: SceneTables, seg: int, k: int) -> np.ndarray:
+    """Parameter breakpoints in [0, 1] for flattening segment ``seg``: K
+    uniform intervals plus every attribute knot interior to the segment."""
+    curve = int(scene.curve_map[seg])
+    base_u = float(scene.curve_index[seg])
+    ts = set(np.linspace(0.0, 1.0, k + 1).tolist())
+    for table in (scene.color_left, scene.color_right, scene.blur, scene.weight, scene.weight_degree):
+        start, count = int(table.index[curve][0]), int(table.index[curve][1])
+        for knot in table.u[start : start + count]:
+            t = float(knot) - base_u
+            if 1e-6 < t < 1.0 - 1e-6:
+                ts.add(t)
+    return np.array(sorted(ts), dtype=np.float64)
+
+
+def build_device_scene(
+    scene: SceneTables,
+    flatten_subdivisions: int = 16,
+    dtype=jnp.float32,
+) -> DeviceScene:
+    """Flatten a loaded scene into the device tables."""
+    rows: list[np.ndarray] = []  # shade rows
+    p0s: list[np.ndarray] = []
+    p1s: list[np.ndarray] = []
+
+    for seg in range(scene.n_segments):
+        curve = int(scene.curve_map[seg])
+        ctrl = scene.vertices[seg].astype(np.float64)
+        base_u = float(scene.curve_index[seg])
+        connect = int(scene.curve_connect[curve])
+        is_portal = connect >= 0
+
+        if is_portal:
+            # Portal exit segment: same position within the target curve
+            # (DeviceCode.cu:228: curve_map_inverse[target] + curve_index).
+            # The reference does not bounds-check a shorter target curve; we
+            # clamp to the target's last segment (documented deviation).
+            tgt_first = int(scene.curve_first_segment[connect])
+            tgt_count = int(scene.curve_segment_count[connect])
+            tgt_seg = tgt_first + min(int(scene.curve_index[seg]), tgt_count - 1)
+            tgt_ctrl = scene.vertices[tgt_seg].astype(np.float64)
+
+        ts = _segment_breakpoints(scene, seg, flatten_subdivisions)
+        pts = geometry.bezier_point(ctrl, ts)  # (B+1, 2)
+        ders = geometry.bezier_derivative(ctrl, ts)
+        if is_portal:
+            ex_pts = geometry.bezier_point(tgt_ctrl, ts)
+            ex_ders = geometry.bezier_derivative(tgt_ctrl, ts)
+
+        for j in range(len(ts) - 1):
+            u0, u1 = base_u + ts[j], base_u + ts[j + 1]
+            row = np.zeros(SHADE_COLS, np.float64)
+            row[COL_D0X : COL_D0Y + 1] = ders[j]
+            row[COL_D1X : COL_D1Y + 1] = ders[j + 1]
+            cl0, cl1 = _attr_limits(scene.color_left, curve, u0, u1)
+            cr0, cr1 = _attr_limits(scene.color_right, curve, u0, u1)
+            b0, b1 = _attr_limits(scene.blur, curve, u0, u1)
+            w0, w1 = _attr_limits(scene.weight, curve, u0, u1)
+            d0, d1 = _attr_limits(scene.weight_degree, curve, u0, u1)
+            row[COL_CL0 : COL_CL0 + 3] = cl0
+            row[COL_CL1 : COL_CL1 + 3] = cl1
+            row[COL_CR0 : COL_CR0 + 3] = cr0
+            row[COL_CR1 : COL_CR1 + 3] = cr1
+            row[COL_BLUR0], row[COL_BLUR1] = b0[0], b1[0]
+            row[COL_WM0], row[COL_WM1] = w0[0], w1[0]
+            row[COL_WD0], row[COL_WD1] = d0[0], d1[0]
+            row[COL_PORTAL] = 1.0 if is_portal else 0.0
+            if is_portal:
+                row[COL_EXP0X : COL_EXP0Y + 1] = ex_pts[j]
+                row[COL_EXP1X : COL_EXP1Y + 1] = ex_pts[j + 1]
+                row[COL_EXD0X : COL_EXD0Y + 1] = ex_ders[j]
+                row[COL_EXD1X : COL_EXD1Y + 1] = ex_ders[j + 1]
+            row[COL_VALID] = 1.0
+            rows.append(row)
+            p0s.append(pts[j])
+            p1s.append(pts[j + 1])
+
+    n_sub = len(rows)
+    s_pad = max(_pad_to(n_sub, LANE), LANE)
+
+    shade = np.zeros((s_pad, SHADE_COLS), np.float64)
+    shade[:n_sub] = np.stack(rows)
+    p0 = np.zeros((s_pad, 2), np.float64)
+    p1 = np.zeros((s_pad, 2), np.float64)
+    p0[:n_sub] = np.stack(p0s)
+    p1[:n_sub] = np.stack(p1s)
+    # Padding rows: a degenerate far-away segment that can never be hit.
+    p0[n_sub:] = 1e30
+    p1[n_sub:] = 1e30
+
+    geom = _pack_geom_features(p0, p1)
+
+    return DeviceScene(
+        geom_features=jnp.asarray(geom, dtype),
+        shade_table=jnp.asarray(shade, dtype),
+        width=scene.width,
+        height=scene.height,
+        n_sub=n_sub,
+        s_pad=s_pad,
+        has_portals=scene.has_portals,
+        max_blur=scene.max_blur,
+    )
+
+
+def _pack_geom_features(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    """Pack per-sub-segment intersection features.
+
+    Solving o + t*d = p0 + s*(p1 - p0) gives, with e = p1 - p0 and
+    cross(a, b) = ax*by - ay*bx:
+
+        denom = cross(d, e)   num_t = cross(p0 - o, e)   num_s = cross(p0 - o, d)
+        t = num_t / denom     s = num_s / denom
+
+    Each is bilinear in the ray feature vector
+        f = [dx, dy, ox, oy, oy*dx - ox*dy, 1, 0, 0]
+    and a per-segment coefficient vector:
+
+        denom: [ ey, -ex,   0,  0, 0, 0 ]
+        num_t: [  0,   0, -ey, ex, 0, p0x*ey - p0y*ex ]
+        num_s: [-p0y, p0x,  0,  0, 1, 0 ]
+
+    Returns (RAY_FEATURES, 3*S) with the three blocks concatenated so one
+    MXU matmul produces all three (rays, S) matrices.
+    """
+    s = p0.shape[0]
+    e = p1 - p0
+    g = np.zeros((RAY_FEATURES, 3 * s), np.float64)
+    # denom block
+    g[0, :s] = e[:, 1]
+    g[1, :s] = -e[:, 0]
+    # num_t block
+    g[2, s : 2 * s] = -e[:, 1]
+    g[3, s : 2 * s] = e[:, 0]
+    g[5, s : 2 * s] = p0[:, 0] * e[:, 1] - p0[:, 1] * e[:, 0]
+    # num_s block
+    g[0, 2 * s :] = -p0[:, 1]
+    g[1, 2 * s :] = p0[:, 0]
+    g[4, 2 * s :] = 1.0
+    return g
+
+
+def ray_features(origins: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Ray feature matrix f (N, RAY_FEATURES) for the bilinear intersection.
+
+    Works under jit and inside Pallas kernels.
+    """
+    ox, oy = origins[:, 0], origins[:, 1]
+    dx, dy = dirs[:, 0], dirs[:, 1]
+    one = jnp.ones_like(ox)
+    zero = jnp.zeros_like(ox)
+    return jnp.stack([dx, dy, ox, oy, oy * dx - ox * dy, one, zero, zero], axis=-1)

@@ -1,0 +1,177 @@
+"""Golden-array tests for the Orzan XML loader (scene/xml_loader.py).
+
+The expected tables are hand-derived from the reference's scene loop
+(optixHello.cpp:211-515) — including the trailing color duplication for
+diffusion saves (:370-378), the endcap slot permutation (:382-407) and the
+globalID/10 (+1 with endcap) knot convention (:1303,1347).
+"""
+
+import numpy as np
+import pytest
+
+from raytracingdiffusioncurves_tpu.scene import geometry
+from raytracingdiffusioncurves_tpu.scene.xml_loader import (
+    interpolate_table,
+    load_scene,
+    load_scene_from_string,
+)
+
+from conftest import make_scene_xml, simple_curve
+
+
+def test_line_xml_structure(ref_xml_dir):
+    scene = load_scene(str(ref_xml_dir / "line.xml"))
+    assert scene.width == 512 and scene.height == 512
+    # 1 interior segment + 2 endcaps
+    assert scene.n_segments == 3
+    assert scene.n_curves == 1
+    np.testing.assert_array_equal(scene.curve_map, [0, 0, 0])
+    np.testing.assert_array_equal(scene.curve_index, [0, 1, 2])
+    np.testing.assert_array_equal(scene.curve_connect, [-1])
+    np.testing.assert_array_equal(scene.curve_first_segment, [0])
+
+    # Diffusion save swaps x<->y: control x=256,y=128.. -> world (y-256, x-256).
+    interior = scene.vertices[1]
+    np.testing.assert_allclose(interior[0], [128 - 256, 0], atol=1e-5)
+    np.testing.assert_allclose(interior[3], [384 - 256, 0], atol=1e-5)
+
+    # Left colors: 2 reserved + 4 actual + 1 trailing dup + 2 last = 9 entries;
+    # knots [0, 1] + gid/10+1 + [n-1=2] + [2, 3] (optixHello.cpp:332-407).
+    assert scene.color_left.index[0].tolist() == [0, 9]
+    np.testing.assert_allclose(
+        scene.color_left.u, [0, 1, 1, 1.33, 1.66, 2, 2, 2, 3], atol=1e-5
+    )
+    # XML left colors (R,G,B): (255,0,0),(255,255,0),(255,255,0),(255,0,0)
+    # -> loader stores (B,G,R)/255: (0,0,1),(0,1,1),(0,1,1),(0,0,1).
+    np.testing.assert_allclose(scene.color_left.values[2], [0, 0, 1])
+    np.testing.assert_allclose(scene.color_left.values[3], [0, 1, 1])
+    # Start-cap slots: left[0] = first actual left, left[1] = first actual right.
+    np.testing.assert_allclose(scene.color_left.values[0], [0, 0, 1])
+    np.testing.assert_allclose(scene.color_left.values[1], [1, 0, 0])
+    # Trailing dup equals last actual.
+    np.testing.assert_allclose(scene.color_left.values[6], scene.color_left.values[5])
+
+    # Right: 2 reserved + 2 actual + dup + 2 = 7 entries.
+    assert scene.color_right.index[0].tolist() == [0, 7]
+    np.testing.assert_allclose(scene.color_right.u, [0, 1, 1, 2, 2, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(scene.color_right.values[2], [1, 0, 0])
+    # Start-cap right slots: right[0] = first actual LEFT color (:388).
+    np.testing.assert_allclose(scene.color_right.values[0], [0, 0, 1])
+
+    # End-cap left tail: [right_dup, left_dup] (:394-395).
+    np.testing.assert_allclose(scene.color_left.values[7], [1, 0, 0])
+    np.testing.assert_allclose(scene.color_left.values[8], [0, 0, 1])
+
+    # Blur with endcap: [first_actual@0, actual@1, actual@2, dup@3].
+    assert scene.blur.index[0].tolist() == [0, 4]
+    np.testing.assert_allclose(scene.blur.u, [0, 1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(scene.blur.values[:, 0], [0, 0, 0, 0])
+
+    # No weight_set: default [1@0, 1@n_segs] (:466-472).
+    assert scene.weight.index[0].tolist() == [0, 2]
+    np.testing.assert_allclose(scene.weight.u, [0, 3])
+    np.testing.assert_allclose(scene.weight.values[:, 0], [1, 1])
+    np.testing.assert_allclose(scene.weight_degree.values[:, 0], [0.5, 0.5])
+    np.testing.assert_allclose(scene.weight_degree.u, [0, 3])
+
+
+def test_endcap_vertices_match_reference_construction(ref_xml_dir):
+    scene = load_scene(str(ref_xml_dir / "line.xml"))
+    start_cap, interior, end_cap = scene.vertices
+    expected_start = geometry.make_endcap_segment(interior, True, 8.0)
+    expected_end = geometry.make_endcap_segment(interior, False, 8.0)
+    np.testing.assert_allclose(start_cap, expected_start, atol=1e-4)
+    np.testing.assert_allclose(end_cap, expected_end, atol=1e-4)
+    # Caps are closed loops anchored at the curve ends.
+    np.testing.assert_allclose(start_cap[0], interior[0], atol=1e-5)
+    np.testing.assert_allclose(end_cap[0], interior[3], atol=1e-5)
+
+
+def test_portal_demo_connects(ref_xml_dir):
+    scene = load_scene(str(ref_xml_dir / "PortalDemo.xml"))
+    assert scene.n_curves == 5
+    assert scene.curve_connect[2] == 3 and scene.curve_connect[3] == 2
+    assert scene.has_portals
+    # The w=0 curve (index 1) parses its weight_set.
+    start, count = scene.weight.index[1]
+    np.testing.assert_allclose(scene.weight.values[start : start + count, 0], [0, 0])
+
+
+def test_multi_segment_curve_counts():
+    xml = make_scene_xml(
+        [simple_curve([(0, 0), (10, 0), (20, 0), (30, 0), (40, 0), (50, 0), (60, 0)])]
+    )
+    scene = load_scene_from_string(xml)
+    assert scene.n_segments == 2
+    np.testing.assert_array_equal(scene.curve_index, [0, 1])
+    # Segments share the middle control point (push4Points advances 3).
+    np.testing.assert_allclose(scene.vertices[0][3], scene.vertices[1][0])
+
+
+def test_no_diffusion_save_keeps_axes_and_channels():
+    xml = make_scene_xml(
+        [
+            simple_curve(
+                [(1, 2), (3, 4), (5, 6), (7, 8)],
+                left=[(0, "255,128,0"), (10, "255,128,0")],
+            )
+        ],
+        width=64,
+        height=32,
+    )
+    scene = load_scene_from_string(xml, diffusion_curve_save=False)
+    np.testing.assert_allclose(scene.vertices[0][0], [1 - 32, 2 - 16])
+    np.testing.assert_allclose(scene.color_left.values[0], [1.0, 128 / 255, 0.0])
+    # No trailing duplication without the save convention (:370).
+    assert scene.color_left.index[0][1] == 2
+
+
+def test_interpolate_matches_reference_scan():
+    xml = make_scene_xml(
+        [
+            simple_curve(
+                [(0, 0), (10, 0), (20, 0), (30, 0)],
+                left=[(0, "0,0,0"), (5, "255,0,0"), (10, "0,0,0")],
+            )
+        ]
+    )
+    scene = load_scene_from_string(xml)
+    # Left values at u: piecewise linear through (0,0), (0.5,1), (1,0) on the
+    # B channel (XML R -> stored z). Trailing dup extends to u=1.
+    v = interpolate_table(scene.color_left, 0, 0.25)
+    np.testing.assert_allclose(v, [0, 0, 0.5], atol=1e-6)
+    v = interpolate_table(scene.color_left, 0, 0.75)
+    np.testing.assert_allclose(v, [0, 0, 0.5], atol=1e-6)
+    v = interpolate_table(scene.color_left, 0, 0.5)
+    np.testing.assert_allclose(v, [0, 0, 1.0], atol=1e-6)
+
+
+def test_all_reference_scenes_load(ref_xml_dir):
+    import glob
+
+    for path in sorted(glob.glob(str(ref_xml_dir / "**" / "*.xml"), recursive=True)):
+        scene = load_scene(path)
+        assert scene.n_segments > 0
+        assert scene.vertices.shape == (scene.n_segments, 4, 2)
+        assert np.isfinite(scene.vertices).all()
+        for table in (
+            scene.color_left,
+            scene.color_right,
+            scene.blur,
+            scene.weight,
+            scene.weight_degree,
+        ):
+            assert table.index.shape[0] == scene.n_curves
+            starts, counts = table.index[:, 0], table.index[:, 1]
+            assert (starts + counts <= len(table.u)).all()
+            # Per-curve last knot covers the curve's u range — with known
+            # scene-data exceptions (drape.xml curve 45's blur knots stop at
+            # u=2 of 3; the reference scan then reads into the next curve's
+            # table, which our preprocessing reproduces). Knots are also NOT
+            # always sorted (lady_bug.xml, dolphin.xml); the linear scan
+            # tolerates both.
+            short = sum(
+                table.u[starts[c] + counts[c] - 1] < scene.curve_segment_count[c] - 1e-6
+                for c in range(scene.n_curves)
+            )
+            assert short <= max(1, scene.n_curves // 50)
