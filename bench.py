@@ -1,0 +1,68 @@
+"""Headline benchmark: arch.xml at 1024x1024, 128 rays/pixel (BASELINE.md).
+
+Protocol matches the reference's own timers (optixHello.cpp:1156-1157,
+1260-1263): setup measured once (scene load + table build + compile), then
+mean frame time over repeated frames.  North star: <= 33 ms/frame on one
+v5e chip.
+
+Prints ONE JSON line:
+  {"metric": "ms_per_frame_arch1024_128rpp", "value": <ms>, "unit": "ms",
+   "vs_baseline": <33.0 / ms>}
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    import raytracingdiffusioncurves_tpu as rtdc
+
+    on_tpu = jax.default_backend() == "tpu"
+    frames = int(os.environ.get("BENCH_FRAMES", "20" if on_tpu else "2"))
+    size = int(os.environ.get("BENCH_SIZE", "1024" if on_tpu else "128"))
+    rpp = int(os.environ.get("BENCH_RPP", "128" if on_tpu else "8"))
+
+    setup_start = time.perf_counter()
+    scene = rtdc.load_scene("/root/reference/optixHello/xmls/arch.xml")
+    scene.__dict__["width"] = size
+    scene.__dict__["height"] = size
+    dev = rtdc.build_device_scene(scene)
+    # BASELINE config #2: per-pixel randomization (AA) + blur enabled.
+    config = rtdc.RenderConfig(
+        rays_per_pixel=rpp, use_aa=True, use_blur=True, use_denoiser=False
+    )
+    cam = rtdc.Camera(1.0, 0.0, 0.0)
+    state = rtdc.init_frame_state(size, size)
+    backend = "pallas" if on_tpu else "jax"
+
+    image, state = rtdc.render_frame(dev, cam, state, config, backend=backend)
+    image.block_until_ready()
+    setup_s = time.perf_counter() - setup_start
+    print(f"# setup {setup_s*1000:.0f}ms backend={backend} size={size} rpp={rpp}",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        image, state = rtdc.render_frame(dev, cam, state, config, backend=backend)
+        image.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    mean_ms = 1000.0 * sum(times) / len(times)
+    rays_per_sec = size * size * rpp / (mean_ms / 1000.0)
+    print(f"# mean {mean_ms:.2f}ms  min {1000*min(times):.2f}ms  "
+          f"rays/s {rays_per_sec:.3e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "ms_per_frame_arch1024_128rpp",
+        "value": round(mean_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(33.0 / mean_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

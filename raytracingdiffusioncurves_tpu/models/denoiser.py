@@ -1,0 +1,104 @@
+"""Learned denoiser: a small residual CNN + data-parallel training step.
+
+The reference leans on OptiX's *trained* temporal denoiser model
+(OPTIX_DENOISER_MODEL_KIND_TEMPORAL, optixHello.cpp:1057).  The analytic
+temporal/bilateral pass (ops/denoise.py) covers the blend semantics; this
+module is the trainable counterpart for closing the quality gap: a compact
+NHWC conv net that predicts a residual correction to a noisy low-rays-per-
+pixel render, supervised by high-rays-per-pixel renders of the same scenes.
+Self-supervised training data comes straight from the renderer — no external
+dataset.
+
+TPU notes: convolutions run on the MXU in bf16 with f32 accumulation and
+params; batch is data-parallel over the mesh (the only sensible parallelism
+at this model size — ~30k params is far below any TP threshold).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+
+class DenoiserNet(nn.Module):
+    """Residual CNN: input (noisy rgb, prev-warped rgb, blur map) -> rgb.
+
+    Mirrors the OptiX temporal denoiser's interface: current frame + flow-
+    warped previous output as guide (optixHello.cpp:1115-1127)."""
+
+    features: int = 24
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, noisy: jax.Array, warped_prev: jax.Array, aux: jax.Array):
+        x = jnp.concatenate([noisy, warped_prev, aux], axis=-1)
+        x = x.astype(jnp.bfloat16)
+        for _ in range(self.depth):
+            x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=jnp.bfloat16)(x)
+            x = nn.relu(x)
+        x = nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.bfloat16)(x)
+        return noisy + x.astype(jnp.float32)  # residual correction
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(rng_key, height: int, width: int, lr: float = 1e-3):
+    model = DenoiserNet()
+    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+    aux = jnp.zeros((1, height, width, 1), jnp.float32)
+    params = model.init(rng_key, dummy, dummy, aux)
+    tx = optax.adam(lr)
+    return model, TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0)), tx
+
+
+def loss_fn(model, params, batch):
+    """L1 + MSE against the high-rpp reference render."""
+    pred = model.apply(params, batch["noisy"], batch["warped_prev"], batch["aux"])
+    err = pred - batch["target"]
+    return jnp.mean(jnp.abs(err)) + jnp.mean(err * err)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tx"))
+def train_step(model, tx, state: TrainState, batch):
+    """One data-parallel training step.
+
+    Under a mesh, shard ``batch`` along the leading (example) axis and keep
+    ``state`` replicated; jit's SPMD partitioner turns the gradient mean into
+    a psum over ICI.
+    """
+    loss, grads = jax.value_and_grad(lambda p: loss_fn(model, p, batch))(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def make_batch_from_renders(noisy_img, target_img, prev_img, blur_map):
+    """Assemble one training example from renderer outputs (leading batch dim
+    added)."""
+    return {
+        "noisy": noisy_img[None, ..., :3],
+        "warped_prev": prev_img[None, ..., :3],
+        "aux": blur_map[None, ..., None],
+        "target": target_img[None, ..., :3],
+    }
+
+
+def apply_denoiser(model, params, image, warped_prev, blur_map, mix: float = 1.0):
+    """Inference wrapper matching the blendFactor semantics
+    (optixHello.cpp:1131): mix=1 -> fully denoised."""
+    pred = model.apply(
+        params, image[None, ..., :3], warped_prev[None, ..., :3], blur_map[None, ..., None]
+    )[0]
+    alpha = jnp.ones(image.shape[:2] + (1,), jnp.float32)
+    denoised = jnp.concatenate([pred, alpha], axis=-1)
+    return denoised + (image - denoised) * (1.0 - mix)

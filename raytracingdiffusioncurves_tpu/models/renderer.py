@@ -69,16 +69,17 @@ def trace_image(
     NaN in the reference (0/0); here they get config.background (documented
     deviation; alpha is always 1 — the reference never writes it).
     """
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
-    if backend == "pallas":
-        from ..ops import trace_pallas
-
-        color_sum, weight_sum, blur_sum = trace_pallas.trace_sums(scene, camera, config, frame)
-    else:
-        color_sum, weight_sum, blur_sum = _trace_sums_jax(scene, camera, config, frame)
-
     h, w = scene.height, scene.width
+    csum, wsum, bsum = trace_sums_flat(scene, camera, config, frame, 0, h * w, backend)
+    return normalize_sums(
+        csum.reshape(h, w, 3), wsum.reshape(h, w), bsum.reshape(h, w), config
+    )
+
+
+def normalize_sums(color_sum, weight_sum, blur_sum, config: RenderConfig):
+    """Weighted-mean normalization (DeviceCode.cu:176-181), with the
+    documented background-instead-of-NaN deviation for all-miss pixels."""
+    h, w = weight_sum.shape
     bg = jnp.asarray(config.background, jnp.float32)
     safe_w = jnp.where(weight_sum > 0.0, weight_sum, 1.0)[..., None]
     rgb = jnp.where(
@@ -90,16 +91,38 @@ def trace_image(
     return image, blur_map
 
 
-def _trace_sums_jax(scene: DeviceScene, camera: Camera, config: RenderConfig, frame):
+def trace_sums_flat(
+    scene: DeviceScene,
+    camera: Camera,
+    config: RenderConfig,
+    frame,
+    px_start,
+    n_px: int,
+    backend: str = "auto",
+):
+    """Trace pixels [px_start, px_start + n_px) of the scene's pixel grid.
+    Returns flat (color_sum (n_px, 3), weight_sum (n_px,), blur_sum (n_px,)).
+    This is the sharding primitive: each chip traces its own pixel range."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    if backend == "pallas":
+        from ..ops import trace_pallas
+
+        return trace_pallas.trace_sums_flat(scene, camera, config, frame, px_start, n_px)
+    return _trace_sums_jax_flat(scene, camera, config, frame, px_start, n_px)
+
+
+def _trace_sums_jax_flat(
+    scene: DeviceScene, camera: Camera, config: RenderConfig, frame, px_start, n_px: int
+):
     """Chunked pure-JAX tracing: lax.map over ray blocks keeps the
     (rays x segments) intermediates at a fixed memory footprint."""
     h, w = scene.height, scene.width
     rpp = config.rays_per_pixel
-    n_px = h * w
     px_per_block, n_blocks = _pixel_block_counts(n_px, config)
     n_px_pad = px_per_block * n_blocks
 
-    pixel_ids = jnp.arange(n_px_pad, dtype=jnp.int32) % n_px
+    pixel_ids = px_start + jnp.arange(n_px_pad, dtype=jnp.int32)
     sample_ids = jnp.tile(jnp.arange(rpp, dtype=jnp.int32), px_per_block)
 
     def do_block(pids):
@@ -116,10 +139,11 @@ def _trace_sums_jax(scene: DeviceScene, camera: Camera, config: RenderConfig, fr
         )
 
     csum, wsum, bsum = jax.lax.map(do_block, pixel_ids.reshape(n_blocks, px_per_block))
-    csum = csum.reshape(n_px_pad, 3)[:n_px].reshape(h, w, 3)
-    wsum = wsum.reshape(n_px_pad)[:n_px].reshape(h, w)
-    bsum = bsum.reshape(n_px_pad)[:n_px].reshape(h, w)
-    return csum, wsum, bsum
+    return (
+        csum.reshape(n_px_pad, 3)[:n_px],
+        wsum.reshape(n_px_pad)[:n_px],
+        bsum.reshape(n_px_pad)[:n_px],
+    )
 
 
 @partial(jax.jit, static_argnames=("config", "backend", "max_blur_radius"))

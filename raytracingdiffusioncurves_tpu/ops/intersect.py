@@ -69,14 +69,17 @@ def make_rays(
     else:
         oy = (row - height // 2).astype(jnp.float32) * zoom + off_y
 
-    u_rot = rng.uniform(config.seed, pixel_ids, sample_ids, frame, 0)
+    # RNG stream is keyed on the flat ray id so the pure-JAX and Pallas paths
+    # produce bit-identical jitter.
+    ray_ids = pixel_ids * config.rays_per_pixel + sample_ids
+    u_rot = rng.uniform(config.seed, ray_ids, frame, 0)
     sector = jnp.float32(2.0 * np.pi) / n
     theta = sector * (sample_ids.astype(jnp.float32) + (u_rot if config.use_aa else 0.0))
     dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
 
     if config.use_aa:
-        ox = ox + rng.uniform(config.seed, pixel_ids, sample_ids, frame, 1) * zoom
-        oy = oy + rng.uniform(config.seed, pixel_ids, sample_ids, frame, 2) * zoom
+        ox = ox + rng.uniform(config.seed, ray_ids, frame, 1) * zoom
+        oy = oy + rng.uniform(config.seed, ray_ids, frame, 2) * zoom
 
     return jnp.stack([ox, oy], axis=-1), dirs
 
@@ -93,23 +96,8 @@ def closest_hit(
     Replaces optixTrace + the GAS (optixHello.cpp:764-830) with one MXU
     matmul and a lane-wise min-reduction.
     """
-    feats = dev.ray_features(origins, dirs)  # (N, F)
-    prods = jnp.dot(feats, scene.geom_features, preferred_element_type=jnp.float32)
-    s_pad = scene.s_pad
-    denom = prods[:, :s_pad]
-    num_t = prods[:, s_pad : 2 * s_pad]
-    num_s = prods[:, 2 * s_pad :]
-
-    inv_denom = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
-    t = num_t * inv_denom
-    s = num_s * inv_denom
-    valid = (
-        (denom != 0.0)
-        & (s >= 0.0)
-        & (s <= 1.0)
-        & (t >= min_hit_distance)
-        & (scene.shade_table[:, dev.COL_VALID] > 0.0)[None, :]
-    )
+    _, t, s, valid = dev.intersect_consts(scene.seg_consts, origins, dirs)
+    valid = valid & (t >= min_hit_distance)
     t_masked = jnp.where(valid, t, jnp.float32(np.inf))
     best = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
     ar = jnp.arange(t.shape[0])

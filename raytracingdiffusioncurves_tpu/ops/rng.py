@@ -17,10 +17,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_M1 = jnp.uint32(0x85EBCA6B)
-_M2 = jnp.uint32(0xC2B2AE35)
-_GOLDEN = jnp.uint32(0x9E3779B9)
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def _fmix32(h):
@@ -35,7 +36,7 @@ def _fmix32(h):
 def hash_words(*words) -> jnp.ndarray:
     """Combine integer words (broadcastable arrays or scalars) into uniformly
     mixed uint32 bits."""
-    h = jnp.uint32(0x2F6E2B1)
+    h = np.uint32(0x2F6E2B1)
     for w in words:
         w = jnp.asarray(w).astype(jnp.uint32)
         h = (h ^ _fmix32(w + _GOLDEN)) * _M1 + _GOLDEN
@@ -47,5 +48,5 @@ def uniform(*words) -> jnp.ndarray:
     open/closed end swap is distribution-equivalent.)"""
     bits = hash_words(*words)
     # Top 23 bits into the mantissa of [1, 2), minus 1.
-    f = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
-    return jax.lax.bitcast_convert_type(f, jnp.float32) - jnp.float32(1.0)
+    f = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(f, jnp.float32) - np.float32(1.0)

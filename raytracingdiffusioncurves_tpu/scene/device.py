@@ -10,15 +10,17 @@ optixHello.cpp:764-830 + DeviceCode.cu):
   *exactly* by lerping precomputed endpoint values — no per-hit knot search
   on device.
 
-* Ray/sub-segment intersection is bilinear in (ray features) x (segment
-  features): with ray feature vector f = [dx, dy, ox, oy, oy*dx - ox*dy, 1]
-  the three cross products of the 2x2 solve are matmuls f @ G, which run on
-  the MXU.  ``geom_features`` holds G packed as (RAY_FEATURES, 3*S_pad) with
-  the denominator / t-numerator / s-numerator blocks concatenated.
+* Ray/sub-segment intersection is bilinear in per-ray and per-segment
+  quantities: with e = p1 - p0 the three cross products of the 2x2 solve are
+  6 FMAs per (ray, segment) pair over broadcast (segments, 1) x (1, rays)
+  tiles — VPU-shaped work with segments on sublanes and rays on lanes.
+  ``seg_consts`` holds the per-segment coefficients.
 
 * Everything a hit needs to shade (normals, colors, blur/weight tables,
   portal exit geometry) is one row of ``shade_table`` (S_pad, SHADE_COLS),
-  gathered with a one-hot matmul — again MXU work, no scatter/gather.
+  gathered in the Pallas kernel with a one-hot matmul (a real K>=128
+  contraction — MXU work, no scatter/gather); ``shade_all_t`` is the
+  transposed layout (shade columns + geometry consts) the kernel consumes.
 
 All arrays are padded to a multiple of 128 sub-segments (TPU lane width);
 padding rows are invalid and can never be hit.
@@ -51,7 +53,18 @@ COL_VALID = 31
 SHADE_COLS = 32
 # fmt: on
 
-RAY_FEATURES = 8  # [dx, dy, ox, oy, oy*dx - ox*dy, 1, pad, pad]
+# --- seg_consts column layout: per-segment intersection coefficients ---
+# Solving o + t*d = p0 + s*e (e = p1 - p0), with cross(a,b) = ax*by - ay*bx:
+#   denom = cross(d, e) =  dx*ey - dy*ex
+#   num_t = cross(p0-o, e) = C1 - ox*ey + oy*ex,   C1 = p0x*ey - p0y*ex
+#   num_s = cross(p0-o, d) = dy*p0x - dx*p0y + (oy*dx - ox*dy)
+#   t = num_t/denom, s = num_s/denom
+CONST_EX, CONST_EY, CONST_C1, CONST_P0X, CONST_P0Y, CONST_VALID = 0, 1, 2, 3, 4, 5
+CONST_COLS = 8
+
+# shade_all_t rows: SHADE_COLS shade rows then the 5 geometry consts.
+ALLT_ROWS = 40  # 32 shade + 5 consts + padding to a sublane multiple
+
 LANE = 128
 
 
@@ -61,17 +74,18 @@ def _pad_to(n: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["geom_features", "shade_table"],
+    data_fields=["seg_consts", "shade_table", "shade_all_t"],
     meta_fields=["width", "height", "n_sub", "s_pad", "has_portals", "max_blur"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
-    """Scene as consumed by the trace kernels. ``geom_features`` and
-    ``shade_table`` are device arrays; the metadata fields are static and
-    participate in jit specialization."""
+    """Scene as consumed by the trace kernels. The array fields are device
+    arrays; the metadata fields are static and participate in jit
+    specialization."""
 
-    geom_features: jax.Array  # (RAY_FEATURES, 3*S_pad) f32
+    seg_consts: jax.Array  # (S_pad, CONST_COLS) f32
     shade_table: jax.Array  # (S_pad, SHADE_COLS) f32
+    shade_all_t: jax.Array  # (ALLT_ROWS, S_pad) f32: shade_table.T + consts
     width: int
     height: int
     n_sub: int
@@ -195,15 +209,23 @@ def build_device_scene(
     p1 = np.zeros((s_pad, 2), np.float64)
     p0[:n_sub] = np.stack(p0s)
     p1[:n_sub] = np.stack(p1s)
-    # Padding rows: a degenerate far-away segment that can never be hit.
-    p0[n_sub:] = 1e30
-    p1[n_sub:] = 1e30
+    consts = np.zeros((s_pad, CONST_COLS), np.float64)
+    e = p1 - p0
+    consts[:, CONST_EX] = e[:, 0]
+    consts[:, CONST_EY] = e[:, 1]
+    consts[:, CONST_C1] = p0[:, 0] * e[:, 1] - p0[:, 1] * e[:, 0]
+    consts[:, CONST_P0X] = p0[:, 0]
+    consts[:, CONST_P0Y] = p0[:, 1]
+    consts[:, CONST_VALID] = shade[:, COL_VALID]
 
-    geom = _pack_geom_features(p0, p1)
+    shade_all_t = np.zeros((ALLT_ROWS, s_pad), np.float64)
+    shade_all_t[:SHADE_COLS] = shade.T
+    shade_all_t[SHADE_COLS : SHADE_COLS + 5] = consts[:, :5].T
 
     return DeviceScene(
-        geom_features=jnp.asarray(geom, dtype),
+        seg_consts=jnp.asarray(consts, dtype),
         shade_table=jnp.asarray(shade, dtype),
+        shade_all_t=jnp.asarray(shade_all_t, dtype),
         width=scene.width,
         height=scene.height,
         n_sub=n_sub,
@@ -213,50 +235,28 @@ def build_device_scene(
     )
 
 
-def _pack_geom_features(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
-    """Pack per-sub-segment intersection features.
+def intersect_consts(consts_slice: jax.Array, origins: jax.Array, dirs: jax.Array):
+    """Intersect rays against a (S, CONST_COLS) slice of seg_consts.
 
-    Solving o + t*d = p0 + s*(p1 - p0) gives, with e = p1 - p0 and
-    cross(a, b) = ax*by - ay*bx:
-
-        denom = cross(d, e)   num_t = cross(p0 - o, e)   num_s = cross(p0 - o, d)
-        t = num_t / denom     s = num_s / denom
-
-    Each is bilinear in the ray feature vector
-        f = [dx, dy, ox, oy, oy*dx - ox*dy, 1, 0, 0]
-    and a per-segment coefficient vector:
-
-        denom: [ ey, -ex,   0,  0, 0, 0 ]
-        num_t: [  0,   0, -ey, ex, 0, p0x*ey - p0y*ex ]
-        num_s: [-p0y, p0x,  0,  0, 1, 0 ]
-
-    Returns (RAY_FEATURES, 3*S) with the three blocks concatenated so one
-    MXU matmul produces all three (rays, S) matrices.
+    origins/dirs: (N, 2).  Returns (denom, t, s, valid) each (N, S).
+    Shared by the pure-JAX path and (with transposed broadcasting) mirrors
+    the math in the Pallas kernel; works under jit and inside kernels.
     """
-    s = p0.shape[0]
-    e = p1 - p0
-    g = np.zeros((RAY_FEATURES, 3 * s), np.float64)
-    # denom block
-    g[0, :s] = e[:, 1]
-    g[1, :s] = -e[:, 0]
-    # num_t block
-    g[2, s : 2 * s] = -e[:, 1]
-    g[3, s : 2 * s] = e[:, 0]
-    g[5, s : 2 * s] = p0[:, 0] * e[:, 1] - p0[:, 1] * e[:, 0]
-    # num_s block
-    g[0, 2 * s :] = -p0[:, 1]
-    g[1, 2 * s :] = p0[:, 0]
-    g[4, 2 * s :] = 1.0
-    return g
+    ex = consts_slice[:, CONST_EX][None, :]
+    ey = consts_slice[:, CONST_EY][None, :]
+    c1 = consts_slice[:, CONST_C1][None, :]
+    p0x = consts_slice[:, CONST_P0X][None, :]
+    p0y = consts_slice[:, CONST_P0Y][None, :]
+    seg_valid = consts_slice[:, CONST_VALID][None, :] > 0.0
 
+    ox, oy = origins[:, 0:1], origins[:, 1:2]
+    dx, dy = dirs[:, 0:1], dirs[:, 1:2]
 
-def ray_features(origins: jax.Array, dirs: jax.Array) -> jax.Array:
-    """Ray feature matrix f (N, RAY_FEATURES) for the bilinear intersection.
-
-    Works under jit and inside Pallas kernels.
-    """
-    ox, oy = origins[:, 0], origins[:, 1]
-    dx, dy = dirs[:, 0], dirs[:, 1]
-    one = jnp.ones_like(ox)
-    zero = jnp.zeros_like(ox)
-    return jnp.stack([dx, dy, ox, oy, oy * dx - ox * dy, one, zero, zero], axis=-1)
+    denom = dx * ey - dy * ex
+    num_t = c1 - ox * ey + oy * ex
+    num_s = dy * p0x - dx * p0y + (oy * dx - ox * dy)
+    inv = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
+    t = num_t * inv
+    s = num_s * inv
+    valid = (denom != 0.0) & (s >= 0.0) & (s <= 1.0) & seg_valid
+    return denom, t, s, valid

@@ -7,7 +7,18 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests always run on CPU with 8 virtual devices.  The environment may have
+# initialized a TPU backend at interpreter start (sitecustomize), so setting
+# JAX_PLATFORMS here is too late — override via jax.config and re-init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+assert jax.default_backend() == "cpu"
 
 import pathlib  # noqa: E402
 

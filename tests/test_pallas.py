@@ -1,0 +1,98 @@
+"""Pallas megakernel vs pure-JAX path parity (interpret mode on CPU).
+
+The two implementations share the math but not the code shape (chunked
+sublane tiles + one-hot MXU gathers vs XLA broadcasting); rendering the same
+scenes pins them against each other.  Tolerances allow for the kernel's
+approximate reciprocal, which can flip the closest-hit winner at exact
+segment-junction ties for a ~1e-6 fraction of rays.
+"""
+
+import numpy as np
+import pytest
+
+import raytracingdiffusioncurves_tpu as rtdc
+
+from conftest import make_scene_xml, simple_curve
+
+
+def render_both(xml_or_path, rpp=8, from_file=False, k=8, **cfg_kw):
+    if from_file:
+        scene = rtdc.load_scene(xml_or_path)
+    else:
+        scene = rtdc.load_scene_from_string(xml_or_path)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=k)
+    cfg = rtdc.RenderConfig(
+        rays_per_pixel=rpp, use_blur=False, use_denoiser=False, **cfg_kw
+    )
+    img_j, bm_j = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")
+    img_p, bm_p = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    return (np.asarray(img_j), np.asarray(bm_j)), (np.asarray(img_p), np.asarray(bm_p))
+
+
+def assert_parity(j, p, frac=3e-5):
+    img_j, bm_j = j
+    img_p, bm_p = p
+    d = np.abs(img_j - img_p)
+    assert not np.isnan(img_p).any()
+    # identical for all but junction-tie rays
+    assert (d > 1e-3).mean() < frac, f"diff frac {(d > 1e-3).mean()}"
+    assert d.mean() < 1e-4
+    db = np.abs(bm_j - bm_p)
+    assert (db > 1e-3).mean() < frac
+
+
+def test_parity_line(ref_xml_dir):
+    j, p = render_both(str(ref_xml_dir / "line.xml"), from_file=True)
+    assert_parity(j, p)
+
+
+def test_parity_portals(ref_xml_dir):
+    j, p = render_both(str(ref_xml_dir / "PortalDemo.xml"), from_file=True)
+    assert_parity(j, p)
+
+
+def test_parity_weights_and_blur():
+    xml = make_scene_xml(
+        [
+            simple_curve(
+                [(0, 20), (20, 22), (40, 18), (60, 20)],
+                left=[(0, "200,10,50"), (5, "0,255,0"), (10, "10,10,200")],
+                blur=[(0, 1.0), (10, 3.0)],
+                weight=[(0, 0.5), (10, 2.0)],
+                weight_degree=[(0, 0.3), (10, 1.1)],
+                use_endcap=True,
+            )
+        ]
+    )
+    j, p = render_both(xml, rpp=16)
+    assert_parity(j, p)
+
+
+def test_parity_no_aa_deterministic():
+    # Note: the control polygon deliberately avoids exact multiples of the
+    # 45-degree no-AA fan directions — a ray exactly grazing a segment tip is
+    # a measure-zero degeneracy where 1-ulp transcendental differences
+    # between backends legitimately flip hit/miss.
+    xml = make_scene_xml([simple_curve([(11, 14), (29, 23), (41, 38), (49, 54)])])
+    j, p = render_both(xml, rpp=8, use_aa=False)
+    assert_parity(j, p)
+
+
+def test_parity_camera():
+    xml = make_scene_xml([simple_curve([(10, 10), (30, 20), (40, 40), (50, 50)])])
+    scene = rtdc.load_scene_from_string(xml)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    cam = rtdc.Camera(0.35, 4.0, -7.0)
+    img_j, _ = rtdc.trace_image(dev, cam, cfg, backend="jax")
+    img_p, _ = rtdc.trace_image(dev, cam, cfg, backend="pallas")
+    d = np.abs(np.asarray(img_j) - np.asarray(img_p))
+    assert (d > 1e-3).mean() < 3e-5
+
+
+@pytest.mark.parametrize("rpp", [1, 4, 32])
+def test_parity_rpp_blocking(rpp):
+    """Exercises the R / px_per_program blocking math for awkward fan sizes."""
+    xml = make_scene_xml([simple_curve([(10, 32), (30, 32), (40, 32), (50, 32)])], width=32, height=32)
+    j, p = render_both(xml, rpp=rpp)
+    assert_parity(j, p)
