@@ -40,17 +40,22 @@ def main():
     backend = "pallas" if on_tpu else "jax"
 
     image, state = rtdc.render_frame(dev, cam, state, config, backend=backend)
-    image.block_until_ready()
+    # Force a host read: on tunneled backends block_until_ready can return
+    # before execution completes, which would fake sub-ms frame times.
+    float(image[0, 0, 0])
     setup_s = time.perf_counter() - setup_start
     print(f"# setup {setup_s*1000:.0f}ms backend={backend} size={size} rpp={rpp}",
           file=sys.stderr)
 
-    times = []
+    # Chain `frames` frames through their data dependency (FrameState) and
+    # end with a host read, so the measured wall time covers real device
+    # execution of every frame.
+    t0 = time.perf_counter()
     for _ in range(frames):
-        t0 = time.perf_counter()
         image, state = rtdc.render_frame(dev, cam, state, config, backend=backend)
-        image.block_until_ready()
-        times.append(time.perf_counter() - t0)
+    float(image[0, 0, 0])
+    total = time.perf_counter() - t0
+    times = [total / frames]
 
     mean_ms = 1000.0 * sum(times) / len(times)
     rays_per_sec = size * size * rpp / (mean_ms / 1000.0)

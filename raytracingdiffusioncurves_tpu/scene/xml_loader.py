@@ -138,11 +138,25 @@ def load_scene(
     diffusion_curve_save: bool = True,
     endcap_size: float = 8.0,
     default_weight_degree: float = 0.5,
+    native: bool | str = "auto",
 ) -> SceneTables:
     """Parse an Orzan-format diffusion-curve XML into ``SceneTables``.
 
-    Mirrors the scene loop optixHello.cpp:211-515.
+    Mirrors the scene loop optixHello.cpp:211-515.  ``native`` selects the
+    C++ loader (scene/native/loader.cpp): True = require it, False = pure
+    Python, "auto" = use it when the shared library is available.  Both
+    produce identical tables (tests/test_native_loader.py).
     """
+    if native:
+        from . import native_loader
+
+        if native is True or native_loader.available():
+            return native_loader.load_scene_native(
+                path,
+                diffusion_curve_save=diffusion_curve_save,
+                endcap_size=endcap_size,
+                default_weight_degree=default_weight_degree,
+            )
     root = ET.parse(path).getroot()
     return build_scene(
         root,

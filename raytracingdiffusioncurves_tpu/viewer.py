@@ -1,0 +1,157 @@
+"""Interactive viewing: session state machine + optional GUI front-end.
+
+``InteractiveSession`` is the headless core — the equivalent of the
+reference's GLFW event handlers (glfw_events.cpp:50-143) driving the jitted
+renderer: scroll = zoom by 1.5^-ticks with a zoom-flow update for the
+temporal denoiser (:105-112), drag = pan scaled by the zoom factor
+(:115-130; the reference's pan-flow call passes zero deltas — fixed here,
+documented in PARITY.md), F11 = screenshot (:50-100).  Camera values are
+traced jit arguments, so no interaction ever recompiles (BASELINE config #4).
+
+``run_viewer`` wraps the session in a matplotlib window when a display is
+available; the session itself needs none.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from .config import Camera, RenderConfig
+from .models import renderer
+from .ops import flow as flow_ops
+from .scene.device import DeviceScene
+from .utils.image import save_image
+
+ZOOM_STEP = 1.5  # glfw_events.cpp:39
+
+
+class InteractiveSession:
+    """Drives the renderer with zoom/pan/screenshot semantics of the
+    reference viewer."""
+
+    def __init__(
+        self,
+        scene: DeviceScene,
+        config: RenderConfig,
+        camera: Camera = Camera(),
+        backend: str = "auto",
+    ):
+        self.scene = scene
+        self.config = config
+        self.camera = camera
+        self.backend = backend
+        self.state = renderer.init_frame_state(scene.width, scene.height)
+        self.frame_times: list[float] = []
+        self._render = None
+
+    def scroll(self, yoffset: float) -> None:
+        """Zoom: zoom_factor *= 1.5^-yoffset, with the radial flow update for
+        the temporal denoiser (scroll_callback, glfw_events.cpp:105-112)."""
+        old = self.camera.zoom_factor
+        new = old * ZOOM_STEP ** (-yoffset)
+        flow = flow_ops.add_zoom_flow(self.state.flow, old, new)
+        self.state = self.state._replace(flow=flow)
+        self.camera = Camera(new, self.camera.offset_x, self.camera.offset_y)
+
+    def drag(self, dx_pixels: float, dy_pixels: float) -> None:
+        """Pan by a mouse delta in pixels: offset -= delta * zoom
+        (mouse_cursor_callback, glfw_events.cpp:122-123) plus the translation
+        flow the reference intended (:128)."""
+        z = self.camera.zoom_factor
+        self.camera = Camera(
+            z, self.camera.offset_x - dx_pixels * z, self.camera.offset_y - dy_pixels * z
+        )
+        flow = flow_ops.add_translation_flow(self.state.flow, -dx_pixels, -dy_pixels)
+        self.state = self.state._replace(flow=flow)
+
+    def render(self) -> jax.Array:
+        """Render one frame; returns the (H, W, 4) image. Frame time is
+        recorded with the reference's protocol (optixHello.cpp:1258-1263)."""
+        t0 = time.perf_counter()
+        image, self.state = renderer.render_frame(
+            self.scene, self.camera, self.state, self.config, backend=self.backend
+        )
+        image.block_until_ready()
+        self.frame_times.append(time.perf_counter() - t0)
+        self.last_image = image
+        return image
+
+    def screenshot(self, path: str | None = None) -> str:
+        """F11 equivalent (key_callback, glfw_events.cpp:50-100)."""
+        return save_image(
+            np.asarray(self.last_image),
+            path,
+            flip_vertical=self.config.diffusion_curve_save,
+        )
+
+    @property
+    def mean_frame_time_ms(self) -> float:
+        if not self.frame_times:
+            return 0.0
+        return 1000.0 * sum(self.frame_times) / len(self.frame_times)
+
+
+def run_viewer(scene: DeviceScene, config: RenderConfig, camera: Camera = Camera(), backend: str = "auto"):
+    """Open a matplotlib window with scroll-zoom / drag-pan / 's' screenshot.
+
+    Falls back to a headless message when no display is available.
+    """
+    session = InteractiveSession(scene, config, camera, backend)
+    try:
+        import matplotlib
+
+        if not matplotlib.get_backend().lower().startswith(("qt", "tk", "gtk", "macosx", "wx")):
+            matplotlib.use("TkAgg")
+        import matplotlib.pyplot as plt
+    except Exception as exc:  # headless environment
+        print(f"viewer: no interactive display available ({exc}); "
+              "use InteractiveSession programmatically instead")
+        return session
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.set_axis_off()
+    img = session.render()
+    arr = np.asarray(img)[..., :3]
+    if config.diffusion_curve_save:
+        arr = arr[::-1]
+    im = ax.imshow(np.clip(arr, 0, 1))
+    dragging = {"on": False, "x": 0.0, "y": 0.0}
+
+    def refresh():
+        a = np.asarray(session.render())[..., :3]
+        if config.diffusion_curve_save:
+            a = a[::-1]
+        im.set_data(np.clip(a, 0, 1))
+        fig.canvas.draw_idle()
+
+    def on_scroll(event):
+        session.scroll(1.0 if event.button == "up" else -1.0)
+        refresh()
+
+    def on_press(event):
+        dragging.update(on=True, x=event.x, y=event.y)
+
+    def on_release(event):
+        dragging["on"] = False
+
+    def on_move(event):
+        if dragging["on"]:
+            session.drag(event.x - dragging["x"], event.y - dragging["y"])
+            dragging.update(x=event.x, y=event.y)
+            refresh()
+
+    def on_key(event):
+        if event.key in ("s", "f11"):
+            print("saved", session.screenshot())
+
+    fig.canvas.mpl_connect("scroll_event", on_scroll)
+    fig.canvas.mpl_connect("button_press_event", on_press)
+    fig.canvas.mpl_connect("button_release_event", on_release)
+    fig.canvas.mpl_connect("motion_notify_event", on_move)
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    plt.show()
+    print(f"Average frame time : {session.mean_frame_time_ms:.2f}ms")
+    return session
