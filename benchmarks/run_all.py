@@ -1,0 +1,137 @@
+"""The five BASELINE.md benchmark configs, measured with the reference's
+protocol (setup once + mean frame time, optixHello.cpp:1156-1157,1260-1263).
+
+  1. arch.xml, 512x512, 16 rpp, blur+denoiser off
+  2. arch.xml, 1024x1024, 128 rpp, AA + blur on
+  3. lady_bug.xml (Orzan pack), 1920x1080, 256 rpp, denoiser on
+  4. interactive zoom/pan session at 1080p (recompile-free, target >= 30 fps)
+  5. 4K, 1024 rpp, tiled across all devices with per-tile image sharding
+
+Usage: python benchmarks/run_all.py [1 2 3 4 5]
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import raytracingdiffusioncurves_tpu as rtdc  # noqa: E402
+
+ARCH = "/root/reference/optixHello/xmls/arch.xml"
+LADY = "/root/reference/optixHello/xmls/DiffusionCurvePack/lady_bug.xml"
+
+
+def _scene(path, w, h, k=16):
+    scene = rtdc.load_scene(path)
+    scene.__dict__["width"] = w
+    scene.__dict__["height"] = h
+    return rtdc.build_device_scene(scene, flatten_subdivisions=k)
+
+
+def _time_frames(run, state, frames):
+    image, state = run(state)
+    float(image[0, 0, 0])  # force completion through tunneled backends
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        image, state = run(state)
+    float(image[0, 0, 0])
+    return 1000.0 * (time.perf_counter() - t0) / frames
+
+
+def _emit(name, ms, baseline_ms=None, extra=None):
+    rec = {"metric": name, "value": round(ms, 3), "unit": "ms"}
+    if baseline_ms:
+        rec["vs_baseline"] = round(baseline_ms / ms, 3)
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def config1(backend, frames):
+    dev = _scene(ARCH, 512, 512)
+    cfg = rtdc.RenderConfig(rays_per_pixel=16, use_blur=False, use_denoiser=False)
+    cam = rtdc.Camera()
+    run = lambda st: rtdc.render_frame(dev, cam, st, cfg, backend=backend)
+    ms = _time_frames(run, rtdc.init_frame_state(512, 512), frames)
+    _emit("ms_per_frame_arch512_16rpp", ms)
+
+
+def config2(backend, frames):
+    dev = _scene(ARCH, 1024, 1024)
+    cfg = rtdc.RenderConfig(rays_per_pixel=128, use_aa=True, use_blur=True, use_denoiser=False)
+    cam = rtdc.Camera()
+    run = lambda st: rtdc.render_frame(dev, cam, st, cfg, backend=backend)
+    ms = _time_frames(run, rtdc.init_frame_state(1024, 1024), frames)
+    _emit("ms_per_frame_arch1024_128rpp", ms, baseline_ms=33.0)
+
+
+def config3(backend, frames):
+    dev = _scene(LADY, 1920, 1088)  # 1080p rounded to shardable rows
+    cfg = rtdc.RenderConfig(rays_per_pixel=256, use_blur=True, use_denoiser=True)
+    cam = rtdc.Camera()
+    run = lambda st: rtdc.render_frame(dev, cam, st, cfg, backend=backend)
+    ms = _time_frames(run, rtdc.init_frame_state(1920, 1088), frames)
+    _emit("ms_per_frame_ladybug1080p_256rpp_denoise", ms)
+
+
+def config4(backend, frames):
+    from raytracingdiffusioncurves_tpu.viewer import InteractiveSession
+
+    dev = _scene(LADY, 1920, 1088)
+    cfg = rtdc.RenderConfig(rays_per_pixel=32, use_blur=True, use_denoiser=True)
+    s = InteractiveSession(dev, cfg, backend=backend)
+    s.render()  # compile
+    s.frame_times.clear()
+    for i in range(frames):
+        s.scroll(0.25 if i % 2 == 0 else -0.25)
+        s.drag(5.0, -3.0)
+        img = s.render()
+    float(img[0, 0, 0])
+    from raytracingdiffusioncurves_tpu.models.renderer import render_frame
+
+    ms = s.mean_frame_time_ms
+    _emit(
+        "ms_per_frame_interactive1080p",
+        ms,
+        baseline_ms=1000.0 / 30.0,
+        extra={"fps": round(1000.0 / ms, 1), "jit_cache_entries": render_frame._cache_size()},
+    )
+
+
+def config5(backend, frames):
+    from raytracingdiffusioncurves_tpu.parallel import sharded
+
+    n_dev = len(jax.devices())
+    h = 2160 if 2160 % n_dev == 0 else (2160 // n_dev + 1) * n_dev
+    dev = _scene(ARCH, 3840, h)
+    cfg = rtdc.RenderConfig(rays_per_pixel=1024, use_blur=True, use_denoiser=False)
+    mesh = sharded.make_mesh(n_dev)
+    cam = rtdc.Camera()
+    run = lambda st: sharded.render_frame_sharded(mesh, dev, cam, st, cfg, backend=backend)
+    ms = _time_frames(run, rtdc.init_frame_state(3840, h), frames)
+    _emit("ms_per_frame_4k_1024rpp_sharded", ms, extra={"devices": n_dev})
+
+
+def main():
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    on_tpu = jax.default_backend() == "tpu"
+    backend = "pallas" if on_tpu else "jax"
+    frames = 10 if on_tpu else 1
+    for i in which:
+        t0 = time.perf_counter()
+        try:
+            [config1, config2, config3, config4, config5][i - 1](backend, frames)
+        except Exception as exc:  # keep the suite going
+            print(json.dumps({"metric": f"config{i}", "error": str(exc)[:200]}))
+        print(f"# config{i} total {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

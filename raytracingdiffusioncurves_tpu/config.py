@@ -73,7 +73,7 @@ class RenderConfig:
 
     # Rays processed per Pallas program instance. Must be a multiple of 128
     # and of rays_per_pixel when rays_per_pixel <= this value.
-    rays_per_block: int = 1024
+    rays_per_block: int = 4096
 
     # Maximum Gaussian blur radius in pixels for the variable-sigma blur.
     # The reference computes a per-pixel radius ceil(3*sigma)

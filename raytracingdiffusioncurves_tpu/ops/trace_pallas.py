@@ -37,7 +37,7 @@ from ..scene import device as dev
 from . import rng
 
 # Segment chunk (sublane axis) processed per inner iteration.
-SEG_CHUNK = 128
+SEG_CHUNK = 64
 # Sentinel "no hit" distance (avoid inf arithmetic inside the kernel).
 FAR = np.float32(1e30)
 
@@ -61,7 +61,8 @@ def _trace_kernel(
     cam_ref,  # (8,) f32: zoom, off_x, off_y, frame, px_start, pad...
     # VMEM tables
     consts_ref,  # (S_pad, CONST_COLS)
-    allt_ref,  # (ALLT_ROWS, S_pad)
+    allt_hi_ref,  # (ALLT_ROWS, S_pad) bf16: shade+consts, high bf16 halves
+    allt_lo_ref,  # (ALLT_ROWS, S_pad) bf16: f32 residuals
     # VMEM output
     out_ref,  # (1, 8, PX)
     *,
@@ -138,7 +139,6 @@ def _trace_kernel(
             c1 = consts_ref[sl, dev.CONST_C1 : dev.CONST_C1 + 1]
             p0x = consts_ref[sl, dev.CONST_P0X : dev.CONST_P0X + 1]
             p0y = consts_ref[sl, dev.CONST_P0Y : dev.CONST_P0Y + 1]
-            vld = consts_ref[sl, dev.CONST_VALID : dev.CONST_VALID + 1]
 
             denom = dx * ey - dy * ex  # (sc, R)
             num_t = c1 - ox * ey + oy * ex
@@ -152,12 +152,13 @@ def _trace_kernel(
             adenom = jnp.abs(denom)
             ns = jnp.where(neg, -num_s, num_s)
             nt = jnp.where(neg, -num_t, num_t)
+            # Padding rows have e = 0 => denom = 0 => always invalid, so no
+            # explicit validity column is needed.
             ok = (
                 (denom != 0.0)
                 & (ns >= 0.0)
                 & (ns <= adenom)
                 & (nt >= min_hit * adenom)
-                & (vld > 0.0)
             )
             # Approximate reciprocal + one Newton step: ~f32-accurate
             # ordering without the VPU divide. (The raw approximation's
@@ -177,21 +178,27 @@ def _trace_kernel(
             best_i = jnp.where(upd, c_arg + c * sc, best_i)
 
         # --- gather the winner's shade row + geometry consts (MXU) ---
-        acc = jnp.zeros((dev.ALLT_ROWS, R), f32)
+        # Near-exact f32 gather from two single-pass bf16 matmuls: the
+        # tables are pre-split into bf16 high halves + bf16 residuals; with a
+        # 0/1 one-hot operand every product is exact and every output column
+        # has a single nonzero term, so hi + lo reconstructs the f32 row to
+        # ~2^-17 relative (~16 mantissa bits) — far below the renderer's
+        # pixel-scale tolerances.  (A plain f32 gather needs
+        # Precision.HIGHEST = 6 MXU passes; this costs 2.)
+        acc_hi = jnp.zeros((dev.ALLT_ROWS, R), f32)
+        acc_lo = jnp.zeros((dev.ALLT_ROWS, R), f32)
+        dims = (((1,), (0,)), ((), ()))
         for c in range(n_chunks):
             seg_ids = jax.lax.broadcasted_iota(jnp.int32, (sc, R), 0) + c * sc
-            onehot = (seg_ids == best_i).astype(f32)  # (sc, R)
-            block = allt_ref[:, pl.ds(c * sc, sc)]  # (ALLT_ROWS, sc)
-            # HIGHEST precision: the MXU's default bf16 rounding would
-            # corrupt the gathered geometry constants (coordinates ~1e2 need
-            # full f32 mantissas).
-            acc = acc + jax.lax.dot_general(
-                block,
-                onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST,
+            onehot = (seg_ids == best_i).astype(jnp.bfloat16)  # (sc, R)
+            sl_c = pl.ds(c * sc, sc)
+            acc_hi = acc_hi + jax.lax.dot_general(
+                allt_hi_ref[:, sl_c], onehot, dims, preferred_element_type=f32
             )
+            acc_lo = acc_lo + jax.lax.dot_general(
+                allt_lo_ref[:, sl_c], onehot, dims, preferred_element_type=f32
+            )
+        acc = acc_hi + acc_lo
 
         def g(row, n=1):
             return acc[row : row + n, :]
@@ -291,14 +298,16 @@ def _trace_kernel(
     )  # (8, R)
     ray_px = jax.lax.broadcasted_iota(jnp.int32, (R, PX), 0) // rpp
     px_ids = jax.lax.broadcasted_iota(jnp.int32, (R, PX), 1)
-    reduce_oh = (ray_px == px_ids).astype(f32)  # (R, PX)
+    reduce_oh = (ray_px == px_ids).astype(jnp.bfloat16)  # (R, PX)
+    # Same bf16 hi/lo trick as the gather, but split at runtime; the MXU
+    # accumulates in f32 so only input quantization matters, and hi+lo
+    # reconstructs the f32 inputs exactly.
+    rows_hi = rows.astype(jnp.bfloat16)
+    rows_lo = (rows - rows_hi.astype(f32)).astype(jnp.bfloat16)
+    dims2 = (((1,), (0,)), ((), ()))
     out_ref[0] = jax.lax.dot_general(
-        rows,
-        reduce_oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        rows_hi, reduce_oh, dims2, preferred_element_type=f32
+    ) + jax.lax.dot_general(rows_lo, reduce_oh, dims2, preferred_element_type=f32)
 
 
 def trace_sums(
@@ -366,11 +375,15 @@ def trace_sums_flat(
         px_per_program=px_per_program,
     )
 
+    allt_hi = scene.shade_all_t.astype(jnp.bfloat16)
+    allt_lo = (scene.shade_all_t - allt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
     sums = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -382,7 +395,7 @@ def trace_sums_flat(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(cam, scene.seg_consts, scene.shade_all_t)
+    )(cam, scene.seg_consts, allt_hi, allt_lo)
 
     sums = jnp.moveaxis(sums, 1, 0).reshape(8, n_blocks * px_per_program)
     return sums[0:3, :n_px].T, sums[3, :n_px], sums[4, :n_px]

@@ -63,9 +63,11 @@ CONST_EX, CONST_EY, CONST_C1, CONST_P0X, CONST_P0Y, CONST_VALID = 0, 1, 2, 3, 4,
 CONST_COLS = 8
 
 # shade_all_t rows: SHADE_COLS shade rows then the 5 geometry consts.
-ALLT_ROWS = 40  # 32 shade + 5 consts + padding to a sublane multiple
+ALLT_ROWS = 48  # 32 shade + 5 consts, padded to a bf16 sublane multiple (16)
 
 LANE = 128
+# Sub-segment counts pad to this granularity (the kernel's segment chunk).
+SEG_ALIGN = 64
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -201,7 +203,7 @@ def build_device_scene(
             p1s.append(pts[j + 1])
 
     n_sub = len(rows)
-    s_pad = max(_pad_to(n_sub, LANE), LANE)
+    s_pad = max(_pad_to(n_sub, SEG_ALIGN), SEG_ALIGN)
 
     shade = np.zeros((s_pad, SHADE_COLS), np.float64)
     shade[:n_sub] = np.stack(rows)

@@ -1,0 +1,77 @@
+"""Learned denoiser: training reduces loss; analytic denoiser blend semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import raytracingdiffusioncurves_tpu as rtdc
+from raytracingdiffusioncurves_tpu.models import denoiser as dn
+from raytracingdiffusioncurves_tpu.ops import denoise as denoise_ops
+from raytracingdiffusioncurves_tpu.ops import flow as flow_ops
+
+
+def test_train_step_reduces_loss_on_fixed_batch():
+    model, state, tx = dn.create_train_state(jax.random.key(0), 32, 32, lr=3e-3)
+    key = jax.random.key(1)
+    target = jax.random.uniform(key, (2, 32, 32, 3))
+    noisy = target + 0.2 * jax.random.normal(jax.random.key(2), target.shape)
+    batch = {
+        "noisy": noisy,
+        "warped_prev": target,
+        "aux": jnp.zeros((2, 32, 32, 1)),
+        "target": target,
+    }
+    first = dn.loss_fn(model, state.params, batch)
+    for _ in range(30):
+        state, loss = dn.train_step(model, tx, state, batch)
+    assert float(loss) < float(first) * 0.7
+    assert int(state.step) == 30
+
+
+def test_apply_denoiser_mix_semantics():
+    """blendFactor = 1 - mix (optixHello.cpp:1131): mix=0 returns the input."""
+    model, state, _ = dn.create_train_state(jax.random.key(0), 16, 16)
+    img = jnp.ones((16, 16, 4)) * 0.5
+    prev = jnp.zeros((16, 16, 4))
+    bm = jnp.zeros((16, 16))
+    out0 = dn.apply_denoiser(model, state.params, img, prev, bm, mix=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(img), atol=1e-6)
+
+
+def test_analytic_temporal_denoise_blend():
+    img = jnp.full((8, 8, 4), 0.8)
+    prev = jnp.zeros_like(img)
+    fl = flow_ops.zero_flow(8, 8)
+    # mix=0 -> passthrough
+    out = denoise_ops.temporal_denoise(img, prev, fl, jnp.int32(1), mix=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+    # frame 0 with mix=1 -> spatial only (constant image unchanged)
+    out = denoise_ops.temporal_denoise(img, prev, fl, jnp.int32(0), mix=1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_temporal_denoise_uses_flow_history():
+    """A shifted previous frame is warped back by the flow before blending."""
+    h = w = 16
+    cur = jnp.zeros((h, w, 4))
+    prev = jnp.zeros((h, w, 4)).at[:, 8:, :].set(1.0)
+    fl = flow_ops.add_translation_flow(flow_ops.zero_flow(h, w), 4.0, 0.0)
+    out = denoise_ops.temporal_denoise(cur, prev, fl, jnp.int32(3), mix=1.0)
+    out = np.asarray(out)
+    # history shifted left by 4: columns >= 4 inherit prev's step at col 12
+    assert out[8, 13, 0] > out[8, 3, 0]
+
+
+def test_training_on_renderer_output_smoke():
+    from raytracingdiffusioncurves_tpu.models.train_denoiser import sample_example
+    from conftest import make_scene_xml, simple_curve
+
+    xml = make_scene_xml([simple_curve([(10, 14), (30, 25), (40, 40), (50, 52)])], 32, 32)
+    scene = rtdc.load_scene_from_string(xml)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=4)
+    rng = np.random.default_rng(0)
+    batch = sample_example(dev, rng, 32, "jax", frame=0)
+    model, state, tx = dn.create_train_state(jax.random.key(0), 32, 32)
+    state, loss = dn.train_step(model, tx, state, batch)
+    assert np.isfinite(float(loss))
