@@ -1,0 +1,81 @@
+"""Quality harness: PSNR of our renders against (a) our own high-rpp ground
+truth (convergence + denoiser benefit) and (b) the reference's checked-in
+screencaps where available (lb16/32/64/128.jpg are lady_bug.xml at those ray
+counts, SURVEY.md §4).
+
+Monte-Carlo noise realizations differ between any two renderers (and between
+our runs at different seeds), so the self-comparison PSNR(N rpp vs 1024 rpp)
+is the statistically meaningful convergence measure; the cross-renderer
+number vs the JPG screencaps additionally absorbs JPEG compression and the
+reference's unknown denoise/AA settings — report both, trust the trend.
+
+Usage: python benchmarks/quality.py [--size 512] [--scene lady_bug]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import raytracingdiffusioncurves_tpu as rtdc  # noqa: E402
+from raytracingdiffusioncurves_tpu.utils.image import psnr, to_uint8  # noqa: E402
+
+SCREENCAPS = "/root/reference/optixHello/screencaps"
+LADY = "/root/reference/optixHello/xmls/DiffusionCurvePack/lady_bug.xml"
+
+
+def render(dev, rpp, seed=0, denoise=False, backend="auto"):
+    cfg = rtdc.RenderConfig(
+        rays_per_pixel=rpp, use_blur=True, use_denoiser=denoise, seed=seed
+    )
+    state = rtdc.init_frame_state(dev.width, dev.height)
+    img, state = rtdc.render_frame(dev, rtdc.Camera(), state, cfg, backend=backend)
+    if denoise:  # second frame so the temporal history is active
+        img, _ = rtdc.render_frame(dev, rtdc.Camera(), state, cfg, backend=backend)
+    return np.asarray(img)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--gt-rpp", type=int, default=1024)
+    p.add_argument("--backend", default="auto")
+    args = p.parse_args()
+
+    import jax
+
+    if args.backend == "auto":
+        args.backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+
+    scene = rtdc.load_scene(LADY)
+    scene.__dict__["width"] = args.size
+    scene.__dict__["height"] = args.size
+    dev = rtdc.build_device_scene(scene)
+
+    gt = render(dev, args.gt_rpp, backend=args.backend)
+    results = {}
+    for rpp in (16, 32, 64, 128):
+        img = render(dev, rpp, backend=args.backend)
+        results[f"psnr_self_{rpp}rpp"] = round(psnr(img[..., :3], gt[..., :3]), 2)
+        dn = render(dev, rpp, denoise=True, backend=args.backend)
+        results[f"psnr_self_{rpp}rpp_denoised"] = round(psnr(dn[..., :3], gt[..., :3]), 2)
+
+        cap = os.path.join(SCREENCAPS, f"lb{rpp}.jpg")
+        if os.path.exists(cap) and args.size == 512:
+            from PIL import Image
+
+            ref = np.asarray(Image.open(cap).convert("RGB"), np.float64) / 255.0
+            ours = to_uint8(img, flip_vertical=True)[..., :3].astype(np.float64) / 255.0
+            results[f"psnr_vs_reference_lb{rpp}"] = round(psnr(ours, ref), 2)
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["auto", "jax", "pallas"], default="auto")
     p.add_argument("--viewer", action="store_true", help="open the interactive viewer")
     p.add_argument("--devices", type=int, default=0, help="shard across N devices (0 = single)")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler device trace of the timed frames")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume temporal state + camera from a session checkpoint")
+    p.add_argument("--save-session", default=None, metavar="CKPT",
+                   help="write the session checkpoint on exit")
     return p
 
 
@@ -74,6 +80,11 @@ def main(argv=None) -> int:
     )
     camera = Camera(args.zoom, args.offset_x, args.offset_y)
     state = init_frame_state(scene.width, scene.height)
+    if args.resume:
+        from .utils.checkpoint import load_session
+
+        state, camera, _ = load_session(args.resume)
+        print(f"resumed at frame {int(state.frame)} from {args.resume}")
 
     if args.devices > 1:
         from .parallel import sharded
@@ -93,19 +104,33 @@ def main(argv=None) -> int:
     if args.viewer:
         from .viewer import run_viewer
 
-        run_viewer(dev, config, camera, backend=args.backend)
+        run_viewer(dev, config, camera, backend=args.backend, tables=scene)
         return 0
 
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        from .utils.timing import trace_to
+
+        profile_cm = trace_to(args.profile)
+
     frame_times = []
-    for f in range(args.frames - 1):
-        t0 = time.perf_counter()
-        image, state = run(camera, state)
-        image.block_until_ready()
-        frame_times.append(time.perf_counter() - t0)
-        print(f"\rframe : {f + 1}", end="", flush=True)
+    with profile_cm:
+        for f in range(args.frames - 1):
+            t0 = time.perf_counter()
+            image, state = run(camera, state)
+            image.block_until_ready()
+            frame_times.append(time.perf_counter() - t0)
+            print(f"\rframe : {f + 1}", end="", flush=True)
     if frame_times:
         mean_ms = 1000.0 * sum(frame_times) / len(frame_times)
         print(f"\nAverage frame time : {mean_ms:.2f}ms")
+
+    if args.save_session:
+        from .utils.checkpoint import save_session
+
+        print(f"saved session to {save_session(args.save_session, state, camera)}")
 
     path = save_image(
         jax.device_get(image), args.out, flip_vertical=not args.no_diffusion_save

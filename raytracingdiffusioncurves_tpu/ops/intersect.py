@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import Camera, RenderConfig
 from ..scene import device as dev
-from . import rng
+from . import refine, rng
 
 
 class Hit(NamedTuple):
@@ -108,6 +108,7 @@ def closest_hit(
 
 def shade(
     scene: dev.DeviceScene,
+    origins: jax.Array,
     dirs: jax.Array,
     best: jax.Array,
     t: jax.Array,
@@ -115,19 +116,38 @@ def shade(
     hit: jax.Array,
     config: RenderConfig,
 ) -> Hit:
-    """Closest-hit shading (DeviceCode.cu:194-342): attribute lerp, side test
-    against the curve normal, and portal exit ray computation."""
-    rows = jnp.take(scene.shade_table, best, axis=0)  # (N, SHADE_COLS)
-    sf = s[:, None]
+    """Closest-hit shading (DeviceCode.cu:194-342): Newton refinement onto
+    the exact cubic, attribute lerp, side test against the curve normal, and
+    portal exit ray computation. Mirrors the Pallas kernel's shading stage
+    (ops/trace_pallas.py) — the two are pinned by tests/test_pallas.py."""
+    rows = jnp.take(scene.shade_all_t, best, axis=1)  # (ALLT_ROWS, N)
+
+    def g(row, n=1):
+        return rows[row : row + n, :]
+
+    ox, oy = origins[:, 0], origins[:, 1]
+    dx, dy = dirs[:, 0], dirs[:, 1]
+
+    # Newton-refine onto the exact cubic (ops/refine.py); tau0 from the
+    # chord parameter and the sub-segment's parameter window.
+    t0 = g(dev.ALLT_T0)[0]
+    dt = g(dev.ALLT_DT)[0]
+    cx = tuple(g(dev.ALLT_SRC_CTRL + 2 * i)[0] for i in range(4))
+    cy = tuple(g(dev.ALLT_SRC_CTRL + 2 * i + 1)[0] for i in range(4))
+    tau, t_ref, _, _, dbx, dby = refine.refine_hit(
+        cx, cy, t0 + s * dt, ox, oy, dx, dy, t, config.min_hit_distance
+    )
+    t = jnp.where(hit, t_ref, t)
+    sf = jnp.clip((tau - t0) / jnp.where(dt == 0.0, 1.0, dt), 0.0, 1.0)[:, None]
 
     def lerp(c0, c1, width=1):
-        a = rows[:, c0 : c0 + width]
-        b = rows[:, c1 : c1 + width]
+        a = rows[c0 : c0 + width, :].T
+        b = rows[c1 : c1 + width, :].T
         return a + (b - a) * sf
 
-    deriv = lerp(dev.COL_D0X, dev.COL_D1X, 2)  # curve tangent at the hit
-    # Right-hand normal (dy, -dx) (calculateSplineNormal, DeviceCode.cu:64-68).
-    normal = jnp.stack([deriv[:, 1], -deriv[:, 0]], axis=-1)
+    # Exact right-hand normal (dy, -dx) at the refined parameter
+    # (calculateSplineNormal, DeviceCode.cu:64-68).
+    normal = jnp.stack([dby, -dbx], axis=-1)
     # Side test with the diffusion-save flip (isRayRight, DeviceCode.cu:78-83).
     ndotd = jnp.sum(normal * dirs, axis=-1)
     is_right = (ndotd <= 0.0) ^ bool(config.diffusion_curve_save)
@@ -139,17 +159,20 @@ def shade(
     blur = lerp(dev.COL_BLUR0, dev.COL_BLUR1)[:, 0]
     wm = lerp(dev.COL_WM0, dev.COL_WM1)[:, 0]
     wd = lerp(dev.COL_WD0, dev.COL_WD1)[:, 0]
-    is_portal = rows[:, dev.COL_PORTAL] > 0.0
+    is_portal = g(dev.COL_PORTAL)[0] > 0.0
 
-    # Portal exit (DeviceCode.cu:227-257).  The reference's "sin" is
-    # nx*dy + ny*dx — not a cross product — and the rotated direction is not
-    # renormalized; both reproduced verbatim since hit distances downstream
-    # are measured in ray-parameter units exactly like optixGetRayTmax().
+    # Portal exit (DeviceCode.cu:227-257) at the exact refined parameter on
+    # the exact target cubic.  The reference's "sin" is nx*dy + ny*dx — not
+    # a cross product — and the rotated direction is not renormalized; both
+    # reproduced verbatim since hit distances downstream are measured in
+    # ray-parameter units exactly like optixGetRayTmax().
     nrm = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-30)
     ray_cos = jnp.sum(nrm * dirs, axis=-1)
     ray_sin = nrm[:, 0] * dirs[:, 1] + nrm[:, 1] * dirs[:, 0]
-    tnorm_d = lerp(dev.COL_EXD0X, dev.COL_EXD1X, 2)
-    tnorm = jnp.stack([tnorm_d[:, 1], -tnorm_d[:, 0]], axis=-1)
+    tcx = tuple(g(dev.ALLT_TGT_CTRL + 2 * i)[0] for i in range(4))
+    tcy = tuple(g(dev.ALLT_TGT_CTRL + 2 * i + 1)[0] for i in range(4))
+    ex_x, ex_y, ex_dbx, ex_dby = refine.bezier_and_derivative(tcx, tcy, tau)
+    tnorm = jnp.stack([ex_dby, -ex_dbx], axis=-1)
     tnorm = tnorm / jnp.maximum(jnp.linalg.norm(tnorm, axis=-1, keepdims=True), 1e-30)
     exit_dir = jnp.stack(
         [
@@ -158,7 +181,7 @@ def shade(
         ],
         axis=-1,
     )
-    exit_origin = lerp(dev.COL_EXP0X, dev.COL_EXP1X, 2)
+    exit_origin = jnp.stack([ex_x, ex_y], axis=-1)
 
     return Hit(
         hit=hit,
@@ -175,7 +198,7 @@ def shade(
 
 def trace_and_shade(scene, origins, dirs, config: RenderConfig) -> Hit:
     best, t, s, hit = closest_hit(scene, origins, dirs, config.min_hit_distance)
-    return shade(scene, dirs, best, t, s, hit, config)
+    return shade(scene, origins, dirs, best, t, s, hit, config)
 
 
 def trace_full(scene: dev.DeviceScene, origins: jax.Array, dirs: jax.Array, config: RenderConfig):

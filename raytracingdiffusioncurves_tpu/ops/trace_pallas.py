@@ -3,19 +3,26 @@
 One fused kernel replaces the reference's entire device pipeline
 (raygen + BVH traversal + closest-hit + miss + portal recursion + the
 per-pixel accumulation, DeviceCode.cu:85-342): ray generation, intersection
-against every curve sub-segment, closest-hit selection, shading, the bounded
+against curve sub-segments, closest-hit selection, shading, the bounded
 portal continuation loop, and the weighted per-pixel reduction, with nothing
 spilled to HBM but the per-pixel sums.
 
-Layout strategy (see scene/device.py):
+Layout and acceleration strategy (see also ARCHITECTURE.md):
 
 * rays live on the lane axis (128-wide), segments on the sublane axis;
-* intersection is 6 broadcast FMAs per (segment, ray) pair on the VPU over
-  (SC, R) tiles, with an approximate reciprocal — exact t/s are recomputed
-  per ray after the winner is known;
-* the winning sub-segment's shade row is fetched with a one-hot matmul
-  against ``shade_all_t`` (K = segment chunk -> real MXU contraction);
-* per-pixel sums are one (rows, R) @ (R, PX) matmul.
+  intersection is 6 broadcast FMAs per (segment, ray) pair on the VPU with
+  division-free validity tests and a Newton-refined approximate reciprocal
+  for ordering;
+* each program instance covers a block of (pixel group x sample wedge):
+  its rays span only 2*pi*SW/rpp of direction space, so whole 64-segment
+  chunks are skipped by an exact cone/circle test against precomputed chunk
+  bounding circles plus a closest-hit distance bound — the TPU-native
+  replacement for OptiX's BVH (optixHello.cpp:764-830);
+* the winning sub-segment's shade row is fetched with one-hot matmuls
+  against bf16 hi/lo split tables (2 single-pass MXU contractions instead
+  of a 6-pass f32 gather);
+* per-pixel sums are accumulated across wedge grid steps in VMEM and one
+  (rows, R) @ (R, PXB) matmul.
 
 The kernel runs in interpret mode off-TPU so the same code path is testable
 on CPU.
@@ -34,22 +41,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Camera, RenderConfig
 from ..scene import device as dev
-from . import rng
+from . import refine, rng
 
-# Segment chunk (sublane axis) processed per inner iteration.
+# Segment chunk (sublane axis) processed per culling granule. Must match
+# scene/device.py SEG_ALIGN.
 SEG_CHUNK = 64
 # Sentinel "no hit" distance (avoid inf arithmetic inside the kernel).
 FAR = np.float32(1e30)
 
+# Samples per direction wedge: blocks cover (pixels x a contiguous sample
+# range), so a block's ray directions span only 2*pi*SW/rpp — the lever that
+# makes angular chunk culling effective for fans (a whole-fan block keeps
+# every chunk relevant in some direction).
+WEDGE_SAMPLES = 16
+# Pixel tile width; tile height is PXB / TILE_W.
+TILE_W = 16
 
-def _choose_block(rpp: int, rays_per_block: int) -> tuple[int, int]:
-    """Rays per program R (multiple of 128 and of rpp) and pixels per program."""
-    r = max(rays_per_block, rpp, 128)
-    r = (r // rpp) * rpp if rpp <= r else rpp
-    # round up to a lane multiple while keeping divisibility by rpp
-    lcm = rpp * 128 // math.gcd(rpp, 128)
+
+def _choose_block(rpp: int, rays_per_block: int) -> tuple[int, int, int, int]:
+    """Returns (R rays/program, PXB pixels/program, SW samples/wedge,
+    W wedges/pixel). R = PXB * SW, a multiple of 128."""
+    sw = math.gcd(rpp, WEDGE_SAMPLES)
+    w = rpp // sw
+    pxb = max(rays_per_block // sw, 1)
+    r = pxb * sw
+    lcm = sw * 128 // math.gcd(sw, 128)
     r = ((r + lcm - 1) // lcm) * lcm
-    return r, r // rpp
+    return r, r // sw, sw, w
 
 
 def _uniform(seed, ray_id, frame, salt):
@@ -59,12 +77,13 @@ def _uniform(seed, ray_id, frame, salt):
 def _trace_kernel(
     # SMEM scalars
     cam_ref,  # (8,) f32: zoom, off_x, off_y, frame, px_start, pad...
+    bounds_ref,  # (n_chunks, 4) f32 chunk bounding circles [cx, cy, r, 0]
     # VMEM tables
     consts_ref,  # (S_pad, CONST_COLS)
-    allt_hi_ref,  # (ALLT_ROWS, S_pad) bf16: shade+consts, high bf16 halves
-    allt_lo_ref,  # (ALLT_ROWS, S_pad) bf16: f32 residuals
-    # VMEM output
-    out_ref,  # (1, 8, PX)
+    allt_hi_ref,  # (G, ALLT_ROWS, 128) bf16: chunked shade+consts, hi halves
+    allt_lo_ref,  # (G, ALLT_ROWS, 128) bf16: f32 residuals
+    # VMEM output, revisited across the wedge grid dimension
+    out_ref,  # (1, 8, PXB)
     *,
     width: int,
     height: int,
@@ -73,50 +92,60 @@ def _trace_kernel(
     config: RenderConfig,
     rays_per_program: int,
     px_per_program: int,
+    samples_per_wedge: int,
+    n_wedges: int,
 ):
     R = rays_per_program
-    PX = px_per_program
+    PXB = px_per_program
+    SW = samples_per_wedge
     rpp = config.rays_per_pixel
     n_chunks = s_pad // SEG_CHUNK if s_pad >= SEG_CHUNK else 1
     sc = min(SEG_CHUNK, s_pad)
+    f32 = jnp.float32
 
-    pid = pl.program_id(0)
+    pid_g = pl.program_id(0)  # pixel group
+    pid_w = pl.program_id(1)  # sample wedge
     zoom = cam_ref[0]
     off_x = cam_ref[1]
     off_y = cam_ref[2]
     frame = cam_ref[3].astype(jnp.int32)
     px_start = cam_ref[4].astype(jnp.int32)
 
+    # Pixels are covered in TILE_W x TILE_H tiles (not row strips): a tight
+    # origin bounding circle is what makes the angular chunk cull bite.
+    # trace_sums_flat unscrambles the tile-ordered sums afterwards.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
-    ray_id = pid * R + lane
-    pixel = px_start + ray_id // rpp
-    sample = ray_id - (ray_id // rpp) * rpp
+    tiles_x = -(-width // TILE_W)
+    tile_r = pid_g // tiles_x
+    tile_c = pid_g - tile_r * tiles_x
+    pi = lane // SW  # pixel index within the tile
+    col = tile_c * TILE_W + pi % TILE_W
+    row = px_start // width + tile_r * (PXB // TILE_W) + pi // TILE_W
+    pixel = row * width + col
+    sample = pid_w * SW + lane - pi * SW
     # RNG stream keyed on the GLOBAL ray id so tile-sharded rendering is
     # bitwise identical to single-chip (tests/test_sharding.py).
     global_ray = pixel * rpp + sample
 
     # --- raygen (DeviceCode.cu:85-150) ---
-    col = pixel % width
-    row = pixel // width
-    ox = (col - width // 2).astype(jnp.float32) * zoom + off_x
+    ox = (col - width // 2).astype(f32) * zoom + off_x
     if config.diffusion_curve_save:
-        oy = ((height - row) - height // 2).astype(jnp.float32) * zoom + off_y
+        oy = ((height - row) - height // 2).astype(f32) * zoom + off_y
     else:
-        oy = (row - height // 2).astype(jnp.float32) * zoom + off_y
+        oy = (row - height // 2).astype(f32) * zoom + off_y
 
     sector = jnp.float32(2.0 * np.pi) / jnp.float32(rpp)
     if config.use_aa:
         u_rot = _uniform(config.seed, global_ray, frame, 0)
-        theta = sector * (sample.astype(jnp.float32) + u_rot)
+        theta = sector * (sample.astype(f32) + u_rot)
         ox = ox + _uniform(config.seed, global_ray, frame, 1) * zoom
         oy = oy + _uniform(config.seed, global_ray, frame, 2) * zoom
     else:
-        theta = sector * sample.astype(jnp.float32)
+        theta = sector * sample.astype(f32)
     dx = jnp.cos(theta)
     dy = jnp.sin(theta)
 
     # --- portal accumulation state (1, R) ---
-    f32 = jnp.float32
     ones = jnp.ones((1, R), f32)
     zeros = jnp.zeros((1, R), f32)
     filt_r, filt_g, filt_b = ones, ones, ones
@@ -129,11 +158,8 @@ def _trace_kernel(
     min_hit = jnp.float32(config.min_hit_distance)
 
     for _bounce in range(n_traces):
-        # --- closest hit over segment chunks ---
-        best_t = jnp.full((1, R), FAR, f32)
-        best_i = jnp.zeros((1, R), jnp.int32)
-        for c in range(n_chunks):
-            sl = pl.ds(c * sc, sc)
+        def intersect_chunk(c, best_t, best_i):
+            sl = pl.ds(pl.multiple_of(c * sc, sc), sc)
             ex = consts_ref[sl, dev.CONST_EX : dev.CONST_EX + 1]
             ey = consts_ref[sl, dev.CONST_EY : dev.CONST_EY + 1]
             c1 = consts_ref[sl, dev.CONST_C1 : dev.CONST_C1 + 1]
@@ -146,14 +172,13 @@ def _trace_kernel(
             # Validity via exact division-free sign tests (s in [0,1] iff
             # num_s agrees in sign with denom and |num_s| <= |denom|); the
             # approximate reciprocal is used only for ORDERING candidate
-            # hits, where its ~2^-14 error can at worst swap two
-            # nearly-equidistant segments.
+            # hits, where its error can at worst swap two nearly-
+            # equidistant segments.  Padding rows have e = 0 => denom = 0
+            # => always invalid.
             neg = denom < 0.0
             adenom = jnp.abs(denom)
             ns = jnp.where(neg, -num_s, num_s)
             nt = jnp.where(neg, -num_t, num_t)
-            # Padding rows have e = 0 => denom = 0 => always invalid, so no
-            # explicit validity column is needed.
             ok = (
                 (denom != 0.0)
                 & (ns >= 0.0)
@@ -161,9 +186,8 @@ def _trace_kernel(
                 & (nt >= min_hit * adenom)
             )
             # Approximate reciprocal + one Newton step: ~f32-accurate
-            # ordering without the VPU divide. (The raw approximation's
-            # ~2^-12 error is enough to mis-order candidate hits at curve
-            # junctions.)
+            # ordering without the VPU divide (the raw approximation's
+            # error mis-orders hits at curve junctions).
             ad = jnp.where(adenom == 0.0, 1.0, adenom)
             r0 = pl.reciprocal(ad, approx=True)
             r = r0 * (2.0 - ad * r0)
@@ -174,37 +198,148 @@ def _trace_kernel(
             ids = jax.lax.broadcasted_iota(jnp.int32, (sc, R), 0)
             c_arg = jnp.min(jnp.where(tm == c_min, ids, s_pad), axis=0, keepdims=True)
             upd = c_min < best_t
-            best_t = jnp.where(upd, c_min, best_t)
-            best_i = jnp.where(upd, c_arg + c * sc, best_i)
+            return (
+                jnp.where(upd, c_min, best_t),
+                jnp.where(upd, c_arg + c * sc, best_i),
+            )
+
+        # --- closest hit over segment chunks, with chunk culling ---
+        # The accelerating structure (the reference's GAS role,
+        # optixHello.cpp:764-830): each chunk of SEG_CHUNK sub-segments has
+        # a precomputed bounding circle.  A chunk is skipped with a real
+        # branch when (a) its lower-bound distance exceeds the block's worst
+        # current closest hit, or (b) on the primary trace, it lies entirely
+        # outside the block's direction wedge.  Both tests are conservative,
+        # so culling is exact.
+        best_t = jnp.full((1, R), FAR, f32)
+        best_i = jnp.zeros((1, R), jnp.int32)
+        if n_chunks == 1:
+            best_t, best_i = intersect_chunk(0, best_t, best_i)
+        else:
+            # block bounding circle over ray origins
+            oxmin, oxmax = jnp.min(ox), jnp.max(ox)
+            oymin, oymax = jnp.min(oy), jnp.max(oy)
+            bcx = 0.5 * (oxmin + oxmax)
+            bcy = 0.5 * (oymin + oymax)
+            br = 0.5 * jnp.sqrt((oxmax - oxmin) ** 2 + (oymax - oymin) ** 2)
+            # hit t is in ray-parameter units; portal continuation rays are
+            # not unit-length (PARITY.md #11), so scale the distance bound
+            # by the block's max direction magnitude to stay conservative.
+            maxd = jnp.sqrt(jnp.max(dx * dx + dy * dy))
+
+            # direction wedge (primary unit-direction rays only)
+            use_wedge = _bounce == 0 and n_wedges > 1
+            wedge_c = sector * (pid_w.astype(f32) * SW + 0.5 * SW)
+            ccx, ccy = jnp.cos(wedge_c), jnp.sin(wedge_c)
+            # static wedge half-width trig (SW < rpp => hw <= pi/2)
+            hw = math.pi * SW / rpp
+            cos_hw = jnp.float32(math.cos(hw))
+            sin_hw = jnp.float32(math.sin(hw))
+
+            def chunk_lb(c):
+                dcx = bounds_ref[c, 0] - bcx
+                dcy = bounds_ref[c, 1] - bcy
+                dist = jnp.sqrt(dcx * dcx + dcy * dcy)
+                lb = jnp.maximum(dist - bounds_ref[c, 2] - br, 0.0)
+                if not use_wedge:
+                    return lb
+                # Angular test without inverse trig (Pallas TPU has no
+                # atan2/arcsin): the chunk subtends half-angle chw with
+                # sin(chw) = (r_chunk + r_block)/dist (saturating to 1 when
+                # the circles overlap); it intersects the wedge iff the
+                # angle between the chunk direction and the wedge center is
+                # <= hw + chw, i.e. cos(angle) >= cos(hw + chw), expanded
+                # with the addition identity.  hw, chw <= pi/2 so the sum
+                # stays on the monotone branch.
+                inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
+                cos_d = (dcx * ccx + dcy * ccy) * inv_dist
+                sin_chw = jnp.clip((bounds_ref[c, 2] + br) * inv_dist, 0.0, 1.0)
+                cos_chw = jnp.sqrt(jnp.maximum(1.0 - sin_chw * sin_chw, 0.0))
+                cos_lim = cos_hw * cos_chw - sin_hw * sin_chw
+                outside = cos_d < cos_lim
+                return jnp.where(outside, FAR, lb)
+
+            # warm start: seed best_t from the nearest relevant chunk so
+            # the sweep culls from its first iteration
+            def nearest_body(c, carry):
+                near_c, near_lb = carry
+                lb = chunk_lb(c)
+                closer = lb < near_lb
+                return jnp.where(closer, c, near_c), jnp.where(closer, lb, near_lb)
+
+            near_c, near_lb = jax.lax.fori_loop(
+                1, n_chunks, nearest_body, (jnp.int32(0), chunk_lb(0))
+            )
+            best_t, best_i = jax.lax.cond(
+                near_lb < FAR,
+                lambda bt, bi: intersect_chunk(near_c, bt, bi),
+                lambda bt, bi: (bt, bi),
+                best_t,
+                best_i,
+            )
+
+            def sweep_body(c, carry):
+                bt, bi = carry
+                worst = jnp.max(bt) * maxd
+                take = (chunk_lb(c) < worst) & (c != near_c)
+                return jax.lax.cond(
+                    take,
+                    lambda bt, bi: intersect_chunk(c, bt, bi),
+                    lambda bt, bi: (bt, bi),
+                    bt,
+                    bi,
+                )
+
+            best_t, best_i = jax.lax.fori_loop(0, n_chunks, sweep_body, (best_t, best_i))
 
         # --- gather the winner's shade row + geometry consts (MXU) ---
         # Near-exact f32 gather from two single-pass bf16 matmuls: the
-        # tables are pre-split into bf16 high halves + bf16 residuals; with a
-        # 0/1 one-hot operand every product is exact and every output column
-        # has a single nonzero term, so hi + lo reconstructs the f32 row to
-        # ~2^-17 relative (~16 mantissa bits) — far below the renderer's
-        # pixel-scale tolerances.  (A plain f32 gather needs
-        # Precision.HIGHEST = 6 MXU passes; this costs 2.)
+        # tables are pre-split into bf16 high halves + bf16 residuals; with
+        # a 0/1 one-hot operand every product is exact and every output
+        # column has a single nonzero term, so hi + lo reconstructs the f32
+        # row to ~2^-17 relative — far below the renderer's pixel-scale
+        # tolerances.  (A plain f32 gather needs Precision.HIGHEST = 6 MXU
+        # passes; this costs 2.)
         acc_hi = jnp.zeros((dev.ALLT_ROWS, R), f32)
         acc_lo = jnp.zeros((dev.ALLT_ROWS, R), f32)
         dims = (((1,), (0,)), ((), ()))
-        for c in range(n_chunks):
-            seg_ids = jax.lax.broadcasted_iota(jnp.int32, (sc, R), 0) + c * sc
-            onehot = (seg_ids == best_i).astype(jnp.bfloat16)  # (sc, R)
-            sl_c = pl.ds(c * sc, sc)
-            acc_hi = acc_hi + jax.lax.dot_general(
-                allt_hi_ref[:, sl_c], onehot, dims, preferred_element_type=f32
+        gsc = 128  # gather chunk width (bf16 lane tile); tables are 3-D
+        n_gchunks = allt_hi_ref.shape[0]
+
+        def gather_chunk(c, acc_hi, acc_lo):
+            seg_ids = jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0) + c * gsc
+            onehot = (seg_ids == best_i).astype(jnp.bfloat16)  # (gsc, R)
+            return (
+                acc_hi
+                + jax.lax.dot_general(
+                    allt_hi_ref[c], onehot, dims, preferred_element_type=f32
+                ),
+                acc_lo
+                + jax.lax.dot_general(
+                    allt_lo_ref[c], onehot, dims, preferred_element_type=f32
+                ),
             )
-            acc_lo = acc_lo + jax.lax.dot_general(
-                allt_lo_ref[:, sl_c], onehot, dims, preferred_element_type=f32
+
+        if n_gchunks == 1:
+            acc_hi, acc_lo = gather_chunk(0, acc_hi, acc_lo)
+        else:
+            # coherent blocks hit few chunks: gather only the chunk range
+            # spanned by the winning sub-segment ids
+            i_lo = jnp.min(best_i) // gsc
+            i_hi = jnp.max(best_i) // gsc
+            acc_hi, acc_lo = jax.lax.fori_loop(
+                i_lo,
+                i_hi + 1,
+                lambda c, carry: gather_chunk(c, *carry),
+                (acc_hi, acc_lo),
             )
         acc = acc_hi + acc_lo
 
         def g(row, n=1):
             return acc[row : row + n, :]
 
-        # Recompute exact t, s from the gathered per-segment consts — the
-        # chunk loop used an approximate reciprocal for speed.
+        # Recompute exact chord t, s from the gathered per-segment consts —
+        # the chunk loop used an approximate reciprocal for speed.
         gex = g(dev.SHADE_COLS + dev.CONST_EX)
         gey = g(dev.SHADE_COLS + dev.CONST_EY)
         gc1 = g(dev.SHADE_COLS + dev.CONST_C1)
@@ -217,15 +352,27 @@ def _trace_kernel(
         hit = best_t < FAR
         t_hit = jnp.where(hit, t_hit, 1.0)
 
+        # Newton-refine onto the exact cubic (ops/refine.py): kills
+        # flattening facets under zoom and gives the exact normal.
+        gt0 = g(dev.ALLT_T0)
+        gdt = g(dev.ALLT_DT)
+        cx = tuple(g(dev.ALLT_SRC_CTRL + 2 * i) for i in range(4))
+        cy = tuple(g(dev.ALLT_SRC_CTRL + 2 * i + 1) for i in range(4))
+        tau, t_ref, _, _, dbx, dby = refine.refine_hit(
+            cx, cy, gt0 + s_hit * gdt, ox, oy, dx, dy, t_hit, min_hit
+        )
+        t_hit = jnp.where(hit, t_ref, t_hit)
+        s_hit = jnp.clip((tau - gt0) / jnp.where(gdt == 0.0, 1.0, gdt), 0.0, 1.0)
+
         def lerp(c0, c1_, n=1):
             a = acc[c0 : c0 + n, :]
             b = acc[c1_ : c1_ + n, :]
             return a + (b - a) * s_hit
 
         # Side test (isRayRight, DeviceCode.cu:78-83): normal = (dy, -dx) of
-        # the curve derivative, flipped by the diffusion-save convention.
-        d_tan = lerp(dev.COL_D0X, dev.COL_D1X, 2)
-        nx, ny = d_tan[1:2, :], -d_tan[0:1, :]
+        # the exact curve derivative, flipped by the diffusion-save
+        # convention.
+        nx, ny = dby, -dbx
         ndotd = nx * dx + ny * dy
         if config.diffusion_curve_save:
             is_right = ndotd > 0.0
@@ -270,21 +417,24 @@ def _trace_kernel(
             nxu, nyu = nx * ninv, ny * ninv
             r_cos = nxu * dx + nyu * dy
             r_sin = nxu * dy + nyu * dx
-            tex = lerp(dev.COL_EXD0X, dev.COL_EXD1X, 2)
-            tnx, tny = tex[1:2, :], -tex[0:1, :]
+            # exact exit point/derivative on the target cubic at tau
+            tcx = tuple(g(dev.ALLT_TGT_CTRL + 2 * i) for i in range(4))
+            tcy = tuple(g(dev.ALLT_TGT_CTRL + 2 * i + 1) for i in range(4))
+            ex_x, ex_y, ex_dbx, ex_dby = refine.bezier_and_derivative(tcx, tcy, tau)
+            tnx, tny = ex_dby, -ex_dbx
             tlen = jnp.sqrt(tnx * tnx + tny * tny)
             tinv = jnp.where(tlen > 0.0, 1.0 / tlen, 0.0)
             tnx, tny = tnx * tinv, tny * tinv
             ndx = tnx * r_cos - tny * r_sin
             ndy = tny * r_cos + tnx * r_sin
-            exo = lerp(dev.COL_EXP0X, dev.COL_EXP1X, 2)
-            ox = jnp.where(cont, exo[0:1], ox)
-            oy = jnp.where(cont, exo[1:2], oy)
+            ox = jnp.where(cont, ex_x, ox)
+            oy = jnp.where(cont, ex_y, oy)
             dx = jnp.where(cont, ndx, dx)
             dy = jnp.where(cont, ndy, dy)
             alive = cont
 
-    # --- per-pixel weighted reduction (DeviceCode.cu:153-181) ---
+    # --- per-pixel weighted reduction (DeviceCode.cu:153-181), accumulated
+    # across the wedge grid steps (the same out_ref block is revisited) ---
     rows = jnp.concatenate(
         [
             out_r * out_w,
@@ -296,18 +446,30 @@ def _trace_kernel(
         ],
         axis=0,
     )  # (8, R)
-    ray_px = jax.lax.broadcasted_iota(jnp.int32, (R, PX), 0) // rpp
-    px_ids = jax.lax.broadcasted_iota(jnp.int32, (R, PX), 1)
-    reduce_oh = (ray_px == px_ids).astype(jnp.bfloat16)  # (R, PX)
+    ray_px = jax.lax.broadcasted_iota(jnp.int32, (R, PXB), 0) // SW
+    px_ids = jax.lax.broadcasted_iota(jnp.int32, (R, PXB), 1)
+    reduce_oh = (ray_px == px_ids).astype(jnp.bfloat16)  # (R, PXB)
     # Same bf16 hi/lo trick as the gather, but split at runtime; the MXU
-    # accumulates in f32 so only input quantization matters, and hi+lo
+    # accumulates in f32 so only input quantization matters, and hi + lo
     # reconstructs the f32 inputs exactly.
     rows_hi = rows.astype(jnp.bfloat16)
     rows_lo = (rows - rows_hi.astype(f32)).astype(jnp.bfloat16)
     dims2 = (((1,), (0,)), ((), ()))
-    out_ref[0] = jax.lax.dot_general(
+    partial = jax.lax.dot_general(
         rows_hi, reduce_oh, dims2, preferred_element_type=f32
     ) + jax.lax.dot_general(rows_lo, reduce_oh, dims2, preferred_element_type=f32)
+
+    if n_wedges == 1:
+        out_ref[0] = partial
+    else:
+
+        @pl.when(pid_w == 0)
+        def _():
+            out_ref[0] = partial
+
+        @pl.when(pid_w != 0)
+        def _():
+            out_ref[0] += partial
 
 
 def trace_sums(
@@ -318,8 +480,7 @@ def trace_sums(
     interpret: bool | None = None,
 ):
     """Trace the full frame; returns per-pixel (color_sum (H,W,3),
-    weight_sum (H,W), blur_sum (H,W)) — the same contract as the pure-JAX
-    ``_trace_sums_jax``."""
+    weight_sum (H,W), blur_sum (H,W))."""
     h, w = scene.height, scene.width
     csum, wsum, bsum = trace_sums_flat(
         scene, camera, config, frame, 0, h * w, interpret=interpret
@@ -345,8 +506,16 @@ def trace_sums_flat(
 
     h, w = scene.height, scene.width
     rpp = config.rays_per_pixel
-    R, px_per_program = _choose_block(rpp, config.rays_per_block)
-    n_blocks = -(-n_px // px_per_program)
+    R, pxb, sw, n_wedges = _choose_block(rpp, config.rays_per_block)
+    # Tiled pixel coverage requires whole row bands (the sharded path always
+    # passes them).
+    if n_px % w != 0:
+        raise ValueError(f"n_px {n_px} must cover whole rows of width {w}")
+    tile_h = pxb // TILE_W
+    tiles_x = -(-w // TILE_W)
+    n_rows = n_px // w
+    tiles_y = -(-n_rows // tile_h)
+    n_blocks = tiles_x * tiles_y
 
     n_traces = (config.max_trace_depth + 1) if scene.has_portals else 1
 
@@ -372,30 +541,48 @@ def trace_sums_flat(
         n_traces=n_traces,
         config=config,
         rays_per_program=R,
-        px_per_program=px_per_program,
+        px_per_program=pxb,
+        samples_per_wedge=sw,
+        n_wedges=n_wedges,
     )
 
-    allt_hi = scene.shade_all_t.astype(jnp.bfloat16)
-    allt_lo = (scene.shade_all_t - allt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # bf16 hi/lo split, chunked 3-D for aligned dynamic indexing in-kernel:
+    # (ALLT_ROWS, S_pad) -> (ceil(S_pad/128), ALLT_ROWS, 128)
+    s_pad128 = ((scene.s_pad + 127) // 128) * 128
+    allt = scene.shade_all_t
+    if s_pad128 != scene.s_pad:
+        allt = jnp.pad(allt, ((0, 0), (0, s_pad128 - scene.s_pad)))
+    allt3 = jnp.moveaxis(allt.reshape(dev.ALLT_ROWS, s_pad128 // 128, 128), 1, 0)
+    allt_hi = allt3.astype(jnp.bfloat16)
+    allt_lo = (allt3 - allt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     sums = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(n_blocks, n_wedges),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, px_per_program), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, pxb), lambda g, w_: (g, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, px_per_program), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, pxb), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(cam, scene.seg_consts, allt_hi, allt_lo)
+    )(cam, scene.chunk_bounds, scene.seg_consts, allt_hi, allt_lo)
 
-    sums = jnp.moveaxis(sums, 1, 0).reshape(8, n_blocks * px_per_program)
-    return sums[0:3, :n_px].T, sums[3, :n_px], sums[4, :n_px]
+    # Unscramble tile order -> row-major: pixel i at (row, col) lives in
+    # block (row//TH)*tiles_x + col//16 at offset (row%TH)*16 + col%16.
+    sums = jnp.moveaxis(sums, 1, 0).reshape(8, n_blocks * pxb)
+    idx = jnp.arange(n_px, dtype=jnp.int32)
+    row = idx // w
+    col = idx - row * w
+    g = (row // tile_h) * tiles_x + col // TILE_W
+    pi = (row % tile_h) * TILE_W + col % TILE_W
+    sums = jnp.take(sums, g * pxb + pi, axis=1)
+    return sums[0:3].T, sums[3], sums[4]

@@ -62,8 +62,14 @@ SHADE_COLS = 32
 CONST_EX, CONST_EY, CONST_C1, CONST_P0X, CONST_P0Y, CONST_VALID = 0, 1, 2, 3, 4, 5
 CONST_COLS = 8
 
-# shade_all_t rows: SHADE_COLS shade rows then the 5 geometry consts.
-ALLT_ROWS = 48  # 32 shade + 5 consts, padded to a bf16 sublane multiple (16)
+# shade_all_t rows: SHADE_COLS shade rows, the 5 geometry consts, then the
+# hit-refinement block: source cubic control points (8), portal target cubic
+# control points (8), and the sub-segment's parameter window [t0, dt] (2).
+ALLT_CONSTS = SHADE_COLS  # rows 32..36: EX, EY, C1, P0X, P0Y
+ALLT_SRC_CTRL = 37  # rows 37..44: x0,y0,x1,y1,x2,y2,x3,y3
+ALLT_TGT_CTRL = 45  # rows 45..52: portal target control points
+ALLT_T0, ALLT_DT = 53, 54  # cubic parameter window of the sub-segment
+ALLT_ROWS = 64  # padded to a bf16 sublane multiple; MXU pads M to 128 anyway
 
 LANE = 128
 # Sub-segment counts pad to this granularity (the kernel's segment chunk).
@@ -76,7 +82,7 @@ def _pad_to(n: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["seg_consts", "shade_table", "shade_all_t"],
+    data_fields=["seg_consts", "shade_table", "shade_all_t", "chunk_bounds"],
     meta_fields=["width", "height", "n_sub", "s_pad", "has_portals", "max_blur"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +94,11 @@ class DeviceScene:
     seg_consts: jax.Array  # (S_pad, CONST_COLS) f32
     shade_table: jax.Array  # (S_pad, SHADE_COLS) f32
     shade_all_t: jax.Array  # (ALLT_ROWS, S_pad) f32: shade_table.T + consts
+    # (S_pad/SEG_ALIGN, 4) f32 bounding circles [cx, cy, radius, 0] per
+    # segment chunk — the accelerating structure (the GAS role,
+    # optixHello.cpp:764-830): the kernel skips whole chunks whose lower-
+    # bound distance exceeds the block's current worst closest hit.
+    chunk_bounds: jax.Array
     width: int
     height: int
     n_sub: int
@@ -149,6 +160,7 @@ def build_device_scene(
     rows: list[np.ndarray] = []  # shade rows
     p0s: list[np.ndarray] = []
     p1s: list[np.ndarray] = []
+    refine_rows: list[np.ndarray] = []  # ALLT_SRC_CTRL..ALLT_DT block
 
     for seg in range(scene.n_segments):
         curve = int(scene.curve_map[seg])
@@ -201,6 +213,13 @@ def build_device_scene(
             rows.append(row)
             p0s.append(pts[j])
             p1s.append(pts[j + 1])
+            rrow = np.zeros(ALLT_ROWS - ALLT_SRC_CTRL, np.float64)
+            rrow[0:8] = ctrl.reshape(-1)
+            if is_portal:
+                rrow[8:16] = tgt_ctrl.reshape(-1)
+            rrow[ALLT_T0 - ALLT_SRC_CTRL] = ts[j]
+            rrow[ALLT_DT - ALLT_SRC_CTRL] = ts[j + 1] - ts[j]
+            refine_rows.append(rrow)
 
     n_sub = len(rows)
     s_pad = max(_pad_to(n_sub, SEG_ALIGN), SEG_ALIGN)
@@ -223,11 +242,27 @@ def build_device_scene(
     shade_all_t = np.zeros((ALLT_ROWS, s_pad), np.float64)
     shade_all_t[:SHADE_COLS] = shade.T
     shade_all_t[SHADE_COLS : SHADE_COLS + 5] = consts[:, :5].T
+    shade_all_t[ALLT_SRC_CTRL:, :n_sub] = np.stack(refine_rows).T
+
+    n_chunks = s_pad // SEG_ALIGN
+    chunk_bounds = np.zeros((n_chunks, 4), np.float64)
+    for c in range(n_chunks):
+        lo, hi = c * SEG_ALIGN, min((c + 1) * SEG_ALIGN, n_sub)
+        if lo >= n_sub:
+            # all-padding chunk: unhittable, park it at infinity
+            chunk_bounds[c] = [1e30, 1e30, 0.0, 0.0]
+            continue
+        pts = np.concatenate([p0[lo:hi], p1[lo:hi]], axis=0)
+        mn, mx = pts.min(axis=0), pts.max(axis=0)
+        center = 0.5 * (mn + mx)
+        radius = float(np.max(np.linalg.norm(pts - center, axis=1)))
+        chunk_bounds[c] = [center[0], center[1], radius, 0.0]
 
     return DeviceScene(
         seg_consts=jnp.asarray(consts, dtype),
         shade_table=jnp.asarray(shade, dtype),
         shade_all_t=jnp.asarray(shade_all_t, dtype),
+        chunk_bounds=jnp.asarray(chunk_bounds, dtype),
         width=scene.width,
         height=scene.height,
         n_sub=n_sub,

@@ -38,6 +38,7 @@ class InteractiveSession:
         config: RenderConfig,
         camera: Camera = Camera(),
         backend: str = "auto",
+        tables=None,
     ):
         self.scene = scene
         self.config = config
@@ -45,7 +46,12 @@ class InteractiveSession:
         self.backend = backend
         self.state = renderer.init_frame_state(scene.width, scene.height)
         self.frame_times: list[float] = []
-        self._render = None
+        # Source tables enable adaptive re-flattening: hit positions are
+        # Newton-exact at any subdivision (ops/refine.py), but the hit/miss
+        # silhouette follows the flattened chords, so deep zoom rebuilds the
+        # device tables at finer granularity (chord error ~ O(1/K^2)).
+        self.tables = tables
+        self._built_k = None
 
     def scroll(self, yoffset: float) -> None:
         """Zoom: zoom_factor *= 1.5^-yoffset, with the radial flow update for
@@ -67,9 +73,24 @@ class InteractiveSession:
         flow = flow_ops.add_translation_flow(self.state.flow, -dx_pixels, -dy_pixels)
         self.state = self.state._replace(flow=flow)
 
+    def _maybe_reflatten(self):
+        if self.tables is None:
+            return
+        import math
+
+        from .scene.device import build_device_scene
+
+        k = int(min(64, max(16, 2 ** math.ceil(math.log2(16 / min(self.camera.zoom_factor, 1.0))))))
+        if self._built_k is None:
+            self._built_k = 16
+        if k != self._built_k:
+            self.scene = build_device_scene(self.tables, flatten_subdivisions=k)
+            self._built_k = k
+
     def render(self) -> jax.Array:
         """Render one frame; returns the (H, W, 4) image. Frame time is
         recorded with the reference's protocol (optixHello.cpp:1258-1263)."""
+        self._maybe_reflatten()
         t0 = time.perf_counter()
         image, self.state = renderer.render_frame(
             self.scene, self.camera, self.state, self.config, backend=self.backend
@@ -94,12 +115,12 @@ class InteractiveSession:
         return 1000.0 * sum(self.frame_times) / len(self.frame_times)
 
 
-def run_viewer(scene: DeviceScene, config: RenderConfig, camera: Camera = Camera(), backend: str = "auto"):
+def run_viewer(scene: DeviceScene, config: RenderConfig, camera: Camera = Camera(), backend: str = "auto", tables=None):
     """Open a matplotlib window with scroll-zoom / drag-pan / 's' screenshot.
 
     Falls back to a headless message when no display is available.
     """
-    session = InteractiveSession(scene, config, camera, backend)
+    session = InteractiveSession(scene, config, camera, backend, tables=tables)
     try:
         import matplotlib
 

@@ -90,6 +90,59 @@ def test_parity_camera():
     assert (d > 1e-3).mean() < 3e-5
 
 
+def test_parity_multichunk_culling(ref_xml_dir):
+    """lady_bug has ~2.6k sub-segments (41 chunks): exercises the chunk-
+    culling accelerator against the brute-force JAX path."""
+    scene = rtdc.load_scene(str(ref_xml_dir / "DiffusionCurvePack" / "lady_bug.xml"))
+    scene.__dict__["width"] = 48
+    scene.__dict__["height"] = 48
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=4)
+    assert dev.s_pad > 64  # multiple chunks
+    cfg = rtdc.RenderConfig(rays_per_pixel=4, use_blur=False, use_denoiser=False)
+    img_j, bm_j = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")
+    img_p, bm_p = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    assert_parity((np.asarray(img_j), np.asarray(bm_j)), (np.asarray(img_p), np.asarray(bm_p)))
+
+
+def test_parity_multichunk_wedge_culling(ref_xml_dir):
+    """rpp > WEDGE_SAMPLES activates the direction-wedge grid dimension and
+    the angular chunk cull; must stay exact vs the brute-force JAX path."""
+    scene = rtdc.load_scene(str(ref_xml_dir / "DiffusionCurvePack" / "lady_bug.xml"))
+    scene.__dict__["width"] = 32
+    scene.__dict__["height"] = 32
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=4)
+    cfg = rtdc.RenderConfig(rays_per_pixel=32, use_blur=False, use_denoiser=False)
+    img_j, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")
+    img_p, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    d = np.abs(np.asarray(img_j) - np.asarray(img_p))
+    # At this thumbnail scale every pixel spans 16 scene px, so curve-
+    # crossing near-ties (where the two paths may pick either of two
+    # equidistant winners) are common; allow sub-quantization noise but no
+    # structural difference.
+    assert d.max() < 1.0 / 64.0, f"max {d.max()}"
+    assert (d > 1.0 / 255.0).mean() < 1e-4
+
+
+def test_parity_multichunk_portals():
+    """Portals plus >64 sub-segments: culling must stay exact across the
+    bounded re-trace loop (non-unit continuation directions scale the bound)."""
+    curves = [
+        simple_curve([(10 + i, 5), (12 + i, 25), (14 + i, 45), (16 + i, 60)])
+        for i in range(0, 12, 3)
+    ]
+    curves.append(simple_curve([(30, 10), (32, 20), (34, 30), (36, 40)], connects=5))
+    curves.append(simple_curve([(50, 10), (52, 20), (54, 30), (56, 40)], connects=4))
+    xml = make_scene_xml(curves)
+    scene = rtdc.load_scene_from_string(xml)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=16)
+    assert dev.s_pad > 64 and dev.has_portals
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    img_j, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")
+    img_p, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    d = np.abs(np.asarray(img_j) - np.asarray(img_p))
+    assert (d > 1e-3).mean() < 3e-5
+
+
 @pytest.mark.parametrize("rpp", [1, 4, 32])
 def test_parity_rpp_blocking(rpp):
     """Exercises the R / px_per_program blocking math for awkward fan sizes."""
