@@ -59,12 +59,18 @@ def main():
     dev = rtdc.build_device_scene(scene)
 
     gt = render(dev, args.gt_rpp, backend=args.backend)
+    gt8 = to_uint8(gt, flip_vertical=False)[..., :3].astype(np.float64) / 255.0
     results = {}
     for rpp in (16, 32, 64, 128):
         img = render(dev, rpp, backend=args.backend)
-        results[f"psnr_self_{rpp}rpp"] = round(psnr(img[..., :3], gt[..., :3]), 2)
+        # Quantize both sides so the self metric matches the screencap
+        # metric's dynamics (raw-float MSE is dominated by the heavy-tailed
+        # near-curve weights).
+        img8 = to_uint8(img, flip_vertical=False)[..., :3].astype(np.float64) / 255.0
+        results[f"psnr_self_{rpp}rpp"] = round(psnr(img8, gt8), 2)
         dn = render(dev, rpp, denoise=True, backend=args.backend)
-        results[f"psnr_self_{rpp}rpp_denoised"] = round(psnr(dn[..., :3], gt[..., :3]), 2)
+        dn8 = to_uint8(dn, flip_vertical=False)[..., :3].astype(np.float64) / 255.0
+        results[f"psnr_self_{rpp}rpp_denoised"] = round(psnr(dn8, gt8), 2)
 
         cap = os.path.join(SCREENCAPS, f"lb{rpp}.jpg")
         if os.path.exists(cap) and args.size == 512:

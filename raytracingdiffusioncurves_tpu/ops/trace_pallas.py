@@ -57,6 +57,11 @@ WEDGE_SAMPLES = 16
 # Pixel tile width; tile height is PXB / TILE_W.
 TILE_W = 16
 
+# Perf-debug knob: truncate the kernel after a stage ("raygen",
+# "intersect") to attribute frame time; None = full kernel. Not a user
+# API — flip from perf scripts only.
+_ABLATE_STAGE = None
+
 
 def _choose_block(rpp: int, rays_per_block: int) -> tuple[int, int, int, int]:
     """Returns (R rays/program, PXB pixels/program, SW samples/wedge,
@@ -156,6 +161,10 @@ def _trace_kernel(
     alive = ones > 0.0
 
     min_hit = jnp.float32(config.min_hit_distance)
+
+    if _ABLATE_STAGE == "raygen":
+        out_ref[0] = jnp.zeros((8, PXB), f32) + jnp.sum(dx) + jnp.sum(ox)
+        return
 
     for _bounce in range(n_traces):
         def intersect_chunk(c, best_t, best_i):
@@ -300,6 +309,14 @@ def _trace_kernel(
         # row to ~2^-17 relative — far below the renderer's pixel-scale
         # tolerances.  (A plain f32 gather needs Precision.HIGHEST = 6 MXU
         # passes; this costs 2.)
+        if _ABLATE_STAGE == "intersect":
+            out_ref[0] = (
+                jnp.zeros((8, PXB), f32)
+                + jnp.sum(best_t)
+                + jnp.sum(best_i.astype(f32))
+            )
+            return
+
         acc_hi = jnp.zeros((dev.ALLT_ROWS, R), f32)
         acc_lo = jnp.zeros((dev.ALLT_ROWS, R), f32)
         dims = (((1,), (0,)), ((), ()))
