@@ -179,24 +179,24 @@ def _trace_kernel(
             num_t = c1 - ox * ey + oy * ex
             num_s = dy * p0x - dx * p0y + (oy * dx - ox * dy)
             # Validity via exact division-free sign tests (s in [0,1] iff
-            # num_s agrees in sign with denom and |num_s| <= |denom|); the
-            # approximate reciprocal is used only for ORDERING candidate
-            # hits, where its error can at worst swap two nearly-
-            # equidistant segments.  Padding rows have e = 0 => denom = 0
-            # => always invalid.
+            # num_s agrees in sign with denom and |num_s| <= |denom|): hit
+            # acceptance is then bit-deterministic across backends, immune
+            # to reciprocal implementation differences.  The Newton-refined
+            # approximate reciprocal orders candidates (~2^-24 error, which
+            # can only swap near-equidistant winners).  The adenom > 0 term
+            # rejects parallel rays and padding rows (e = 0); it cannot be
+            # dropped: a ray exactly collinear with a segment's line has
+            # num_s = num_t = 0 and would otherwise "hit" at t = 0.
             neg = denom < 0.0
             adenom = jnp.abs(denom)
             ns = jnp.where(neg, -num_s, num_s)
             nt = jnp.where(neg, -num_t, num_t)
             ok = (
-                (denom != 0.0)
+                (adenom > 0.0)
                 & (ns >= 0.0)
                 & (ns <= adenom)
                 & (nt >= min_hit * adenom)
             )
-            # Approximate reciprocal + one Newton step: ~f32-accurate
-            # ordering without the VPU divide (the raw approximation's
-            # error mis-orders hits at curve junctions).
             ad = jnp.where(adenom == 0.0, 1.0, adenom)
             r0 = pl.reciprocal(ad, approx=True)
             r = r0 * (2.0 - ad * r0)
