@@ -63,7 +63,9 @@ def main(argv=None):
 
     paths = sorted(glob.glob(os.path.join(args.scenes, "*.xml")))
     devs = []
-    for path in paths[:6]:
+    # Each distinct scene compiles its own trace kernels (minutes on a
+    # tunneled TPU) — keep the training pool small by default.
+    for path in paths[:4]:
         scene = load_scene(path)
         scene.__dict__["width"] = args.size
         scene.__dict__["height"] = args.size
@@ -75,7 +77,7 @@ def main(argv=None):
         batch = sample_example(dev, rng, args.size, backend, frame=step)
         state, loss = dn.train_step(model, tx, state, batch)
         if step % 10 == 0:
-            print(f"step {step}: loss {float(loss):.5f}")
+            print(f"step {step}: loss {float(loss):.5f}", flush=True)
 
     from flax import serialization
 

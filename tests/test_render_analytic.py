@@ -171,3 +171,18 @@ def test_ray_fan_covers_all_directions():
     np.testing.assert_allclose(gaps, 2 * np.pi / 16, atol=1e-4)
     norms = np.linalg.norm(np.asarray(dirs), axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_all_reference_scenes_render_smoke(ref_xml_dir):
+    """Every shipped scene loads, flattens and renders finite pixels
+    (SURVEY §4: demo scenes are the feature fixtures)."""
+    import glob
+
+    for path in sorted(glob.glob(str(ref_xml_dir / "**" / "*.xml"), recursive=True)):
+        scene = rtdc.load_scene(path)
+        scene.__dict__["width"] = scene.__dict__["height"] = 24
+        dev = rtdc.build_device_scene(scene, flatten_subdivisions=2)
+        cfg = rtdc.RenderConfig(rays_per_pixel=2, use_blur=False, use_denoiser=False)
+        img, bmap = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")
+        assert np.isfinite(np.asarray(img)).all(), path
+        assert np.isfinite(np.asarray(bmap)).all(), path
