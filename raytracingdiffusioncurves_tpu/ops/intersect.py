@@ -93,8 +93,9 @@ def closest_hit(
     """Closest intersection of each ray against every sub-segment.
 
     Returns (best_idx (N,) int32, t (N,), s (N,) chord parameter, hit (N,) bool).
-    Replaces optixTrace + the GAS (optixHello.cpp:764-830) with one MXU
-    matmul and a lane-wise min-reduction.
+    Replaces optixTrace + the GAS (optixHello.cpp:764-830) with broadcast
+    cross products over all segments and a min-reduction (brute force — the
+    Pallas kernel adds the chunk-culling accelerator).
     """
     _, t, s, valid = dev.intersect_consts(scene.seg_consts, origins, dirs)
     valid = valid & (t >= min_hit_distance)

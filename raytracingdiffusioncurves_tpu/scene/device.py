@@ -71,7 +71,7 @@ ALLT_TGT_CTRL = 45  # rows 45..52: portal target control points
 ALLT_T0, ALLT_DT = 53, 54  # cubic parameter window of the sub-segment
 ALLT_ROWS = 64  # padded to a bf16 sublane multiple; MXU pads M to 128 anyway
 
-LANE = 128
+LANE = 128  # TPU lane width (gather tables pad to this)
 # Sub-segment counts pad to this granularity (the kernel's segment chunk).
 SEG_ALIGN = 64
 
