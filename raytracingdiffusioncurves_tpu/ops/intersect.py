@@ -70,16 +70,16 @@ def make_rays(
         oy = (row - height // 2).astype(jnp.float32) * zoom + off_y
 
     # RNG stream is keyed on the flat ray id so the pure-JAX and Pallas paths
-    # produce bit-identical jitter.
+    # produce bit-identical jitter; one hash yields all three jitters.
     ray_ids = pixel_ids * config.rays_per_pixel + sample_ids
-    u_rot = rng.uniform(config.seed, ray_ids, frame, 0)
+    u_rot, u_x, u_y = rng.uniform3(config.seed, ray_ids, frame)
     sector = jnp.float32(2.0 * np.pi) / n
     theta = sector * (sample_ids.astype(jnp.float32) + (u_rot if config.use_aa else 0.0))
     dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
 
     if config.use_aa:
-        ox = ox + rng.uniform(config.seed, ray_ids, frame, 1) * zoom
-        oy = oy + rng.uniform(config.seed, ray_ids, frame, 2) * zoom
+        ox = ox + u_x * zoom
+        oy = oy + u_y * zoom
 
     return jnp.stack([ox, oy], axis=-1), dirs
 

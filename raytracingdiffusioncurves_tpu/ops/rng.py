@@ -50,3 +50,26 @@ def uniform(*words) -> jnp.ndarray:
     # Top 23 bits into the mantissa of [1, 2), minus 1.
     f = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
     return jax.lax.bitcast_convert_type(f, jnp.float32) - np.float32(1.0)
+
+
+def uniform3(*words):
+    """Three U[0, 1) streams from ONE hash, bit-sliced (11+11+10 bits).
+
+    The per-ray jitter needs three uniforms (sector rotation + x/y origin
+    jitter, DeviceCode.cu:120,135-136); one 32-bit hash split into bit
+    fields is 3x cheaper than three hashes and 10-11 bits of stratified
+    jitter granularity is far below Monte-Carlo noise.  Fields of a mixed
+    word are independent enough for jitter (not for statistics-grade use).
+    """
+    bits = hash_words(*words)
+    # via int32: Mosaic has no uint32 -> f32 cast (fields are < 2^11, safe)
+    u0 = (bits >> np.uint32(21)).astype(jnp.int32).astype(jnp.float32) * np.float32(
+        1.0 / 2048.0
+    )
+    u1 = ((bits >> np.uint32(10)) & np.uint32(0x7FF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * np.float32(1.0 / 2048.0)
+    u2 = (bits & np.uint32(0x3FF)).astype(jnp.int32).astype(jnp.float32) * np.float32(
+        1.0 / 1024.0
+    )
+    return u0, u1, u2

@@ -141,10 +141,10 @@ def _trace_kernel(
 
     sector = jnp.float32(2.0 * np.pi) / jnp.float32(rpp)
     if config.use_aa:
-        u_rot = _uniform(config.seed, global_ray, frame, 0)
+        u_rot, u_x, u_y = rng.uniform3(config.seed, global_ray, frame)
         theta = sector * (sample.astype(f32) + u_rot)
-        ox = ox + _uniform(config.seed, global_ray, frame, 1) * zoom
-        oy = oy + _uniform(config.seed, global_ray, frame, 2) * zoom
+        ox = ox + u_x * zoom
+        oy = oy + u_y * zoom
     else:
         theta = sector * sample.astype(f32)
     dx = jnp.cos(theta)

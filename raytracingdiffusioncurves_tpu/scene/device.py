@@ -222,7 +222,12 @@ def build_device_scene(
             refine_rows.append(rrow)
 
     n_sub = len(rows)
-    s_pad = max(_pad_to(n_sub, SEG_ALIGN), SEG_ALIGN)
+    # Scenes that fit one chunk pad only to the f32 sublane granule (8);
+    # larger scenes pad to the chunk granule so culling stays uniform.
+    if n_sub <= SEG_ALIGN:
+        s_pad = max(_pad_to(n_sub, 8), 8)
+    else:
+        s_pad = _pad_to(n_sub, SEG_ALIGN)
 
     shade = np.zeros((s_pad, SHADE_COLS), np.float64)
     shade[:n_sub] = np.stack(rows)
@@ -244,7 +249,7 @@ def build_device_scene(
     shade_all_t[SHADE_COLS : SHADE_COLS + 5] = consts[:, :5].T
     shade_all_t[ALLT_SRC_CTRL:, :n_sub] = np.stack(refine_rows).T
 
-    n_chunks = s_pad // SEG_ALIGN
+    n_chunks = max(1, -(-s_pad // SEG_ALIGN))
     chunk_bounds = np.zeros((n_chunks, 4), np.float64)
     for c in range(n_chunks):
         lo, hi = c * SEG_ALIGN, min((c + 1) * SEG_ALIGN, n_sub)
