@@ -222,6 +222,31 @@ def build_device_scene(
             refine_rows.append(rrow)
 
     n_sub = len(rows)
+
+    # Morton-order the sub-segments so each 64-chunk is spatially tight:
+    # chunk bounding circles shrink and the kernel's wedge/distance culling
+    # rejects far more chunks.  A pure permutation — both trace paths index
+    # the same permuted tables, so winner tie-breaks stay consistent.
+    if n_sub > SEG_ALIGN:
+        mids = 0.5 * (np.stack(p0s) + np.stack(p1s))
+        lo = mids.min(axis=0)
+        span = np.maximum(mids.max(axis=0) - lo, 1e-6)
+        q = np.clip(((mids - lo) / span * 1023.0).astype(np.uint32), 0, 1023)
+
+        def _spread(v):  # interleave 10 bits with zeros
+            v = (v | (v << 16)) & np.uint32(0x030000FF)
+            v = (v | (v << 8)) & np.uint32(0x0300F00F)
+            v = (v | (v << 4)) & np.uint32(0x030C30C3)
+            v = (v | (v << 2)) & np.uint32(0x09249249)
+            return v
+
+        morton = _spread(q[:, 0]) | (_spread(q[:, 1]) << np.uint32(1))
+        order = np.argsort(morton, kind="stable")
+        rows = [rows[i] for i in order]
+        p0s = [p0s[i] for i in order]
+        p1s = [p1s[i] for i in order]
+        refine_rows = [refine_rows[i] for i in order]
+
     # Scenes that fit one chunk pad only to the f32 sublane granule (8);
     # larger scenes pad to the chunk granule so culling stays uniform.
     if n_sub <= SEG_ALIGN:

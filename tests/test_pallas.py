@@ -104,14 +104,17 @@ def test_parity_multichunk_culling(ref_xml_dir):
     assert_parity((np.asarray(img_j), np.asarray(bm_j)), (np.asarray(img_p), np.asarray(bm_p)))
 
 
-def test_parity_multichunk_wedge_culling(ref_xml_dir):
-    """rpp > WEDGE_SAMPLES activates the direction-wedge grid dimension and
-    the angular chunk cull; must stay exact vs the brute-force JAX path."""
+@pytest.mark.parametrize("rpp", [32, 64])
+def test_parity_multichunk_wedge_culling(ref_xml_dir, rpp):
+    """rpp > wedge size activates the direction-wedge grid dimension and the
+    angular chunk cull (at rpp=64 the wedge half-angle is pi/8 — a tight,
+    genuinely active cone); must stay exact vs the brute-force JAX path.
+    Caught the arcsin-saturation overlap bug."""
     scene = rtdc.load_scene(str(ref_xml_dir / "DiffusionCurvePack" / "lady_bug.xml"))
     scene.__dict__["width"] = 32
     scene.__dict__["height"] = 32
     dev = rtdc.build_device_scene(scene, flatten_subdivisions=4)
-    cfg = rtdc.RenderConfig(rays_per_pixel=32, use_blur=False, use_denoiser=False)
+    cfg = rtdc.RenderConfig(rays_per_pixel=rpp, use_blur=False, use_denoiser=False)
     img_j, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")
     img_p, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
     d = np.abs(np.asarray(img_j) - np.asarray(img_p))
