@@ -56,6 +56,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--out", default="denoiser_params.msgpack")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-scenes", type=int, default=4)
+    p.add_argument("--val-scene", default=None,
+                   help="held-out scene xml for periodic validation PSNR")
     args = p.parse_args(argv)
 
     backend = "pallas" if jax.default_backend() == "tpu" else "jax"
@@ -64,20 +67,40 @@ def main(argv=None):
     paths = sorted(glob.glob(os.path.join(args.scenes, "*.xml")))
     devs = []
     # Each distinct scene compiles its own trace kernels (minutes on a
-    # tunneled TPU) — keep the training pool small by default.
-    for path in paths[:4]:
+    # tunneled TPU) — the pool size trades compile time for generalization.
+    for path in paths[: args.n_scenes]:
         scene = load_scene(path)
         scene.__dict__["width"] = args.size
         scene.__dict__["height"] = args.size
         devs.append(build_device_scene(scene, flatten_subdivisions=8))
 
+    val = None
+    if args.val_scene:
+        vs = load_scene(args.val_scene)
+        vs.__dict__["width"] = args.size
+        vs.__dict__["height"] = args.size
+        val = build_device_scene(vs, flatten_subdivisions=8)
+
     model, state, tx = dn.create_train_state(jax.random.key(args.seed), args.size, args.size, args.lr)
+
+    def validate():
+        if val is None:
+            return ""
+        from ..utils.image import psnr, to_uint8
+
+        vb = sample_example(val, np.random.default_rng(123), args.size, backend, frame=10_000)
+        pred = model.apply(state.params, vb["noisy"], vb["warped_prev"], vb["aux"])
+        def q(x):
+            return to_uint8(np.asarray(x[0]), False).astype(np.float64) / 255.0
+        return (f"  val_psnr {psnr(q(pred), q(vb['target'])):.2f} "
+                f"(noisy {psnr(q(vb['noisy']), q(vb['target'])):.2f})")
+
     for step in range(args.steps):
         dev = devs[int(rng.integers(len(devs)))]
         batch = sample_example(dev, rng, args.size, backend, frame=step)
         state, loss = dn.train_step(model, tx, state, batch)
-        if step % 10 == 0:
-            print(f"step {step}: loss {float(loss):.5f}", flush=True)
+        if step % 50 == 0:
+            print(f"step {step}: loss {float(loss):.5f}{validate()}", flush=True)
 
     from flax import serialization
 
