@@ -154,6 +154,7 @@ def render_frame(
     config: RenderConfig,
     backend: str = "auto",
     max_blur_radius: int | None = None,
+    denoiser_params=None,
 ) -> tuple[jax.Array, FrameState]:
     """One full frame: trace -> temporal denoise -> variable blur.
 
@@ -166,9 +167,23 @@ def render_frame(
     image, blur_map = trace_image(scene, camera, config, state.frame, backend)
 
     if config.use_denoiser:
-        denoised = denoise_ops.temporal_denoise(
-            image, state.prev_image, state.flow, state.frame, config.corrected_image_mix
-        )
+        if denoiser_params is not None:
+            # Learned CNN denoiser (models/denoiser.py) with the reference's
+            # temporal guide layout: current frame + flow-warped previous
+            # output (optixHello.cpp:1115-1127).
+            from ..models import denoiser as dn
+            from ..ops import flow as flow_ops
+
+            warped = flow_ops.warp_by_flow(state.prev_image, state.flow)
+            denoised = dn.apply_denoiser(
+                dn.DenoiserNet(), denoiser_params, image, warped, blur_map,
+                mix=config.corrected_image_mix,
+            )
+        else:
+            denoised = denoise_ops.temporal_denoise(
+                image, state.prev_image, state.flow, state.frame,
+                config.corrected_image_mix,
+            )
         next_prev = denoised
         image = denoised
     else:

@@ -75,3 +75,24 @@ def test_training_on_renderer_output_smoke():
     model, state, tx = dn.create_train_state(jax.random.key(0), 32, 32)
     state, loss = dn.train_step(model, tx, state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_render_frame_with_learned_denoiser():
+    """render_frame accepts trained CNN params in place of the analytic
+    temporal denoiser."""
+    from conftest import make_scene_xml, simple_curve
+
+    xml = make_scene_xml([simple_curve([(10, 14), (30, 25), (40, 40), (50, 52)])], 32, 32)
+    scene = rtdc.load_scene_from_string(xml)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=4)
+    model, state, _ = dn.create_train_state(jax.random.key(0), 32, 32)
+    cfg = rtdc.RenderConfig(rays_per_pixel=4, use_blur=False, use_denoiser=True)
+    fstate = rtdc.init_frame_state(32, 32)
+    img, fstate = rtdc.render_frame(
+        dev, rtdc.Camera(), fstate, cfg, backend="jax", denoiser_params=state.params
+    )
+    assert np.isfinite(np.asarray(img)).all()
+    img2, _ = rtdc.render_frame(
+        dev, rtdc.Camera(), fstate, cfg, backend="jax", denoiser_params=state.params
+    )
+    assert np.isfinite(np.asarray(img2)).all()
