@@ -47,20 +47,33 @@ def main():
     print(f"# setup {setup_s*1000:.0f}ms backend={backend} size={size} rpp={rpp}",
           file=sys.stderr)
 
-    # Chain `frames` frames through their data dependency (FrameState) and
-    # end with a host read, so the measured wall time covers real device
-    # execution of every frame.
+    # Headline protocol (unchanged from round 1, comparable across rounds):
+    # chain `frames` frames through their data dependency (FrameState) and
+    # end with ONE host read, so the measured wall time covers real device
+    # execution of every frame without per-frame tunnel round-trips.
     t0 = time.perf_counter()
     for _ in range(frames):
         image, state = rtdc.render_frame(dev, cam, state, config, backend=backend)
     float(image[0, 0, 0])
     total = time.perf_counter() - t0
-    times = [total / frames]
+    mean_ms = 1000.0 * total / frames
 
-    mean_ms = 1000.0 * sum(times) / len(times)
+    # Diagnostic pass: time each frame individually (host read per frame) so
+    # per-frame variance is visible.  These include one tunnel round-trip
+    # each, so the headline stays the chained mean above.
+    per_frame = []
+    for _ in range(frames):
+        t1 = time.perf_counter()
+        image, state = rtdc.render_frame(dev, cam, state, config, backend=backend)
+        float(image[0, 0, 0])
+        per_frame.append(1000.0 * (time.perf_counter() - t1))
+    per_frame.sort()
+    p50 = per_frame[len(per_frame) // 2]
+
     rays_per_sec = size * size * rpp / (mean_ms / 1000.0)
-    print(f"# mean {mean_ms:.2f}ms  min {1000*min(times):.2f}ms  "
-          f"rays/s {rays_per_sec:.3e}", file=sys.stderr)
+    print(f"# mean {mean_ms:.2f}ms  rays/s {rays_per_sec:.3e}  per-frame "
+          f"min {per_frame[0]:.2f} p50 {p50:.2f} max {per_frame[-1]:.2f}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "ms_per_frame_arch1024_128rpp",
         "value": round(mean_ms, 3),

@@ -194,8 +194,11 @@ struct Scene {
 };
 
 static void read_point(const XmlNode& n, int width, int height, bool save, V2* out) {
-  out->x = n.attr(save ? "y" : "x", 0.0) - (width / 2);
-  out->y = n.attr(save ? "x" : "y", 0.0) - (height / 2);
+  // Round through float32 exactly like the Python loader (_read_point
+  // builds a float32 array); downstream double math (endcap tangents) then
+  // sees bit-identical inputs in both loaders.
+  out->x = (double)(float)(n.attr(save ? "y" : "x", 0.0) - (width / 2));
+  out->y = (double)(float)(n.attr(save ? "x" : "y", 0.0) - (height / 2));
 }
 
 static void read_color(const XmlNode& n, bool save, float out[3]) {
@@ -250,9 +253,9 @@ static bool build_scene(const XmlNode& root, bool save, double endcap_size,
 
     if (use_endcap) {
       // start cap: tangent at t=1e-3 of the first segment, reversed
-      // (optixHello.cpp:229-274); note 1e-3 parsed from a double literal
-      // exactly like Python's 1e-3.
-      V2 t = bezier_derivative(&points[0], 1e-3);
+      // (optixHello.cpp:229-274); t rounds through float32 like Python's
+      // np.float32(1e-3) so the tangent is bit-identical across loaders.
+      V2 t = bezier_derivative(&points[0], (double)1e-3f);
       t = {-t.x, -t.y};
       V2 e = points[0], p1, p2;
       endcap_points(e, t, endcap_size, &p1, &p2);
@@ -261,7 +264,7 @@ static bool build_scene(const XmlNode& root, bool save, double endcap_size,
     }
     for (int i = 0; i < n_interior; i++) emit(&points[3 * i]);
     if (use_endcap) {
-      V2 t = bezier_derivative(&points[3 * (n_interior - 1)], 1.0 - 1e-3);
+      V2 t = bezier_derivative(&points[3 * (n_interior - 1)], (double)(float)(1.0 - 1e-3));
       V2 e = points[3 * (n_interior - 1) + 3], p1, p2;
       endcap_points(e, t, endcap_size, &p1, &p2);
       V2 cap[4] = {e, p1, p2, e};

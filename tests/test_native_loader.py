@@ -21,12 +21,12 @@ def assert_scene_equal(a, b):
     np.testing.assert_array_equal(a.curve_connect, b.curve_connect)
     np.testing.assert_array_equal(a.curve_first_segment, b.curve_first_segment)
     np.testing.assert_array_equal(a.curve_segment_count, b.curve_segment_count)
-    np.testing.assert_allclose(a.vertices, b.vertices, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(a.vertices, b.vertices)
     for name in ("color_left", "color_right", "blur", "weight", "weight_degree"):
         ta, tb = getattr(a, name), getattr(b, name)
         np.testing.assert_array_equal(ta.index, tb.index, err_msg=name)
-        np.testing.assert_allclose(ta.u, tb.u, rtol=0, atol=1e-6, err_msg=name)
-        np.testing.assert_allclose(ta.values, tb.values, rtol=0, atol=1e-6, err_msg=name)
+        np.testing.assert_array_equal(ta.u, tb.u, err_msg=name)
+        np.testing.assert_array_equal(ta.values, tb.values, err_msg=name)
 
 
 def test_native_matches_python_on_all_reference_scenes(ref_xml_dir):
