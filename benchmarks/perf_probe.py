@@ -1,0 +1,122 @@
+"""TPU perf probe: time trace configs + stage ablations in ONE process.
+
+The TPU sits behind a single-client tunnel and kernel compiles take minutes,
+so experiments are batched here and run in the background (CLAUDE.md).  Each
+line of output is one JSON record.
+
+Usage:  python benchmarks/perf_probe.py [probe names...]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import raytracingdiffusioncurves_tpu as rtdc
+from raytracingdiffusioncurves_tpu.ops import trace_pallas
+
+XMLS = "/root/reference/optixHello/xmls"
+
+
+def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False):
+    trace_pallas._ABLATE_STAGE = ablate
+    trace_pallas._DISABLE_CAND = no_cand
+    try:
+        scene = rtdc.load_scene(path)
+        scene.__dict__["width"] = w
+        scene.__dict__["height"] = h
+        dev = rtdc.build_device_scene(scene)
+        config = rtdc.RenderConfig(
+            rays_per_pixel=rpp, use_aa=True, use_blur=False, use_denoiser=False
+        )
+
+        # _ABLATE_STAGE is a module global: bypass trace_sums_flat's jit cache
+        # (static args don't include the global) by jitting the unwrapped fn.
+        inner = trace_pallas.trace_sums_flat.__wrapped__
+
+        @jax.jit
+        def run(off):
+            c, ws, b = inner(dev, rtdc.Camera(1.0, off, 0.0), config, 0, 0, w * h)
+            return jnp.sum(c) + jnp.sum(ws) + jnp.sum(b)
+
+        t0 = time.perf_counter()
+        s = run(jnp.float32(0.0))
+        float(s)
+        comp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            s = run(s * 0.0)  # chain frames through a data dependency
+        float(s)
+        ms = (time.perf_counter() - t0) / frames * 1000
+        # per-call sync timing exposes dispatch/tunnel overhead
+        t1 = time.perf_counter()
+        float(run(s * 0.0))
+        sync_ms = (time.perf_counter() - t1) * 1000
+        print(
+            json.dumps(
+                {
+                    "label": label,
+                    "ms": round(ms, 2),
+                    "sync_ms": round(sync_ms, 2),
+                    "compile_s": round(comp, 1),
+                    "ablate": ablate,
+                    "no_cand": no_cand,
+                    "rays_per_s": round(w * h * rpp / ms * 1000.0),
+                }
+            ),
+            flush=True,
+        )
+        return ms
+    except Exception as e:  # keep the batch going; record the failure
+        print(json.dumps({"label": label, "error": repr(e)[:500]}), flush=True)
+        return None
+    finally:
+        trace_pallas._ABLATE_STAGE = None
+        trace_pallas._DISABLE_CAND = False
+
+
+PROBES = {
+    "arch512": lambda: time_trace(f"{XMLS}/arch.xml", 512, 512, 16, label="arch512_16"),
+    "arch512_128": lambda: time_trace(
+        f"{XMLS}/arch.xml", 512, 512, 128, label="arch512_128"
+    ),
+    "arch1024": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, label="arch1024_128"
+    ),
+    "arch1024_nocand": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, no_cand=True, label="arch1024_128"
+    ),
+    "arch1024_raygen": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="raygen", label="arch1024_128"
+    ),
+    "arch1024_intersect": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="intersect", label="arch1024_128"
+    ),
+    "arch1024_gather": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="gather", label="arch1024_128"
+    ),
+    "arch1024_shade": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="shade", label="arch1024_128"
+    ),
+    "ladybug512": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 512, 512, 64,
+        frames=4, label="ladybug512_64",
+    ),
+    "ladybug1080": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=2, label="ladybug1080_256",
+    ),
+    "dolphin1080": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=1, label="dolphin1080_64",
+    ),
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["arch512", "arch1024", "arch1024_raygen", "arch1024_intersect"]
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+    for n in names:
+        PROBES[n]()

@@ -1,0 +1,263 @@
+"""Per-(tile, wedge) segment candidate lists — the TPU-native acceleration
+structure for small scenes.
+
+The reference culls per ray through OptiX's BVH (optixHello.cpp:764-830).
+A lockstep-SIMD machine wants the dual formulation: cull per *block of rays*
+ahead of time.  Each Pallas program instance traces a (pixel tile x direction
+wedge) block whose rays all originate inside one circle and point into one
+angular wedge — so the set of segments it can possibly hit is a function of
+(tile, wedge) only.  This prepass (plain JAX, runs fused under the frame jit)
+tests every segment's bounding circle against each block's cone and compacts
+the passing segment ids into fixed-length lists with gathered intersection
+constants; the trace kernel then sweeps L candidate rows instead of all
+s_pad rows.
+
+Exactness: the circle/cone test is conservative (identical math to the
+kernel's chunk test), and a (tile, wedge) cell whose candidate count exceeds
+L is flagged so the kernel falls back to the full sweep for that block.
+
+Layout notes: everything is batched (tiles x wedges x segments) elementwise
+work plus one small sort — XLA-friendly, no scatter.  The candidate tables
+are (tiles, wedges, L, CONST_COLS) in HBM; each program DMAs its (L, C) tile
+through the normal Pallas pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene import device as dev
+
+# Candidate list length (sub-segments).  Static so block shapes never depend
+# on the camera; overflowing cells fall back to the full sweep.
+CAND_LEN = 32
+# Column of the gathered candidate row holding the original segment id (f32,
+# exact for ids < 2^24) and the per-cell overflow flag.
+COL_ID = 6
+COL_OVERFLOW = 7
+
+
+def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
+    """Candidate lists pay off when the full sweep is bigger than the list
+    and the wedge actually narrows directions (single-chunk scenes only;
+    multi-chunk scenes use chunk-granularity lists instead)."""
+    return n_chunks == 1 and s_pad >= 2 * CAND_LEN and n_wedges > 1
+
+
+def _tile_circles(
+    width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w, tile_h,
+    px_start, diffusion_save,
+):
+    """(bcx, bcy, br) each (T,): world-space bounding circles of every pixel
+    tile's ray origins (AA jitter [0, zoom) included), in the kernel's
+    row-major tile order pid_g = tile_row * tiles_x + tile_col."""
+    f32 = jnp.float32
+    zoom = jnp.asarray(zoom, f32)
+    off_x = jnp.asarray(off_x, f32)
+    off_y = jnp.asarray(off_y, f32)
+
+    tc = jnp.arange(tiles_x, dtype=jnp.int32)
+    tr = jnp.arange(tiles_y, dtype=jnp.int32)
+    col0 = (tc * tile_w - width // 2).astype(f32)
+    x_a = col0 * zoom + off_x
+    x_b = (col0 + f32(tile_w - 1)) * zoom + off_x + zoom  # + [0, zoom) jitter
+    x_lo = jnp.minimum(x_a, x_b)
+    x_hi = jnp.maximum(x_a, x_b)
+
+    row0 = px_start // width + tr * tile_h
+    if diffusion_save:
+        ya = ((height - row0) - height // 2).astype(f32) * zoom + off_y
+        yb = ((height - (row0 + tile_h - 1)) - height // 2).astype(f32) * zoom + off_y
+    else:
+        ya = (row0 - height // 2).astype(f32) * zoom + off_y
+        yb = ((row0 + tile_h - 1) - height // 2).astype(f32) * zoom + off_y
+    y_lo = jnp.minimum(jnp.minimum(ya, yb), jnp.minimum(ya, yb) + zoom)
+    y_hi = jnp.maximum(jnp.maximum(ya, yb), jnp.maximum(ya, yb) + zoom)
+
+    cx = 0.5 * (x_lo + x_hi)  # (Tx,)
+    cy = 0.5 * (y_lo + y_hi)  # (Ty,)
+    rx = 0.5 * (x_hi - x_lo)
+    ry = 0.5 * (y_hi - y_lo)
+    bcx = jnp.broadcast_to(cx[None, :], (tiles_y, tiles_x)).reshape(-1)
+    bcy = jnp.broadcast_to(cy[:, None], (tiles_y, tiles_x)).reshape(-1)
+    br = jnp.sqrt(
+        jnp.broadcast_to(rx[None, :] ** 2, (tiles_y, tiles_x)).reshape(-1)
+        + jnp.broadcast_to(ry[:, None] ** 2, (tiles_y, tiles_x)).reshape(-1)
+    )
+    return bcx, bcy, br
+
+
+def _wedge_dirs(rpp: int, sw: int):
+    """Wedge center unit vectors (W, 2-as-two-arrays) + half-width trig."""
+    n_wedges = rpp // sw
+    sector = 2.0 * math.pi / rpp
+    hw = math.pi * sw / rpp
+    wc = sector * (np.arange(n_wedges) * sw + 0.5 * sw)
+    return (
+        jnp.asarray(np.cos(wc), jnp.float32),
+        jnp.asarray(np.sin(wc), jnp.float32),
+        np.float32(math.cos(hw)),
+        np.float32(math.sin(hw)),
+    )
+
+
+def segment_candidates(
+    consts: jax.Array,  # (S_pad, CONST_COLS) f32
+    width: int,
+    height: int,
+    zoom,
+    off_x,
+    off_y,
+    rpp: int,
+    sw: int,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    px_start,
+    diffusion_save: bool,
+) -> jax.Array:
+    """Build (tiles, wedges, CAND_LEN, CONST_COLS) candidate tables.
+
+    Slot layout per (tile, wedge): gathered seg_consts rows of the passing
+    segments in ascending id order; unused slots are zero rows (e = 0 rows
+    can never pass the kernel's validity product).  COL_ID carries the
+    original id, COL_OVERFLOW is 1.0 in every slot when the cell overflowed.
+    """
+    f32 = jnp.float32
+    s_pad = consts.shape[0]
+    bcx, bcy, br = _tile_circles(
+        width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w, tile_h,
+        px_start, diffusion_save,
+    )
+
+    # --- segment bounding circles from the intersection constants ---
+    p0x = consts[:, dev.CONST_P0X]
+    p0y = consts[:, dev.CONST_P0Y]
+    ex = consts[:, dev.CONST_EX]
+    ey = consts[:, dev.CONST_EY]
+    valid = consts[:, dev.CONST_VALID] > 0.0
+    mx = p0x + 0.5 * ex
+    my = p0y + 0.5 * ey
+    sr = 0.5 * jnp.sqrt(ex * ex + ey * ey)
+
+    # --- cone test, same math as the kernel's chunk_lb (trace_pallas.py) ---
+    dcx = mx[None, :] - bcx[:, None]  # (T, S)
+    dcy = my[None, :] - bcy[:, None]
+    dist = jnp.sqrt(dcx * dcx + dcy * dcy)
+    inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
+    reach = sr[None, :] + br[:, None]
+    sin_chw = jnp.clip(reach * inv_dist, 0.0, 1.0)
+    cos_chw = jnp.sqrt(jnp.maximum(1.0 - sin_chw * sin_chw, 0.0))
+    overlap = dist <= reach
+
+    ccx, ccy, cos_hw, sin_hw = _wedge_dirs(rpp, sw)
+
+    dnx = dcx * inv_dist
+    dny = dcy * inv_dist
+    cos_d = dnx[None, :, :] * ccx[:, None, None] + dny[None, :, :] * ccy[:, None, None]
+    cos_lim = (cos_hw * cos_chw - sin_hw * sin_chw)[None, :, :]
+    mask = (valid[None, None, :] & (overlap[None, :, :] | (cos_d >= cos_lim)))
+
+    # --- compact passing ids (ascending) into fixed-L slots ---
+    iota = jnp.arange(s_pad, dtype=jnp.int32)
+    key = jnp.where(mask, iota[None, None, :], jnp.int32(s_pad))
+    ids = jax.lax.sort(key, dimension=-1)[..., :CAND_LEN]  # (W, T, L)
+    count = jnp.sum(mask, axis=-1)  # (W, T)
+    overflow = (count > CAND_LEN).astype(f32)
+
+    # gather; slot >= count hits the appended zero row
+    consts_ext = jnp.concatenate([consts, jnp.zeros((1, consts.shape[1]), f32)], 0)
+    cand = consts_ext[ids]  # (W, T, L, C)
+    slot_used = ids < s_pad
+    cand = cand.at[..., COL_ID].set(jnp.where(slot_used, ids, 0).astype(f32))
+    cand = cand.at[..., COL_OVERFLOW].set(
+        jnp.broadcast_to(overflow[..., None], ids.shape)
+    )
+    return jnp.swapaxes(cand, 0, 1)  # (T, W, L, C)
+
+
+def chunk_candidates(
+    chunk_bounds: jax.Array,  # (n_chunks, 4) f32 [cx, cy, r, 0]
+    width: int,
+    height: int,
+    zoom,
+    off_x,
+    off_y,
+    rpp: int,
+    sw: int,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    px_start,
+    diffusion_save: bool,
+):
+    """Chunk-granularity candidate lists for multi-chunk scenes.
+
+    Returns (ids (T, W, C) int32, lbs (T, W, C) f32, counts (T, W, 1) int32):
+    for each (tile, wedge), the chunk ids passing the cone test sorted by
+    conservative lower-bound distance, their bounds, and how many passed.
+    The trace kernel walks the first `count` entries and stops early once
+    the next lower bound exceeds the block's worst current closest hit —
+    the sorted order is what makes the distance cull bite immediately
+    (replaces round 1's per-(block, wedge) full scalar sweep with warm
+    start, the wall on lady_bug/dolphin-class scenes).
+
+    Primary rays only (unit directions; portal bounces full-sweep).
+    """
+    f32 = jnp.float32
+    n_chunks = chunk_bounds.shape[0]
+    bcx, bcy, br = _tile_circles(
+        width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w, tile_h,
+        px_start, diffusion_save,
+    )
+    ccx, ccy, cos_hw, sin_hw = _wedge_dirs(rpp, sw)
+
+    cxs = chunk_bounds[:, 0]
+    cys = chunk_bounds[:, 1]
+    rs = chunk_bounds[:, 2]
+    valid = cxs < 1e29  # padding chunks are parked at 1e30
+
+    dcx = cxs[None, :] - bcx[:, None]  # (T, C)
+    dcy = cys[None, :] - bcy[:, None]
+    dist = jnp.sqrt(dcx * dcx + dcy * dcy)
+    inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
+    reach = rs[None, :] + br[:, None]
+    lb = jnp.maximum(dist - reach, 0.0)
+    sin_chw = jnp.clip(reach * inv_dist, 0.0, 1.0)
+    cos_chw = jnp.sqrt(jnp.maximum(1.0 - sin_chw * sin_chw, 0.0))
+    overlap = dist <= reach
+
+    n_wedges = rpp // sw
+    if n_wedges > 1:
+        # cos-monotonicity needs hw + chw <= pi, i.e. hw <= pi/2 — true for
+        # every wedge count >= 2 (same constraint as the kernel's old
+        # in-kernel test, which also only ran for n_wedges > 1).
+        dnx = dcx * inv_dist
+        dny = dcy * inv_dist
+        cos_d = (
+            dnx[None] * ccx[:, None, None] + dny[None] * ccy[:, None, None]
+        )  # (W, T, C)
+        cos_lim = (cos_hw * cos_chw - sin_hw * sin_chw)[None]
+        mask = valid[None, None, :] & (overlap[None] | (cos_d >= cos_lim))
+    else:
+        # single wedge = full circle: distance ordering only
+        mask = jnp.broadcast_to(valid[None, None, :], (1,) + dist.shape)
+
+    big = jnp.float32(1e30)
+    lbs = jnp.where(mask, lb[None], big)  # (W, T, C)
+    ids = jnp.broadcast_to(
+        jnp.arange(n_chunks, dtype=jnp.int32)[None, None, :], mask.shape
+    )
+    lbs, ids = jax.lax.sort((lbs, ids), dimension=-1, num_keys=1)
+    counts = jnp.sum(mask, axis=-1).astype(jnp.int32)[..., None]  # (W, T, 1)
+    return (
+        jnp.swapaxes(ids, 0, 1),
+        jnp.swapaxes(lbs, 0, 1),
+        jnp.swapaxes(counts, 0, 1),
+    )

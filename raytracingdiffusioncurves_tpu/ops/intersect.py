@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import Camera, RenderConfig
 from ..scene import device as dev
-from . import refine, rng
+from . import fastmath, refine, rng
 
 
 class Hit(NamedTuple):
@@ -75,7 +75,10 @@ def make_rays(
     u_rot, u_x, u_y = rng.uniform3(config.seed, ray_ids, frame)
     sector = jnp.float32(2.0 * np.pi) / n
     theta = sector * (sample_ids.astype(jnp.float32) + (u_rot if config.use_aa else 0.0))
-    dirs = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+    # Shared fast sincos (ops/fastmath.py) — the Pallas kernel uses the same
+    # implementation so both paths emit bit-identical directions.
+    sin_t, cos_t = fastmath.sincos(theta)
+    dirs = jnp.stack([cos_t, sin_t], axis=-1)
 
     if config.use_aa:
         ox = ox + u_x * zoom
@@ -97,8 +100,9 @@ def closest_hit(
     cross products over all segments and a min-reduction (brute force — the
     Pallas kernel adds the chunk-culling accelerator).
     """
-    _, t, s, valid = dev.intersect_consts(scene.seg_consts, origins, dirs)
-    valid = valid & (t >= min_hit_distance)
+    _, t, s, valid = dev.intersect_consts(
+        scene.seg_consts, origins, dirs, min_hit=min_hit_distance
+    )
     t_masked = jnp.where(valid, t, jnp.float32(np.inf))
     best = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
     ar = jnp.arange(t.shape[0])

@@ -41,13 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Camera, RenderConfig
 from ..scene import device as dev
-from . import refine, rng
+from . import candidates as cand_mod
+from . import fastmath, refine, rng
 
 # Segment chunk (sublane axis) processed per culling granule. Must match
 # scene/device.py SEG_ALIGN.
 SEG_CHUNK = 64
 # Sentinel "no hit" distance (avoid inf arithmetic inside the kernel).
 FAR = np.float32(1e30)
+# The closest-hit sweep packs (t, local segment id) into one int32: positive
+# f32 bit patterns order like ints, so clearing the low ID_BITS mantissa bits
+# and writing the id yields a single min-reduction over both.  Quantizes the
+# ordering key to 2^-17 relative — near-ties may swap winners, the same
+# class as the approximate-reciprocal ordering round 1 shipped.
+ID_BITS = 6  # covers SEG_CHUNK ids per chunk
+_ID_MASK = np.int32((1 << ID_BITS) - 1)
+_KEY_MASK = np.int32(-(1 << ID_BITS))
+_FAR_PACKED = np.int32(int(np.asarray(FAR).view(np.int32)) & ~((1 << ID_BITS) - 1))
 
 # Samples per direction wedge: blocks cover (pixels x a contiguous sample
 # range), so a block's ray directions span only 2*pi*SW/rpp — the lever that
@@ -61,23 +71,28 @@ WEDGE_SAMPLES_MULTICHUNK = 4
 TILE_W = 16
 
 # Perf-debug knob: truncate the kernel after a stage ("raygen",
-# "intersect") to attribute frame time; None = full kernel. Not a user
-# API — flip from perf scripts only.
+# "intersect", "gather", "shade") to attribute frame time; None = full
+# kernel. Not a user API — flip from perf scripts only.
 _ABLATE_STAGE = None
+# Perf-debug knob: force the full sweep even when candidate lists apply.
+_DISABLE_CAND = False
 
 
 def _choose_block(
     rpp: int, rays_per_block: int, multi_chunk: bool = False
 ) -> tuple[int, int, int, int]:
     """Returns (R rays/program, PXB pixels/program, SW samples/wedge,
-    W wedges/pixel). R = PXB * SW, a multiple of 128."""
+    W wedges/pixel). R = PXB * SW, a multiple of 128; PXB a multiple of
+    TILE_W so every block covers whole tile rows (tile_h >= 1 for any
+    rays_per_block/rays_per_pixel combination)."""
     sw = math.gcd(rpp, WEDGE_SAMPLES_MULTICHUNK if multi_chunk else WEDGE_SAMPLES)
     w = rpp // sw
     pxb = max(rays_per_block // sw, 1)
-    r = pxb * sw
-    lcm = sw * 128 // math.gcd(sw, 128)
-    r = ((r + lcm - 1) // lcm) * lcm
-    return r, r // sw, sw, w
+    # pxb must be a multiple of TILE_W (whole tile rows) and of
+    # 128/gcd(sw, 128) (so R = pxb*sw is a multiple of the 128 lane width).
+    m = TILE_W * (128 // math.gcd(sw, 128)) // math.gcd(TILE_W, 128 // math.gcd(sw, 128))
+    pxb = ((pxb + m - 1) // m) * m
+    return pxb * sw, pxb, sw, w
 
 
 def _uniform(seed, ray_id, frame, salt):
@@ -86,15 +101,16 @@ def _uniform(seed, ray_id, frame, salt):
 
 def _trace_kernel(
     # SMEM scalars
-    cam_ref,  # (8,) f32: zoom, off_x, off_y, frame, px_start, pad...
+    cam_ref,  # (4,) f32: zoom, off_x, off_y, pad
+    meta_ref,  # (2,) i32: frame, px_start (i32 so values >= 2^24 stay exact)
     bounds_ref,  # (n_chunks, 4) f32 chunk bounding circles [cx, cy, r, 0]
     # VMEM tables
     consts_ref,  # (S_pad, CONST_COLS)
     allt_hi_ref,  # (G, ALLT_ROWS, 128) bf16: chunked shade+consts, hi halves
     allt_lo_ref,  # (G, ALLT_ROWS, 128) bf16: f32 residuals
-    # VMEM output, revisited across the wedge grid dimension
-    out_ref,  # (1, 8, PXB)
-    *,
+    # optional (use_cand): (1, 1, CAND_LEN, CONST_COLS) candidate block,
+    # then the VMEM output, revisited across the wedge grid dimension
+    *refs,  # [cand_ref?], out_ref (1, 8, PXB)
     width: int,
     height: int,
     s_pad: int,
@@ -104,7 +120,17 @@ def _trace_kernel(
     px_per_program: int,
     samples_per_wedge: int,
     n_wedges: int,
+    use_cand: bool = False,
+    use_chunk_lists: bool = False,
 ):
+    if use_cand:
+        cand_ref, out_ref = refs
+    elif use_chunk_lists:
+        # SMEM per-block chunk candidate lists: ids (1,1,C) i32 sorted by
+        # lower-bound distance, lbs (1,1,C) f32, count (1,1,1) i32
+        cids_ref, clbs_ref, ccnt_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
     R = rays_per_program
     PXB = px_per_program
     SW = samples_per_wedge
@@ -118,26 +144,37 @@ def _trace_kernel(
     zoom = cam_ref[0]
     off_x = cam_ref[1]
     off_y = cam_ref[2]
-    frame = cam_ref[3].astype(jnp.int32)
-    px_start = cam_ref[4].astype(jnp.int32)
+    frame = meta_ref[0]
+    px_start = meta_ref[1]
 
     # Pixels are covered in TILE_W x TILE_H tiles (not row strips): a tight
     # origin bounding circle is what makes the angular chunk cull bite.
     # trace_sums_flat unscrambles the tile-ordered sums afterwards.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
     tiles_x = -(-width // TILE_W)
     tile_r = pid_g // tiles_x
     tile_c = pid_g - tile_r * tiles_x
-    pi = lane // SW  # pixel index within the tile
-    col = tile_c * TILE_W + pi % TILE_W
-    row = px_start // width + tile_r * (PXB // TILE_W) + pi // TILE_W
+
+    # --- raygen (DeviceCode.cu:85-150) ---
+    # Computed in (8, R/8) layout: (1, R) vectors occupy one sublane of each
+    # vreg (1/8 VPU utilization), and raygen is ~100 elementwise ops — in
+    # round 1 it cost as much as a 64-row intersection sweep.  Ray index
+    # ridx = sublane*RL + lane matches the row-major reshape to (1, R) below.
+    RL = R // 8
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, RL), 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, RL), 1)
+    ridx = sub8 * RL + lane8
+    # SW and TILE_W are powers of two: index chains are shifts and masks.
+    sw_sh = SW.bit_length() - 1
+    tw_sh = TILE_W.bit_length() - 1
+    pi = ridx >> sw_sh  # pixel index within the tile
+    col = tile_c * TILE_W + (pi & (TILE_W - 1))
+    row = px_start // width + tile_r * (PXB // TILE_W) + (pi >> tw_sh)
     pixel = row * width + col
-    sample = pid_w * SW + lane - pi * SW
+    sample = pid_w * SW + (ridx & (SW - 1))
     # RNG stream keyed on the GLOBAL ray id so tile-sharded rendering is
     # bitwise identical to single-chip (tests/test_sharding.py).
     global_ray = pixel * rpp + sample
 
-    # --- raygen (DeviceCode.cu:85-150) ---
     ox = (col - width // 2).astype(f32) * zoom + off_x
     if config.diffusion_curve_save:
         oy = ((height - row) - height // 2).astype(f32) * zoom + off_y
@@ -152,8 +189,15 @@ def _trace_kernel(
         oy = oy + u_y * zoom
     else:
         theta = sector * sample.astype(f32)
-    dx = jnp.cos(theta)
-    dy = jnp.sin(theta)
+    # Shared fast sincos (ops/fastmath.py): one quadrant reduction for both,
+    # bit-identical to the pure-JAX path's raygen.
+    dy, dx = fastmath.sincos(theta)
+
+    # Relayout to the (1, R) broadcast shape the segment sweep needs.
+    ox = ox.reshape(1, R)
+    oy = oy.reshape(1, R)
+    dx = dx.reshape(1, R)
+    dy = dy.reshape(1, R)
 
     # --- portal accumulation state (1, R) ---
     ones = jnp.ones((1, R), f32)
@@ -171,50 +215,53 @@ def _trace_kernel(
         out_ref[0] = jnp.zeros((8, PXB), f32) + jnp.sum(dx) + jnp.sum(ox)
         return
 
-    for _bounce in range(n_traces):
-        def intersect_chunk(c, best_t, best_i):
-            sl = pl.ds(pl.multiple_of(c * sc, sc), sc)
-            ex = consts_ref[sl, dev.CONST_EX : dev.CONST_EX + 1]
-            ey = consts_ref[sl, dev.CONST_EY : dev.CONST_EY + 1]
-            c1 = consts_ref[sl, dev.CONST_C1 : dev.CONST_C1 + 1]
-            p0x = consts_ref[sl, dev.CONST_P0X : dev.CONST_P0X + 1]
-            p0y = consts_ref[sl, dev.CONST_P0Y : dev.CONST_P0Y + 1]
+    ids_sc = jax.lax.broadcasted_iota(jnp.int32, (sc, R), 0)
 
-            denom = dx * ey - dy * ex  # (sc, R)
+    for _bounce in range(n_traces):
+        # Hoisted per-ray cross term of num_s (constant across segments).
+        cross = oy * dx - ox * dy
+
+        def packed_min(ex, ey, c1, p0x, p0y, ids, cross=cross):
+            """Closest hit over (n, 1) constant columns: (1, R) packed key.
+
+            Division-free validity by sign algebra, identical to the JAX
+            path (scene/device.py intersect_consts): s in [0,1] iff
+            num_s*(denom-num_s) >= 0; t > min_hit iff
+            (num_t - min_hit*denom)*denom > 0.  The second product also
+            rejects parallel rays and e = 0 padding rows (denom = 0), and
+            collinear rays (num_t = 0 gives product 0, never > 0).
+            """
+            denom = dx * ey - dy * ex  # (n, R)
             num_t = c1 - ox * ey + oy * ex
-            num_s = dy * p0x - dx * p0y + (oy * dx - ox * dy)
-            # Validity via exact division-free sign tests (s in [0,1] iff
-            # num_s agrees in sign with denom and |num_s| <= |denom|): hit
-            # acceptance is then bit-deterministic across backends, immune
-            # to reciprocal implementation differences.  The Newton-refined
-            # approximate reciprocal orders candidates (~2^-24 error, which
-            # can only swap near-equidistant winners).  The adenom > 0 term
-            # rejects parallel rays and padding rows (e = 0); it cannot be
-            # dropped: a ray exactly collinear with a segment's line has
-            # num_s = num_t = 0 and would otherwise "hit" at t = 0.
-            neg = denom < 0.0
-            adenom = jnp.abs(denom)
-            ns = jnp.where(neg, -num_s, num_s)
-            nt = jnp.where(neg, -num_t, num_t)
-            ok = (
-                (adenom > 0.0)
-                & (ns >= 0.0)
-                & (ns <= adenom)
-                & (nt >= min_hit * adenom)
+            num_s = dy * p0x - dx * p0y + cross
+            ok = (num_s * (denom - num_s) >= 0.0) & (
+                (num_t - min_hit * denom) * denom > 0.0
             )
-            ad = jnp.where(adenom == 0.0, 1.0, adenom)
-            r0 = pl.reciprocal(ad, approx=True)
-            r = r0 * (2.0 - ad * r0)
-            t = nt * r
-            tm = jnp.where(ok, t, FAR)
-            c_min = jnp.min(tm, axis=0, keepdims=True)  # (1, R)
-            # first index achieving the min (avoids argmin lowering)
-            ids = jax.lax.broadcasted_iota(jnp.int32, (sc, R), 0)
-            c_arg = jnp.min(jnp.where(tm == c_min, ids, s_pad), axis=0, keepdims=True)
-            upd = c_min < best_t
+            # Newton-refined approximate reciprocal for ordering (~2^-24
+            # error; the winner's t is recomputed exactly after the gather).
+            # denom = 0 rides the masked lane: r0 = inf -> t = nan -> FAR.
+            r0 = pl.reciprocal(denom, approx=True)
+            r = r0 * (2.0 - denom * r0)
+            tm = jnp.where(ok, num_t * r, FAR)
+            # Packed (t | local id) single min-reduction: t >= min_hit > 0
+            # and FAR are positive floats, whose bit patterns order as ints.
+            pk = (jax.lax.bitcast_convert_type(tm, jnp.int32) & _KEY_MASK) | ids
+            return jnp.min(pk, axis=0, keepdims=True)  # (1, R) i32
+
+        def intersect_chunk(c, best_pk, best_ch):
+            sl = pl.ds(pl.multiple_of(c * sc, sc), sc)
+            c_min = packed_min(
+                consts_ref[sl, dev.CONST_EX : dev.CONST_EX + 1],
+                consts_ref[sl, dev.CONST_EY : dev.CONST_EY + 1],
+                consts_ref[sl, dev.CONST_C1 : dev.CONST_C1 + 1],
+                consts_ref[sl, dev.CONST_P0X : dev.CONST_P0X + 1],
+                consts_ref[sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+                ids_sc,
+            )
+            upd = c_min < best_pk
             return (
-                jnp.where(upd, c_min, best_t),
-                jnp.where(upd, c_arg + c * sc, best_i),
+                jnp.where(upd, c_min, best_pk),
+                jnp.where(upd, c, best_ch),
             )
 
         # --- closest hit over segment chunks, with chunk culling ---
@@ -225,11 +272,84 @@ def _trace_kernel(
         # current closest hit, or (b) on the primary trace, it lies entirely
         # outside the block's direction wedge.  Both tests are conservative,
         # so culling is exact.
-        best_t = jnp.full((1, R), FAR, f32)
-        best_i = jnp.zeros((1, R), jnp.int32)
-        if n_chunks == 1:
-            best_t, best_i = intersect_chunk(0, best_t, best_i)
+        if use_cand and _bounce == 0:
+            # --- candidate-list closest hit (ops/candidates.py) ---
+            # The per-frame prepass compacted this (tile, wedge) block's
+            # possible segments into CAND_LEN gathered rows; overflowed
+            # cells carry a flag and take the exact full sweep instead.
+            cnd = cand_ref[0, 0]  # (L, C)
+            ids_l = jax.lax.broadcasted_iota(
+                jnp.int32, (cnd.shape[0], R), 0
+            )
+
+            def _cand_branch():
+                pk = packed_min(
+                    cnd[:, dev.CONST_EX : dev.CONST_EX + 1],
+                    cnd[:, dev.CONST_EY : dev.CONST_EY + 1],
+                    cnd[:, dev.CONST_C1 : dev.CONST_C1 + 1],
+                    cnd[:, dev.CONST_P0X : dev.CONST_P0X + 1],
+                    cnd[:, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+                    ids_l,
+                )
+                # map the winning slot back to its original segment id
+                slot = pk & _ID_MASK
+                idcol = cnd[:, cand_mod.COL_ID : cand_mod.COL_ID + 1]
+                best = jnp.sum(
+                    jnp.where(ids_l == slot, idcol, 0.0), axis=0, keepdims=True
+                )
+                return best.astype(jnp.int32), pk < _FAR_PACKED
+
+            def _full_branch():
+                pk = packed_min(
+                    consts_ref[:, dev.CONST_EX : dev.CONST_EX + 1],
+                    consts_ref[:, dev.CONST_EY : dev.CONST_EY + 1],
+                    consts_ref[:, dev.CONST_C1 : dev.CONST_C1 + 1],
+                    consts_ref[:, dev.CONST_P0X : dev.CONST_P0X + 1],
+                    consts_ref[:, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+                    ids_sc,
+                )
+                return pk & _ID_MASK, pk < _FAR_PACKED
+
+            overflowed = cnd[0, cand_mod.COL_OVERFLOW] > 0.0
+            best_i, hit = jax.lax.cond(overflowed, _full_branch, _cand_branch)
+            best_pk = None  # unused on this path
+        elif n_chunks == 1:
+            best_pk = jnp.full((1, R), _FAR_PACKED, jnp.int32)
+            best_ch = jnp.zeros((1, R), jnp.int32)
+            best_pk, best_ch = intersect_chunk(0, best_pk, best_ch)
+        elif use_chunk_lists and _bounce == 0:
+            # --- sorted chunk candidate walk (ops/candidates.py) ---
+            # The prepass compacted this (tile, wedge) block's possible
+            # chunks into an ascending-lower-bound list; walk it and stop as
+            # soon as the next chunk's lower bound exceeds the block's worst
+            # current closest hit.  Replaces the O(n_chunks) per-program
+            # scalar sweep (round 1's wall on lady_bug/dolphin scenes).
+            best_pk = jnp.full((1, R), _FAR_PACKED, jnp.int32)
+            best_ch = jnp.zeros((1, R), jnp.int32)
+            count = ccnt_ref[0, 0, 0]
+
+            def walk_cond(state):
+                i, pk, ch = state
+                # worst per-ray best t, quantized UP one key step; primary
+                # rays are unit-length to ~5e-7 (fastmath.sincos), covered
+                # by the 1e-5 slack on the bound.
+                bt_up = jax.lax.bitcast_convert_type(
+                    (pk & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                )
+                worst = jnp.max(bt_up) * jnp.float32(1.00001)
+                return (i < count) & (clbs_ref[0, 0, i] < worst)
+
+            def walk_body(state):
+                i, pk, ch = state
+                pk, ch = intersect_chunk(cids_ref[0, 0, i], pk, ch)
+                return i + 1, pk, ch
+
+            _, best_pk, best_ch = jax.lax.while_loop(
+                walk_cond, walk_body, (jnp.int32(0), best_pk, best_ch)
+            )
         else:
+            best_pk = jnp.full((1, R), _FAR_PACKED, jnp.int32)
+            best_ch = jnp.zeros((1, R), jnp.int32)
             # block bounding circle over ray origins
             oxmin, oxmax = jnp.min(ox), jnp.max(ox)
             oymin, oymax = jnp.min(oy), jnp.max(oy)
@@ -289,27 +409,40 @@ def _trace_kernel(
             near_c, near_lb = jax.lax.fori_loop(
                 1, n_chunks, nearest_body, (jnp.int32(0), chunk_lb(0))
             )
-            best_t, best_i = jax.lax.cond(
+            best_pk, best_ch = jax.lax.cond(
                 near_lb < FAR,
-                lambda bt, bi: intersect_chunk(near_c, bt, bi),
-                lambda bt, bi: (bt, bi),
-                best_t,
-                best_i,
+                lambda pk, ch: intersect_chunk(near_c, pk, ch),
+                lambda pk, ch: (pk, ch),
+                best_pk,
+                best_ch,
             )
 
             def sweep_body(c, carry):
-                bt, bi = carry
-                worst = jnp.max(bt) * maxd
+                pk, ch = carry
+                # Per-ray best t, quantized UP one key step so culling stays
+                # exact wrt the packed (quantized-down) ordering.
+                bt_up = jax.lax.bitcast_convert_type(
+                    (pk & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                )
+                worst = jnp.max(bt_up) * maxd
                 take = (chunk_lb(c) < worst) & (c != near_c)
                 return jax.lax.cond(
                     take,
-                    lambda bt, bi: intersect_chunk(c, bt, bi),
-                    lambda bt, bi: (bt, bi),
-                    bt,
-                    bi,
+                    lambda pk, ch: intersect_chunk(c, pk, ch),
+                    lambda pk, ch: (pk, ch),
+                    pk,
+                    ch,
                 )
 
-            best_t, best_i = jax.lax.fori_loop(0, n_chunks, sweep_body, (best_t, best_i))
+            best_pk, best_ch = jax.lax.fori_loop(
+                0, n_chunks, sweep_body, (best_pk, best_ch)
+            )
+
+        # Unpack: global winner id, hit mask.  The winner's exact t is
+        # recomputed after the gather (the key quantizes t to 2^-17).
+        if best_pk is not None:
+            best_i = (best_pk & _ID_MASK) + best_ch * sc
+            hit = best_pk < _FAR_PACKED
 
         # --- gather the winner's shade row + geometry consts (MXU) ---
         # Near-exact f32 gather from two single-pass bf16 matmuls: the
@@ -322,7 +455,7 @@ def _trace_kernel(
         if _ABLATE_STAGE == "intersect":
             out_ref[0] = (
                 jnp.zeros((8, PXB), f32)
-                + jnp.sum(best_t)
+                + jnp.sum(hit.astype(f32))
                 + jnp.sum(best_i.astype(f32))
             )
             return
@@ -361,6 +494,9 @@ def _trace_kernel(
                 (acc_hi, acc_lo),
             )
         acc = acc_hi + acc_lo
+        if _ABLATE_STAGE == "gather":
+            out_ref[0] = jnp.zeros((8, PXB), f32) + jnp.sum(acc)
+            return
 
         def g(row, n=1):
             return acc[row : row + n, :]
@@ -375,8 +511,7 @@ def _trace_kernel(
         gdenom = dx * gey - dy * gex
         ginv = jnp.where(gdenom == 0.0, 0.0, 1.0 / gdenom)
         t_hit = (gc1 - ox * gey + oy * gex) * ginv
-        s_hit = jnp.clip((dy * gp0x - dx * gp0y + (oy * dx - ox * dy)) * ginv, 0.0, 1.0)
-        hit = best_t < FAR
+        s_hit = jnp.clip((dy * gp0x - dx * gp0y + cross) * ginv, 0.0, 1.0)
         t_hit = jnp.where(hit, t_hit, 1.0)
 
         # Newton-refine onto the exact cubic (ops/refine.py): kills
@@ -462,6 +597,16 @@ def _trace_kernel(
 
     # --- per-pixel weighted reduction (DeviceCode.cu:153-181), accumulated
     # across the wedge grid steps (the same out_ref block is revisited) ---
+    if _ABLATE_STAGE == "shade":
+        out_ref[0] = (
+            jnp.zeros((8, PXB), f32)
+            + jnp.sum(out_r * out_w)
+            + jnp.sum(out_g)
+            + jnp.sum(out_b)
+            + jnp.sum(out_blur)
+        )
+        return
+
     rows = jnp.concatenate(
         [
             out_r * out_w,
@@ -549,18 +694,20 @@ def trace_sums_flat(
     n_traces = (config.max_trace_depth + 1) if scene.has_portals else 1
 
     cam = jnp.asarray(
-        [
-            camera.zoom_factor,
-            camera.offset_x,
-            camera.offset_y,
-            jnp.asarray(frame, jnp.float32),
-            jnp.asarray(px_start, jnp.float32),
-            0.0,
-            0.0,
-            0.0,
-        ],
-        jnp.float32,
+        [camera.zoom_factor, camera.offset_x, camera.offset_y, 0.0], jnp.float32
     )
+    # frame / px_start ride a separate int32 operand: squeezing them through
+    # the f32 camera vector silently rounds values >= 2^24 (8K-image row
+    # offsets, very long sessions).
+    meta = jnp.asarray(
+        [jnp.asarray(frame, jnp.int32), jnp.asarray(px_start, jnp.int32)], jnp.int32
+    )
+
+    n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
+    use_cand = cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
+    use_chunk_lists = n_chunks > 1
+    if _DISABLE_CAND:
+        use_cand = use_chunk_lists = False
 
     kernel = functools.partial(
         _trace_kernel,
@@ -573,6 +720,8 @@ def trace_sums_flat(
         px_per_program=pxb,
         samples_per_wedge=sw,
         n_wedges=n_wedges,
+        use_cand=use_cand,
+        use_chunk_lists=use_chunk_lists,
     )
 
     # bf16 hi/lo split, chunked 3-D for aligned dynamic indexing in-kernel:
@@ -585,16 +734,82 @@ def trace_sums_flat(
     allt_hi = allt3.astype(jnp.bfloat16)
     allt_lo = (allt3 - allt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
+    operands = [cam, meta, scene.chunk_bounds, scene.seg_consts, allt_hi, allt_lo]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if use_cand:
+        # Per-frame candidate prepass (ops/candidates.py), fused under the
+        # same jit; each program DMAs only its (tile, wedge) list.
+        cand = cand_mod.segment_candidates(
+            scene.seg_consts,
+            w,
+            h,
+            camera.zoom_factor,
+            camera.offset_x,
+            camera.offset_y,
+            rpp,
+            sw,
+            tiles_x,
+            tiles_y,
+            TILE_W,
+            tile_h,
+            px_start,
+            config.diffusion_curve_save,
+        )
+        operands.append(cand)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, cand_mod.CAND_LEN, dev.CONST_COLS),
+                lambda g, w_: (g, w_, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    if use_chunk_lists:
+        cids, clbs, ccnts = cand_mod.chunk_candidates(
+            scene.chunk_bounds,
+            w,
+            h,
+            camera.zoom_factor,
+            camera.offset_x,
+            camera.offset_y,
+            rpp,
+            sw,
+            tiles_x,
+            tiles_y,
+            TILE_W,
+            tile_h,
+            px_start,
+            config.diffusion_curve_save,
+        )
+        operands.extend([cids, clbs, ccnts])
+        in_specs.extend(
+            [
+                pl.BlockSpec(
+                    (1, 1, n_chunks),
+                    lambda g, w_: (g, w_, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, n_chunks),
+                    lambda g, w_: (g, w_, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 1), lambda g, w_: (g, w_, 0), memory_space=pltpu.SMEM
+                ),
+            ]
+        )
+
     sums = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_wedges),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 8, pxb), lambda g, w_: (g, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -603,7 +818,7 @@ def trace_sums_flat(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(cam, scene.chunk_bounds, scene.seg_consts, allt_hi, allt_lo)
+    )(*operands)
 
     # Unscramble tile order -> row-major: pixel i at (row, col) lives in
     # block (row//TH)*tiles_x + col//16 at offset (row%TH)*16 + col%16.

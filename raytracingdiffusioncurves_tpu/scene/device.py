@@ -302,19 +302,33 @@ def build_device_scene(
     )
 
 
-def intersect_consts(consts_slice: jax.Array, origins: jax.Array, dirs: jax.Array):
+def intersect_consts(
+    consts_slice: jax.Array,
+    origins: jax.Array,
+    dirs: jax.Array,
+    min_hit: float = 0.0,
+):
     """Intersect rays against a (S, CONST_COLS) slice of seg_consts.
 
     origins/dirs: (N, 2).  Returns (denom, t, s, valid) each (N, S).
     Shared by the pure-JAX path and (with transposed broadcasting) mirrors
     the math in the Pallas kernel; works under jit and inside kernels.
+
+    Validity is division-free sign algebra (identical in both paths, so hit
+    acceptance is bit-deterministic and immune to reciprocal implementation
+    differences):
+      * s in [0, 1]   <=>  num_s * (denom - num_s) >= 0
+      * t  > min_hit  <=>  (num_t - min_hit * denom) * denom > 0
+    The second product is also the denom != 0 guard (parallel rays and e = 0
+    padding rows yield 0, never > 0), which subsumes the old CONST_VALID
+    test.  Note t == min_hit exactly is now rejected (was accepted) — a
+    measure-zero boundary change shared by both paths.
     """
     ex = consts_slice[:, CONST_EX][None, :]
     ey = consts_slice[:, CONST_EY][None, :]
     c1 = consts_slice[:, CONST_C1][None, :]
     p0x = consts_slice[:, CONST_P0X][None, :]
     p0y = consts_slice[:, CONST_P0Y][None, :]
-    seg_valid = consts_slice[:, CONST_VALID][None, :] > 0.0
 
     ox, oy = origins[:, 0:1], origins[:, 1:2]
     dx, dy = dirs[:, 0:1], dirs[:, 1:2]
@@ -322,8 +336,10 @@ def intersect_consts(consts_slice: jax.Array, origins: jax.Array, dirs: jax.Arra
     denom = dx * ey - dy * ex
     num_t = c1 - ox * ey + oy * ex
     num_s = dy * p0x - dx * p0y + (oy * dx - ox * dy)
+    valid = (num_s * (denom - num_s) >= 0.0) & (
+        (num_t - jnp.float32(min_hit) * denom) * denom > 0.0
+    )
     inv = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
     t = num_t * inv
     s = num_s * inv
-    valid = (denom != 0.0) & (s >= 0.0) & (s <= 1.0) & seg_valid
     return denom, t, s, valid

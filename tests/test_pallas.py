@@ -152,3 +152,37 @@ def test_parity_rpp_blocking(rpp):
     xml = make_scene_xml([simple_curve([(10, 32), (30, 32), (40, 32), (50, 32)])], width=32, height=32)
     j, p = render_both(xml, rpp=rpp)
     assert_parity(j, p)
+
+
+def test_parity_segment_candidates():
+    """A 64-sub-segment single-chunk scene at rpp=32 activates the
+    per-(tile, wedge) segment candidate lists (ops/candidates.py); parity
+    against the brute-force JAX path proves the cull is exact, including
+    camera pan/zoom (candidate circles are camera-dependent)."""
+    from raytracingdiffusioncurves_tpu.ops import candidates as cm
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    pts = [(5, 5), (20, 8), (35, 20), (50, 30), (55, 45), (40, 55), (30, 58),
+           (20, 55), (10, 45), (8, 35), (15, 25), (25, 20), (35, 18)]
+    xml = make_scene_xml(
+        [
+            simple_curve(
+                pts,
+                left=[(0, "255,0,0"), (40, "0,0,255")],
+                right=[(0, "0,255,0"), (40, "255,255,0")],
+            )
+        ]
+    )
+    scene = rtdc.load_scene_from_string(xml)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=16)
+    assert dev.s_pad == 64  # single chunk, large enough for candidate lists
+    cfg = rtdc.RenderConfig(rays_per_pixel=32, use_blur=False, use_denoiser=False)
+    _, _, sw, nw = tp._choose_block(32, cfg.rays_per_block)
+    assert cm.use_candidates(dev.s_pad, 1, nw)  # guard the wiring
+    for cam in (rtdc.Camera(), rtdc.Camera(0.4, 6.0, -3.0)):
+        img_j, bm_j = rtdc.trace_image(dev, cam, cfg, backend="jax")
+        img_p, bm_p = rtdc.trace_image(dev, cam, cfg, backend="pallas")
+        assert_parity(
+            (np.asarray(img_j), np.asarray(bm_j)),
+            (np.asarray(img_p), np.asarray(bm_p)),
+        )
