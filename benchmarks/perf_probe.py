@@ -7,6 +7,7 @@ line of output is one JSON record.
 Usage:  python benchmarks/perf_probe.py [probe names...]
 """
 
+import functools
 import json
 import sys
 import time
@@ -36,24 +37,30 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False)
         # (static args don't include the global) by jitting the unwrapped fn.
         inner = trace_pallas.trace_sums_flat.__wrapped__
 
+        # The tunneled TPU costs ~40-50 ms per dispatched call, so K frames
+        # run inside ONE jit (sequential via the loop carry) — per-frame
+        # time then reflects device execution, not tunnel round-trips.
         @jax.jit
-        def run(off):
-            c, ws, b = inner(dev, rtdc.Camera(1.0, off, 0.0), config, 0, 0, w * h)
-            return jnp.sum(c) + jnp.sum(ws) + jnp.sum(b)
+        def run_n(off, n):
+            def body(i, s):
+                c, ws, b = inner(
+                    dev, rtdc.Camera(1.0, off + s * 0.0, 0.0), config, i, 0, w * h
+                )
+                return jnp.sum(c) + jnp.sum(ws) + jnp.sum(b)
+
+            # dynamic trip count: one compilation for any frame count
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         t0 = time.perf_counter()
-        s = run(jnp.float32(0.0))
-        float(s)
+        float(run_n(jnp.float32(0.0), 1))
         comp = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(frames):
-            s = run(s * 0.0)  # chain frames through a data dependency
-        float(s)
-        ms = (time.perf_counter() - t0) / frames * 1000
-        # per-call sync timing exposes dispatch/tunnel overhead
         t1 = time.perf_counter()
-        float(run(s * 0.0))
-        sync_ms = (time.perf_counter() - t1) * 1000
+        float(run_n(jnp.float32(0.0), 1))
+        sync_ms = (time.perf_counter() - t1) * 1000  # 1 frame + 1 dispatch
+        t0 = time.perf_counter()
+        float(run_n(jnp.float32(0.0), frames))
+        total = time.perf_counter() - t0  # 1 dispatch + `frames` frames
+        ms = total * 1000 / frames
         print(
             json.dumps(
                 {
@@ -96,6 +103,10 @@ PROBES = {
     ),
     "arch1024_gather": lambda: time_trace(
         f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="gather", label="arch1024_128"
+    ),
+    "arch1024_gather_nocand": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="gather", no_cand=True,
+        label="arch1024_128",
     ),
     "arch1024_shade": lambda: time_trace(
         f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="shade", label="arch1024_128"

@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=None, help="override image height")
     p.add_argument("--no-blur", action="store_true")
     p.add_argument("--no-denoiser", action="store_true")
+    p.add_argument("--denoiser-weights", default=None, metavar="MSGPACK",
+                   help="trained CNN denoiser weights (models/train_denoiser.py); "
+                   "replaces the analytic temporal denoiser")
     p.add_argument("--no-aa", action="store_true")
     p.add_argument("--no-diffusion-save", action="store_true")
     p.add_argument("--zoom", type=float, default=1.0)
@@ -86,13 +89,22 @@ def main(argv=None) -> int:
         state, camera, _ = load_session(args.resume)
         print(f"resumed at frame {int(state.frame)} from {args.resume}")
 
+    denoiser_params = None
+    if args.denoiser_weights:
+        from .models import denoiser as dn
+
+        denoiser_params = dn.load_params(args.denoiser_weights)
+
     if args.devices > 1:
         from .parallel import sharded
 
         mesh = sharded.make_mesh(args.devices)
         run = lambda cam, st: sharded.render_frame_sharded(mesh, dev, cam, st, config)
     else:
-        run = lambda cam, st: render_frame(dev, cam, st, config, backend=args.backend)
+        run = lambda cam, st: render_frame(
+            dev, cam, st, config, backend=args.backend,
+            denoiser_params=denoiser_params,
+        )
 
     # Warmup/compile counts as setup, matching the reference whose OptiX
     # pipeline compilation happens before the timer print (optixHello.cpp:1156).

@@ -27,10 +27,13 @@ from flax import linen as nn
 
 
 class DenoiserNet(nn.Module):
-    """Residual CNN: input (noisy rgb, prev-warped rgb, blur map) -> rgb.
+    """Residual CNN: input (noisy rgb, prev-warped rgb, aux) -> rgb.
 
     Mirrors the OptiX temporal denoiser's interface: current frame + flow-
-    warped previous output as guide (optixHello.cpp:1115-1127)."""
+    warped previous output as guide (optixHello.cpp:1115-1127).  ``aux``
+    carries the blur map plus a constant noise-level channel (1/sqrt(rpp)),
+    so ONE set of weights serves every rays-per-pixel setting — the
+    conditioning that fixed round 1's overfit-to-one-noise-level recipe."""
 
     features: int = 24
     depth: int = 3
@@ -52,10 +55,12 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def create_train_state(rng_key, height: int, width: int, lr: float = 1e-3):
+def create_train_state(
+    rng_key, height: int, width: int, lr: float = 1e-3, aux_channels: int = 2
+):
     model = DenoiserNet()
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
-    aux = jnp.zeros((1, height, width, 1), jnp.float32)
+    aux = jnp.zeros((1, height, width, aux_channels), jnp.float32)
     params = model.init(rng_key, dummy, dummy, aux)
     tx = optax.adam(lr)
     return model, TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0)), tx
@@ -82,22 +87,44 @@ def train_step(model, tx, state: TrainState, batch):
     return TrainState(params, opt_state, state.step + 1), loss
 
 
-def make_batch_from_renders(noisy_img, target_img, prev_img, blur_map):
+def noise_level(rays_per_pixel) -> float:
+    """Monte-Carlo noise scale of a render: ~1/sqrt(rpp)."""
+    return float(1.0 / np.sqrt(float(rays_per_pixel)))
+
+
+def make_batch_from_renders(noisy_img, target_img, prev_img, blur_map, noise=0.0):
     """Assemble one training example from renderer outputs (leading batch dim
-    added)."""
+    added); ``noise`` is the noisy render's noise_level(rpp)."""
+    aux = jnp.stack(
+        [blur_map, jnp.full_like(blur_map, jnp.float32(noise))], axis=-1
+    )
     return {
         "noisy": noisy_img[None, ..., :3],
         "warped_prev": prev_img[None, ..., :3],
-        "aux": blur_map[None, ..., None],
+        "aux": aux[None],
         "target": target_img[None, ..., :3],
     }
 
 
-def apply_denoiser(model, params, image, warped_prev, blur_map, mix: float = 1.0):
+def load_params(path: str):
+    """Load trained weights (flax serialization) for apply_denoiser."""
+    from flax import serialization
+
+    model, state, _ = create_train_state(jax.random.key(0), 16, 16)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(state.params, f.read())
+
+
+def apply_denoiser(
+    model, params, image, warped_prev, blur_map, mix: float = 1.0, noise: float = 0.0
+):
     """Inference wrapper matching the blendFactor semantics
     (optixHello.cpp:1131): mix=1 -> fully denoised."""
+    aux = jnp.stack(
+        [blur_map, jnp.full_like(blur_map, jnp.float32(noise))], axis=-1
+    )
     pred = model.apply(
-        params, image[None, ..., :3], warped_prev[None, ..., :3], blur_map[None, ..., None]
+        params, image[None, ..., :3], warped_prev[None, ..., :3], aux[None]
     )[0]
     alpha = jnp.ones(image.shape[:2] + (1,), jnp.float32)
     denoised = jnp.concatenate([pred, alpha], axis=-1)

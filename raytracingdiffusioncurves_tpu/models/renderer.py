@@ -178,6 +178,7 @@ def render_frame(
             denoised = dn.apply_denoiser(
                 dn.DenoiserNet(), denoiser_params, image, warped, blur_map,
                 mix=config.corrected_image_mix,
+                noise=dn.noise_level(config.rays_per_pixel),
             )
         else:
             denoised = denoise_ops.temporal_denoise(

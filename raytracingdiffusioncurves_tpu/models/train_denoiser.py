@@ -7,9 +7,19 @@ no external dataset: for random scenes/cameras, render a noisy low-rpp frame
 optixHello.cpp:1115-1127) and supervise against a high-rpp render of the
 same view.
 
+Round-2 recipe (round 1 overfit: few scenes, one noise level, full-frame
+batch-1 steps): the expensive rendering is done ONCE into an .npz dataset
+(many scenes x cameras x noise levels), then training draws random crops
+with flip/transpose augmentation in shuffled minibatches, conditioned on a
+noise-level channel, and validates on held-out scenes.
+
 Usage:
-    python -m raytracingdiffusioncurves_tpu.models.train_denoiser \
-        --scenes /root/reference/optixHello/xmls --steps 200 --out denoiser.msgpack
+    # 1. render the dataset (TPU-fast; scenes compile once each)
+    python -m raytracingdiffusioncurves_tpu.models.train_denoiser gen \
+        --out denoise_data.npz [--val-out denoise_val.npz]
+    # 2. train on crops (CPU is fine at this model size)
+    python -m raytracingdiffusioncurves_tpu.models.train_denoiser train \
+        --data denoise_data.npz --val denoise_val.npz --out denoiser.msgpack
 """
 
 from __future__ import annotations
@@ -29,14 +39,33 @@ from ..ops import flow as flow_ops
 from ..scene.device import build_device_scene
 from ..scene.xml_loader import load_scene
 
+XMLS = "/root/reference/optixHello/xmls"
+# Held-out scenes never seen in training (validation generalization check).
+VAL_SCENES = ("weight_demo.xml", "DiffusionCurvePack/zephyr.xml")
+TRAIN_SCENES = (
+    "arch.xml",
+    "arch2.xml",
+    "circles.xml",
+    "endcap.xml",
+    "line.xml",
+    "PortalDemo.xml",
+    "test.xml",
+    "test3.xml",
+    "DiffusionCurvePack/lady_bug.xml",
+    "DiffusionCurvePack/drape.xml",
+    "DiffusionCurvePack/face.xml",
+    "DiffusionCurvePack/roses_spirales.xml",
+)
 
-def sample_example(dev, rng: np.random.Generator, size: int, backend: str, frame: int):
+
+def sample_example(dev, rng: np.random.Generator, size: int, backend: str, frame: int,
+                   rpp_lo: int = 8, rpp_hi: int = 256):
     """One (noisy, warped_prev, aux, target) example from a random camera."""
     zoom = float(np.exp(rng.uniform(np.log(0.3), np.log(2.0))))
     off = rng.uniform(-100, 100, 2)
     cam = Camera(zoom, float(off[0]), float(off[1]))
-    lo = RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False, seed=frame)
-    hi = RenderConfig(rays_per_pixel=256, use_blur=False, use_denoiser=False, seed=frame)
+    lo = RenderConfig(rays_per_pixel=rpp_lo, use_blur=False, use_denoiser=False, seed=frame)
+    hi = RenderConfig(rays_per_pixel=rpp_hi, use_blur=False, use_denoiser=False, seed=frame)
     noisy, blur_map = renderer.trace_image(dev, cam, lo, frame, backend)
     target, _ = renderer.trace_image(dev, cam, hi, frame, backend)
     # previous frame: slightly different camera, warped back by the true flow
@@ -45,68 +74,139 @@ def sample_example(dev, rng: np.random.Generator, size: int, backend: str, frame
                                    lo, frame + 1, backend)
     fl = flow_ops.add_zoom_flow(flow_ops.zero_flow(*noisy.shape[:2]), zoom_prev, zoom)
     warped = flow_ops.warp_by_flow(prev, fl)
-    return dn.make_batch_from_renders(noisy, target, warped, blur_map)
+    return dn.make_batch_from_renders(noisy, target, warped, blur_map,
+                                      noise=dn.noise_level(rpp_lo))
+
+
+def generate(scene_names, out_path, size=192, cams_per_scene=6, seed=0):
+    """Render a dataset: every scene x camera x noise level, saved float16."""
+    backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    rng = np.random.default_rng(seed)
+    rpp_levels = (4, 8, 16, 32)
+    rows = {"noisy": [], "warped_prev": [], "aux": [], "target": []}
+    frame = 0
+    for name in scene_names:
+        path = os.path.join(XMLS, name)
+        scene = load_scene(path)
+        scene.__dict__["width"] = scene.__dict__["height"] = size
+        dev = build_device_scene(scene, flatten_subdivisions=8)
+        for c in range(cams_per_scene):
+            rpp = int(rpp_levels[c % len(rpp_levels)])
+            b = sample_example(dev, rng, size, backend, frame=frame, rpp_lo=rpp)
+            for k in rows:
+                rows[k].append(np.asarray(b[k][0], np.float16))
+            frame += 7
+        print(f"{name}: {cams_per_scene} examples", flush=True)
+    np.savez_compressed(out_path, **{k: np.stack(v) for k, v in rows.items()})
+    print(f"wrote {out_path}")
+
+
+def _crop_batch(data, rng: np.random.Generator, batch: int, crop: int):
+    """Random crops + dihedral augmentation from the f16 dataset."""
+    n, h, w = data["noisy"].shape[:3]
+    idx = rng.integers(n, size=batch)
+    ys = rng.integers(h - crop + 1, size=batch)
+    xs = rng.integers(w - crop + 1, size=batch)
+    flips = rng.integers(4, size=batch)
+    out = {k: [] for k in data}
+    for i in range(batch):
+        for k in data:
+            v = data[k][idx[i], ys[i] : ys[i] + crop, xs[i] : xs[i] + crop]
+            if flips[i] & 1:
+                v = v[::-1]
+            if flips[i] & 2:
+                v = v[:, ::-1]
+            out[k].append(v.astype(np.float32))
+    return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+
+def _psnr_vs_target(model, params, data) -> float:
+    """Full-image PSNR of the denoised output over a dataset (uint8 domain,
+    matching utils.image.psnr semantics)."""
+    from ..utils.image import psnr, to_uint8
+
+    vals = []
+    for i in range(data["noisy"].shape[0]):
+        b = {k: jnp.asarray(data[k][i : i + 1], jnp.float32) for k in data}
+        pred = model.apply(params, b["noisy"], b["warped_prev"], b["aux"])
+
+        def q(x):
+            return to_uint8(np.asarray(x[0]), False).astype(np.float64) / 255.0
+
+        vals.append(psnr(q(pred), q(b["target"])))
+    return float(np.mean(vals))
+
+
+def _psnr_noisy(data) -> float:
+    from ..utils.image import psnr, to_uint8
+
+    vals = []
+    for i in range(data["noisy"].shape[0]):
+        def q(x):
+            return to_uint8(np.asarray(x, np.float32), False).astype(np.float64) / 255.0
+
+        vals.append(psnr(q(data["noisy"][i]), q(data["target"][i])))
+    return float(np.mean(vals))
+
+
+def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
+          lr=2e-3, seed=0):
+    data = dict(np.load(data_path))
+    val = dict(np.load(val_path)) if val_path else None
+    rng = np.random.default_rng(seed)
+    model, state, tx = dn.create_train_state(jax.random.key(seed), crop, crop, lr)
+
+    best = (-1.0, state.params)
+    for step in range(steps):
+        b = _crop_batch(data, rng, batch, crop)
+        state, loss = dn.train_step(model, tx, state, b)
+        if step % 250 == 0 or step == steps - 1:
+            msg = f"step {step}: loss {float(loss):.5f}"
+            if val is not None:
+                vp = _psnr_vs_target(model, state.params, val)
+                msg += f"  val_psnr {vp:.2f}"
+                if vp > best[0]:
+                    best = (vp, jax.tree.map(np.asarray, state.params))
+            print(msg, flush=True)
+
+    params = best[1] if best[0] > 0 else state.params
+    if val is not None:
+        print(f"best val_psnr {best[0]:.2f} (noisy {_psnr_noisy(val):.2f})")
+    from flax import serialization
+
+    with open(out_path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    print(f"wrote {out_path}")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--scenes", default="/root/reference/optixHello/xmls")
-    p.add_argument("--steps", type=int, default=200)
-    p.add_argument("--size", type=int, default=128)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--out", default="denoiser_params.msgpack")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--n-scenes", type=int, default=4)
-    p.add_argument("--val-scene", default=None,
-                   help="held-out scene xml for periodic validation PSNR")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen", help="render the training/validation datasets")
+    g.add_argument("--out", default="denoise_data.npz")
+    g.add_argument("--val-out", default=None)
+    g.add_argument("--size", type=int, default=192)
+    g.add_argument("--cams", type=int, default=6)
+    g.add_argument("--seed", type=int, default=0)
+    t = sub.add_parser("train", help="train on a rendered dataset")
+    t.add_argument("--data", required=True)
+    t.add_argument("--val", default=None)
+    t.add_argument("--out", default="denoiser_params.msgpack")
+    t.add_argument("--steps", type=int, default=4000)
+    t.add_argument("--batch", type=int, default=32)
+    t.add_argument("--crop", type=int, default=64)
+    t.add_argument("--lr", type=float, default=2e-3)
+    t.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    backend = "pallas" if jax.default_backend() == "tpu" else "jax"
-    rng = np.random.default_rng(args.seed)
-
-    paths = sorted(glob.glob(os.path.join(args.scenes, "*.xml")))
-    devs = []
-    # Each distinct scene compiles its own trace kernels (minutes on a
-    # tunneled TPU) — the pool size trades compile time for generalization.
-    for path in paths[: args.n_scenes]:
-        scene = load_scene(path)
-        scene.__dict__["width"] = args.size
-        scene.__dict__["height"] = args.size
-        devs.append(build_device_scene(scene, flatten_subdivisions=8))
-
-    val = None
-    if args.val_scene:
-        vs = load_scene(args.val_scene)
-        vs.__dict__["width"] = args.size
-        vs.__dict__["height"] = args.size
-        val = build_device_scene(vs, flatten_subdivisions=8)
-
-    model, state, tx = dn.create_train_state(jax.random.key(args.seed), args.size, args.size, args.lr)
-
-    def validate():
-        if val is None:
-            return ""
-        from ..utils.image import psnr, to_uint8
-
-        vb = sample_example(val, np.random.default_rng(123), args.size, backend, frame=10_000)
-        pred = model.apply(state.params, vb["noisy"], vb["warped_prev"], vb["aux"])
-        def q(x):
-            return to_uint8(np.asarray(x[0]), False).astype(np.float64) / 255.0
-        return (f"  val_psnr {psnr(q(pred), q(vb['target'])):.2f} "
-                f"(noisy {psnr(q(vb['noisy']), q(vb['target'])):.2f})")
-
-    for step in range(args.steps):
-        dev = devs[int(rng.integers(len(devs)))]
-        batch = sample_example(dev, rng, args.size, backend, frame=step)
-        state, loss = dn.train_step(model, tx, state, batch)
-        if step % 50 == 0:
-            print(f"step {step}: loss {float(loss):.5f}{validate()}", flush=True)
-
-    from flax import serialization
-
-    with open(args.out, "wb") as f:
-        f.write(serialization.to_bytes(state.params))
-    print(f"wrote {args.out}")
+    if args.cmd == "gen":
+        generate(TRAIN_SCENES, args.out, args.size, args.cams, args.seed)
+        if args.val_out:
+            generate(VAL_SCENES, args.val_out, args.size, max(args.cams // 2, 2),
+                     args.seed + 1)
+    else:
+        train(args.data, args.val, args.out, args.steps, args.batch, args.crop,
+              args.lr, args.seed)
 
 
 if __name__ == "__main__":

@@ -33,19 +33,22 @@ import numpy as np
 from ..scene import device as dev
 
 # Candidate list length (sub-segments).  Static so block shapes never depend
-# on the camera; overflowing cells fall back to the full sweep.
+# on the camera; overflowing cells fall back to the full sweep.  The kernel
+# sweeps only ceil(count/8) 8-row groups of the list, so the typical cost
+# tracks the MEAN candidate count (~6 on arch), not CAND_LEN.
 CAND_LEN = 32
 # Column of the gathered candidate row holding the original segment id (f32,
-# exact for ids < 2^24) and the per-cell overflow flag.
+# exact for ids < 2^24) and the per-cell candidate count (CAND_LEN + 1
+# signals overflow).
 COL_ID = 6
-COL_OVERFLOW = 7
+COL_COUNT = 7
 
 
 def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
     """Candidate lists pay off when the full sweep is bigger than the list
     and the wedge actually narrows directions (single-chunk scenes only;
     multi-chunk scenes use chunk-granularity lists instead)."""
-    return n_chunks == 1 and s_pad >= 2 * CAND_LEN and n_wedges > 1
+    return n_chunks == 1 and s_pad > CAND_LEN and n_wedges > 1
 
 
 def _tile_circles(
@@ -168,15 +171,17 @@ def segment_candidates(
     key = jnp.where(mask, iota[None, None, :], jnp.int32(s_pad))
     ids = jax.lax.sort(key, dimension=-1)[..., :CAND_LEN]  # (W, T, L)
     count = jnp.sum(mask, axis=-1)  # (W, T)
-    overflow = (count > CAND_LEN).astype(f32)
+    # count capped at CAND_LEN + 1: the kernel reads "count > CAND_LEN" as
+    # the overflow signal and falls back to the full sweep.
+    count = jnp.minimum(count, CAND_LEN + 1).astype(f32)
 
     # gather; slot >= count hits the appended zero row
     consts_ext = jnp.concatenate([consts, jnp.zeros((1, consts.shape[1]), f32)], 0)
     cand = consts_ext[ids]  # (W, T, L, C)
     slot_used = ids < s_pad
     cand = cand.at[..., COL_ID].set(jnp.where(slot_used, ids, 0).astype(f32))
-    cand = cand.at[..., COL_OVERFLOW].set(
-        jnp.broadcast_to(overflow[..., None], ids.shape)
+    cand = cand.at[..., COL_COUNT].set(
+        jnp.broadcast_to(count[..., None], ids.shape)
     )
     return jnp.swapaxes(cand, 0, 1)  # (T, W, L, C)
 
@@ -255,9 +260,14 @@ def chunk_candidates(
         jnp.arange(n_chunks, dtype=jnp.int32)[None, None, :], mask.shape
     )
     lbs, ids = jax.lax.sort((lbs, ids), dimension=-1, num_keys=1)
-    counts = jnp.sum(mask, axis=-1).astype(jnp.int32)[..., None]  # (W, T, 1)
+    counts = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (W, T)
+    # (T*W, 1, C) layout: Mosaic requires the last two block dims to divide
+    # (8, 128) or equal the array dims; folding (tile, wedge) into the
+    # leading axis makes the (1, C) block equal to the trailing array dims.
+    n_w = ids.shape[0]
+    n_t = ids.shape[1]
     return (
-        jnp.swapaxes(ids, 0, 1),
-        jnp.swapaxes(lbs, 0, 1),
-        jnp.swapaxes(counts, 0, 1),
+        jnp.swapaxes(ids, 0, 1).reshape(n_t * n_w, 1, n_chunks),
+        jnp.swapaxes(lbs, 0, 1).reshape(n_t * n_w, 1, n_chunks),
+        jnp.swapaxes(counts, 0, 1).reshape(n_t * n_w, 1, 1),
     )

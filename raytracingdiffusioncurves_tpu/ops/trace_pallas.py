@@ -122,6 +122,7 @@ def _trace_kernel(
     n_wedges: int,
     use_cand: bool = False,
     use_chunk_lists: bool = False,
+    uniform_wd: float | None = None,
 ):
     if use_cand:
         cand_ref, out_ref = refs
@@ -156,13 +157,29 @@ def _trace_kernel(
 
     # --- raygen (DeviceCode.cu:85-150) ---
     # Computed in (8, R/8) layout: (1, R) vectors occupy one sublane of each
-    # vreg (1/8 VPU utilization), and raygen is ~100 elementwise ops — in
-    # round 1 it cost as much as a 64-row intersection sweep.  Ray index
-    # ridx = sublane*RL + lane matches the row-major reshape to (1, R) below.
-    RL = R // 8
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, RL), 0)
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, RL), 1)
+    # vreg (1/8 VPU utilization), and raygen + shading are ~250 elementwise
+    # ops — in round 1 they dominated the headline frame.  Ray index
+    # ridx = sublane*RL + lane matches the row-major (1, R) flattening, so
+    # flat()/unflat() below are pure relayouts.  Mosaic supports the fold
+    # direction as tpu.reshape but not the expansion, which is written as 8
+    # static lane slices + a sublane concat — that needs RL to be a lane
+    # multiple, so small blocks (R < 1024) stay fully flat.
+    eight = R % 1024 == 0
+    RSHP = (8, R // 8) if eight else (1, R)
+    RL = RSHP[1]
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, RSHP, 0)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, RSHP, 1)
     ridx = sub8 * RL + lane8
+
+    def flat(v):  # RSHP -> (1, R)
+        return v if not eight else v.reshape(1, R)
+
+    def unflat(v):  # (1, R) -> RSHP
+        if not eight:
+            return v
+        return jnp.concatenate(
+            [v[:, i * RL : (i + 1) * RL] for i in range(8)], axis=0
+        )
     # SW and TILE_W are powers of two: index chains are shifts and masks.
     sw_sh = SW.bit_length() - 1
     tw_sh = TILE_W.bit_length() - 1
@@ -193,15 +210,13 @@ def _trace_kernel(
     # bit-identical to the pure-JAX path's raygen.
     dy, dx = fastmath.sincos(theta)
 
-    # Relayout to the (1, R) broadcast shape the segment sweep needs.
-    ox = ox.reshape(1, R)
-    oy = oy.reshape(1, R)
-    dx = dx.reshape(1, R)
-    dy = dy.reshape(1, R)
+    # Ray state and all per-ray shading math stay in the (8, RL) layout;
+    # only the segment sweep (which broadcasts rays against segment rows)
+    # sees flat (1, R) views, via cheap per-array relayouts.
 
-    # --- portal accumulation state (1, R) ---
-    ones = jnp.ones((1, R), f32)
-    zeros = jnp.zeros((1, R), f32)
+    # --- portal accumulation state (RSHP layout) ---
+    ones = jnp.ones(RSHP, f32)
+    zeros = jnp.zeros(RSHP, f32)
     filt_r, filt_g, filt_b = ones, ones, ones
     inv_w = zeros
     blur_prod = ones
@@ -218,10 +233,16 @@ def _trace_kernel(
     ids_sc = jax.lax.broadcasted_iota(jnp.int32, (sc, R), 0)
 
     for _bounce in range(n_traces):
-        # Hoisted per-ray cross term of num_s (constant across segments).
-        cross = oy * dx - ox * dy
+        # Flat (1, R) views of the ray state for the segment sweep, plus the
+        # hoisted per-ray cross term of num_s (constant across segments).
+        oxf = flat(ox)
+        oyf = flat(oy)
+        dxf = flat(dx)
+        dyf = flat(dy)
+        crossf = flat(oy * dx - ox * dy)
 
-        def packed_min(ex, ey, c1, p0x, p0y, ids, cross=cross):
+        def packed_min(ex, ey, c1, p0x, p0y, ids,
+                       ox=oxf, oy=oyf, dx=dxf, dy=dyf, cross=crossf):
             """Closest hit over (n, 1) constant columns: (1, R) packed key.
 
             Division-free validity by sign algebra, identical to the JAX
@@ -275,21 +296,34 @@ def _trace_kernel(
         if use_cand and _bounce == 0:
             # --- candidate-list closest hit (ops/candidates.py) ---
             # The per-frame prepass compacted this (tile, wedge) block's
-            # possible segments into CAND_LEN gathered rows; overflowed
-            # cells carry a flag and take the exact full sweep instead.
+            # possible segments into CAND_LEN gathered rows; the sweep walks
+            # only ceil(count/8) 8-row groups, so typical cost tracks the
+            # mean candidate count (~6 on arch vs 56 total rows).
+            # Overflowed cells take the exact full sweep instead.
             cnd = cand_ref[0, 0]  # (L, C)
-            ids_l = jax.lax.broadcasted_iota(
-                jnp.int32, (cnd.shape[0], R), 0
-            )
+            cand_len = cnd.shape[0]
+            cnt = cnd[0, cand_mod.COL_COUNT].astype(jnp.int32)
+            ids_l = jax.lax.broadcasted_iota(jnp.int32, (cand_len, R), 0)
+            ids_8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
 
             def _cand_branch():
-                pk = packed_min(
-                    cnd[:, dev.CONST_EX : dev.CONST_EX + 1],
-                    cnd[:, dev.CONST_EY : dev.CONST_EY + 1],
-                    cnd[:, dev.CONST_C1 : dev.CONST_C1 + 1],
-                    cnd[:, dev.CONST_P0X : dev.CONST_P0X + 1],
-                    cnd[:, dev.CONST_P0Y : dev.CONST_P0Y + 1],
-                    ids_l,
+                def group(i, pk):
+                    sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
+                    gmin = packed_min(
+                        cand_ref[0, 0, sl, dev.CONST_EX : dev.CONST_EX + 1],
+                        cand_ref[0, 0, sl, dev.CONST_EY : dev.CONST_EY + 1],
+                        cand_ref[0, 0, sl, dev.CONST_C1 : dev.CONST_C1 + 1],
+                        cand_ref[0, 0, sl, dev.CONST_P0X : dev.CONST_P0X + 1],
+                        cand_ref[0, 0, sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+                        ids_8 + i * 8,
+                    )
+                    return jnp.minimum(pk, gmin)
+
+                pk = jax.lax.fori_loop(
+                    0,
+                    (cnt + 7) >> 3,
+                    group,
+                    jnp.full((1, R), _FAR_PACKED, jnp.int32),
                 )
                 # map the winning slot back to its original segment id
                 slot = pk & _ID_MASK
@@ -297,7 +331,7 @@ def _trace_kernel(
                 best = jnp.sum(
                     jnp.where(ids_l == slot, idcol, 0.0), axis=0, keepdims=True
                 )
-                return best.astype(jnp.int32), pk < _FAR_PACKED
+                return best.astype(jnp.int32), (pk < _FAR_PACKED).astype(jnp.int32)
 
             def _full_branch():
                 pk = packed_min(
@@ -308,10 +342,10 @@ def _trace_kernel(
                     consts_ref[:, dev.CONST_P0Y : dev.CONST_P0Y + 1],
                     ids_sc,
                 )
-                return pk & _ID_MASK, pk < _FAR_PACKED
+                return pk & _ID_MASK, (pk < _FAR_PACKED).astype(jnp.int32)
 
-            overflowed = cnd[0, cand_mod.COL_OVERFLOW] > 0.0
-            best_i, hit = jax.lax.cond(overflowed, _full_branch, _cand_branch)
+            overflowed = cnt > cand_len
+            best_i, hit32 = jax.lax.cond(overflowed, _full_branch, _cand_branch)
             best_pk = None  # unused on this path
         elif n_chunks == 1:
             best_pk = jnp.full((1, R), _FAR_PACKED, jnp.int32)
@@ -438,11 +472,13 @@ def _trace_kernel(
                 0, n_chunks, sweep_body, (best_pk, best_ch)
             )
 
-        # Unpack: global winner id, hit mask.  The winner's exact t is
-        # recomputed after the gather (the key quantizes t to 2^-17).
+        # Unpack: global winner id, hit mask (i32 0/1 — Mosaic cannot
+        # reshape i1 vectors, and the mask is relayouted for shading).  The
+        # winner's exact t is recomputed after the gather (the key
+        # quantizes t to 2^-17).
         if best_pk is not None:
             best_i = (best_pk & _ID_MASK) + best_ch * sc
-            hit = best_pk < _FAR_PACKED
+            hit32 = (best_pk < _FAR_PACKED).astype(jnp.int32)
 
         # --- gather the winner's shade row + geometry consts (MXU) ---
         # Near-exact f32 gather from two single-pass bf16 matmuls: the
@@ -455,7 +491,7 @@ def _trace_kernel(
         if _ABLATE_STAGE == "intersect":
             out_ref[0] = (
                 jnp.zeros((8, PXB), f32)
-                + jnp.sum(hit.astype(f32))
+                + jnp.sum(hit32.astype(f32))
                 + jnp.sum(best_i.astype(f32))
             )
             return
@@ -498,8 +534,13 @@ def _trace_kernel(
             out_ref[0] = jnp.zeros((8, PXB), f32) + jnp.sum(acc)
             return
 
-        def g(row, n=1):
-            return acc[row : row + n, :]
+        # Shading runs in the (8, RL) ray layout (full VPU sublane
+        # utilization — the (1, R) shading of round 1 cost ~70 ms of the
+        # headline frame); each consumed row of acc is relayouted once.
+        def g(row):
+            return unflat(acc[row : row + 1, :])
+
+        hit = unflat(hit32) > 0
 
         # Recompute exact chord t, s from the gathered per-segment consts —
         # the chunk loop used an approximate reciprocal for speed.
@@ -511,7 +552,9 @@ def _trace_kernel(
         gdenom = dx * gey - dy * gex
         ginv = jnp.where(gdenom == 0.0, 0.0, 1.0 / gdenom)
         t_hit = (gc1 - ox * gey + oy * gex) * ginv
-        s_hit = jnp.clip((dy * gp0x - dx * gp0y + cross) * ginv, 0.0, 1.0)
+        s_hit = jnp.clip(
+            (dy * gp0x - dx * gp0y + (oy * dx - ox * dy)) * ginv, 0.0, 1.0
+        )
         t_hit = jnp.where(hit, t_hit, 1.0)
 
         # Newton-refine onto the exact cubic (ops/refine.py): kills
@@ -526,9 +569,9 @@ def _trace_kernel(
         t_hit = jnp.where(hit, t_ref, t_hit)
         s_hit = jnp.clip((tau - gt0) / jnp.where(gdt == 0.0, 1.0, gdt), 0.0, 1.0)
 
-        def lerp(c0, c1_, n=1):
-            a = acc[c0 : c0 + n, :]
-            b = acc[c1_ : c1_ + n, :]
+        def lerp(c0, c1_):
+            a = g(c0)
+            b = g(c1_)
             return a + (b - a) * s_hit
 
         # Side test (isRayRight, DeviceCode.cu:78-83): normal = (dy, -dx) of
@@ -541,11 +584,19 @@ def _trace_kernel(
         else:
             is_right = ndotd <= 0.0
 
-        cl = lerp(dev.COL_CL0, dev.COL_CL1, 3)
-        cr = lerp(dev.COL_CR0, dev.COL_CR1, 3)
-        col_r = jnp.where(is_right, cr[0:1], cl[0:1])
-        col_g = jnp.where(is_right, cr[1:2], cl[1:2])
-        col_b = jnp.where(is_right, cr[2:3], cl[2:3])
+        col_r = jnp.where(
+            is_right, lerp(dev.COL_CR0, dev.COL_CR1), lerp(dev.COL_CL0, dev.COL_CL1)
+        )
+        col_g = jnp.where(
+            is_right,
+            lerp(dev.COL_CR0 + 1, dev.COL_CR1 + 1),
+            lerp(dev.COL_CL0 + 1, dev.COL_CL1 + 1),
+        )
+        col_b = jnp.where(
+            is_right,
+            lerp(dev.COL_CR0 + 2, dev.COL_CR1 + 2),
+            lerp(dev.COL_CL0 + 2, dev.COL_CL1 + 2),
+        )
 
         blur_h = lerp(dev.COL_BLUR0, dev.COL_BLUR1)
         wm = lerp(dev.COL_WM0, dev.COL_WM1)
@@ -554,7 +605,20 @@ def _trace_kernel(
 
         # weight = wm * t^(-wd) (DeviceCode.cu:330); IEEE 1/0=inf semantics
         # make weight-0 curves occlude without contributing (:310).
-        w_self = wm * jnp.exp(-wd * jnp.log(jnp.maximum(t_hit, 1e-30)))
+        # Scene-uniform weight degrees specialize the pow (exp/log pair) to
+        # rsqrt / div / nothing — last-ulp differences vs the generic form,
+        # well under the parity tolerances.
+        t_c = jnp.maximum(t_hit, 1e-30)
+        if uniform_wd == 0.5:
+            w_self = wm * jax.lax.rsqrt(t_c)
+        elif uniform_wd == 0.0:
+            w_self = wm
+        elif uniform_wd == 1.0:
+            w_self = wm * (1.0 / t_c)
+        elif uniform_wd == 2.0:
+            w_self = wm * (1.0 / (t_c * t_c))
+        else:
+            w_self = wm * jnp.exp(-wd * jnp.log(t_c))
 
         terminal = alive & hit & ~is_portal
         w_final = 1.0 / (inv_w + 1.0 / w_self)
@@ -609,11 +673,11 @@ def _trace_kernel(
 
     rows = jnp.concatenate(
         [
-            out_r * out_w,
-            out_g * out_w,
-            out_b * out_w,
-            out_w,
-            out_blur * out_w,
+            flat(out_r * out_w),
+            flat(out_g * out_w),
+            flat(out_b * out_w),
+            flat(out_w),
+            flat(out_blur * out_w),
             jnp.zeros((3, R), f32),
         ],
         axis=0,
@@ -722,6 +786,7 @@ def trace_sums_flat(
         n_wedges=n_wedges,
         use_cand=use_cand,
         use_chunk_lists=use_chunk_lists,
+        uniform_wd=scene.uniform_wd,
     )
 
     # bf16 hi/lo split, chunked 3-D for aligned dynamic indexing in-kernel:
@@ -787,22 +852,15 @@ def trace_sums_flat(
             px_start,
             config.diffusion_curve_save,
         )
+        # Lists are laid out (T*W, 1, C) so the (1, C) block equals the
+        # trailing array dims (Mosaic block-divisibility rule).
+        fold = lambda g, w_, nw=n_wedges: (g * nw + w_, 0, 0)
         operands.extend([cids, clbs, ccnts])
         in_specs.extend(
             [
-                pl.BlockSpec(
-                    (1, 1, n_chunks),
-                    lambda g, w_: (g, w_, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, n_chunks),
-                    lambda g, w_: (g, w_, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, 1), lambda g, w_: (g, w_, 0), memory_space=pltpu.SMEM
-                ),
+                pl.BlockSpec((1, 1, n_chunks), fold, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, n_chunks), fold, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), fold, memory_space=pltpu.SMEM),
             ]
         )
 
@@ -820,13 +878,14 @@ def trace_sums_flat(
         ),
     )(*operands)
 
-    # Unscramble tile order -> row-major: pixel i at (row, col) lives in
-    # block (row//TH)*tiles_x + col//16 at offset (row%TH)*16 + col%16.
-    sums = jnp.moveaxis(sums, 1, 0).reshape(8, n_blocks * pxb)
-    idx = jnp.arange(n_px, dtype=jnp.int32)
-    row = idx // w
-    col = idx - row * w
-    g = (row // tile_h) * tiles_x + col // TILE_W
-    pi = (row % tile_h) * TILE_W + col % TILE_W
-    sums = jnp.take(sums, g * pxb + pi, axis=1)
+    # Unscramble tile order -> row-major.  Pixel (row, col) lives in block
+    # (row//TH)*tiles_x + col//16 at offset (row%TH)*16 + col%16 — a regular
+    # permutation, so it is a 5-D transpose (efficient TPU copy), not a
+    # gather: (8, ty, tx, th, tw) -> (8, ty, th, tx, tw), then crop the tile
+    # padding beyond the image width / row count.
+    sums = jnp.moveaxis(sums, 1, 0).reshape(8, tiles_y, tiles_x, tile_h, TILE_W)
+    sums = sums.transpose(0, 1, 3, 2, 4).reshape(
+        8, tiles_y * tile_h, tiles_x * TILE_W
+    )
+    sums = sums[:, :, :w].reshape(8, -1)[:, :n_px]
     return sums[0:3].T, sums[3], sums[4]

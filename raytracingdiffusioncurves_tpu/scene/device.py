@@ -83,7 +83,10 @@ def _pad_to(n: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["seg_consts", "shade_table", "shade_all_t", "chunk_bounds"],
-    meta_fields=["width", "height", "n_sub", "s_pad", "has_portals", "max_blur"],
+    meta_fields=[
+        "width", "height", "n_sub", "s_pad", "has_portals", "max_blur",
+        "uniform_wd",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
@@ -105,6 +108,10 @@ class DeviceScene:
     s_pad: int
     has_portals: bool
     max_blur: float
+    # When every sub-segment carries the same weight degree (most scenes:
+    # the 0.5 default, optixHello.cpp:94), the kernel specializes
+    # w = wm * t^-wd to rsqrt/div and skips the exp/log pair. None = mixed.
+    uniform_wd: float | None = None
 
 
 def _attr_limits(table: AttrTable, curve: int, u0: float, u1: float) -> tuple[np.ndarray, np.ndarray]:
@@ -288,6 +295,10 @@ def build_device_scene(
         radius = float(np.max(np.linalg.norm(pts - center, axis=1)))
         chunk_bounds[c] = [center[0], center[1], radius, 0.0]
 
+    wds = np.concatenate([shade[:n_sub, COL_WD0], shade[:n_sub, COL_WD1]])
+    wds32 = wds.astype(np.float32)
+    uniform_wd = float(wds32[0]) if n_sub and np.all(wds32 == wds32[0]) else None
+
     return DeviceScene(
         seg_consts=jnp.asarray(consts, dtype),
         shade_table=jnp.asarray(shade, dtype),
@@ -299,6 +310,7 @@ def build_device_scene(
         s_pad=s_pad,
         has_portals=scene.has_portals,
         max_blur=scene.max_blur,
+        uniform_wd=uniform_wd,
     )
 
 

@@ -19,7 +19,7 @@ def test_train_step_reduces_loss_on_fixed_batch():
     batch = {
         "noisy": noisy,
         "warped_prev": target,
-        "aux": jnp.zeros((2, 32, 32, 1)),
+        "aux": jnp.zeros((2, 32, 32, 2)),
         "target": target,
     }
     first = dn.loss_fn(model, state.params, batch)
