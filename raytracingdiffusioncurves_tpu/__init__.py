@@ -20,7 +20,15 @@ Quick start::
 """
 
 from .config import Camera, RenderConfig
-from .models.renderer import FrameState, init_frame_state, render_frame, trace_image
+from .models.renderer import (
+    FrameState,
+    ProgressiveState,
+    init_frame_state,
+    init_progressive_state,
+    render_frame,
+    render_frame_progressive,
+    trace_image,
+)
 from .scene.device import DeviceScene, build_device_scene
 from .scene.xml_loader import SceneTables, load_scene, load_scene_from_string
 from .utils.image import psnr, save_image, to_uint8
@@ -36,7 +44,10 @@ __all__ = [
     "build_device_scene",
     "trace_image",
     "render_frame",
+    "render_frame_progressive",
     "init_frame_state",
+    "init_progressive_state",
+    "ProgressiveState",
     "save_image",
     "to_uint8",
     "psnr",

@@ -146,26 +146,17 @@ def _trace_sums_jax_flat(
     )
 
 
-@partial(jax.jit, static_argnames=("config", "backend", "max_blur_radius"))
-def render_frame(
-    scene: DeviceScene,
-    camera: Camera,
+def _postprocess(
+    image,
+    blur_map,
     state: FrameState,
     config: RenderConfig,
-    backend: str = "auto",
-    max_blur_radius: int | None = None,
-    denoiser_params=None,
-) -> tuple[jax.Array, FrameState]:
-    """One full frame: trace -> temporal denoise -> variable blur.
-
-    Returns (image (H, W, 4), next FrameState).  Mirrors the per-frame hot
-    path optixHello.cpp:1163-1259 including the order of operations: the
-    denoiser runs on the raw traced image and its output feeds both the
-    display path and prev_image; the blur runs after (:1186-1240); the flow
-    is zeroed after each denoise (:1234).
-    """
-    image, blur_map = trace_image(scene, camera, config, state.frame, backend)
-
+    scene: DeviceScene,
+    max_blur_radius: int | None,
+    denoiser_params,
+):
+    """Denoise + blur tail shared by render_frame and the progressive path.
+    Returns (display image, next prev_image)."""
     if config.use_denoiser:
         if denoiser_params is not None:
             # Learned CNN denoiser (models/denoiser.py) with the reference's
@@ -199,9 +190,103 @@ def render_frame(
         if radius > 0:
             image = blur_ops.variable_gaussian_blur(image, blur_map, radius)
 
+    return image, next_prev
+
+
+@partial(jax.jit, static_argnames=("config", "backend", "max_blur_radius"))
+def render_frame(
+    scene: DeviceScene,
+    camera: Camera,
+    state: FrameState,
+    config: RenderConfig,
+    backend: str = "auto",
+    max_blur_radius: int | None = None,
+    denoiser_params=None,
+) -> tuple[jax.Array, FrameState]:
+    """One full frame: trace -> temporal denoise -> variable blur.
+
+    Returns (image (H, W, 4), next FrameState).  Mirrors the per-frame hot
+    path optixHello.cpp:1163-1259 including the order of operations: the
+    denoiser runs on the raw traced image and its output feeds both the
+    display path and prev_image; the blur runs after (:1186-1240); the flow
+    is zeroed after each denoise (:1234).
+    """
+    image, blur_map = trace_image(scene, camera, config, state.frame, backend)
+    image, next_prev = _postprocess(
+        image, blur_map, state, config, scene, max_blur_radius, denoiser_params
+    )
     next_state = FrameState(
         prev_image=next_prev,
         flow=jnp.zeros_like(state.flow),
         frame=state.frame + 1,
     )
     return image, next_state
+
+
+class ProgressiveState(NamedTuple):
+    """Monte-Carlo accumulator for progressive refinement: raw trace sums
+    (pre-normalization, the same quantities __raygen__rg accumulates over its
+    in-pixel fan, DeviceCode.cu:153-160) summed across *frames*.  While the
+    camera rests each extra frame adds rays_per_pixel fresh stratified rays
+    to every pixel, so displayed quality converges at interactive rates; any
+    camera motion resets the sums (via a traced flag — no recompile)."""
+
+    color_sum: jax.Array  # (H, W, 3)
+    weight_sum: jax.Array  # (H, W)
+    blur_sum: jax.Array  # (H, W)
+    passes: jax.Array  # scalar int32: frames accumulated so far
+
+
+def init_progressive_state(width: int, height: int) -> ProgressiveState:
+    return ProgressiveState(
+        color_sum=jnp.zeros((height, width, 3), jnp.float32),
+        weight_sum=jnp.zeros((height, width), jnp.float32),
+        blur_sum=jnp.zeros((height, width), jnp.float32),
+        passes=jnp.int32(0),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "backend", "max_blur_radius"))
+def render_frame_progressive(
+    scene: DeviceScene,
+    camera: Camera,
+    state: FrameState,
+    prog: ProgressiveState,
+    config: RenderConfig,
+    reset,
+    backend: str = "auto",
+    max_blur_radius: int | None = None,
+    denoiser_params=None,
+) -> tuple[jax.Array, FrameState, ProgressiveState]:
+    """One progressive pass: trace config.rays_per_pixel fresh rays per pixel
+    (the RNG folds the frame counter in, ops/rng.py, so each pass draws a new
+    stratified jitter within the same 2*pi/N sectors), accumulate the raw
+    sums, and display the normalized accumulated estimate through the usual
+    denoise + blur tail.
+
+    ``reset`` is a traced boolean (camera moved): true drops the history so
+    the displayed image is exactly this frame's rays.  Requires
+    config.use_aa — without jitter every pass repeats the same rays.
+    Returns (image, next FrameState, next ProgressiveState).
+    """
+    h, w = scene.height, scene.width
+    csum, wsum, bsum = trace_sums_flat(
+        scene, camera, config, state.frame, 0, h * w, backend
+    )
+    keep = 1.0 - jnp.asarray(reset, jnp.float32)
+    csum = csum.reshape(h, w, 3) + prog.color_sum * keep
+    wsum = wsum.reshape(h, w) + prog.weight_sum * keep
+    bsum = bsum.reshape(h, w) + prog.blur_sum * keep
+    passes = prog.passes * jnp.asarray(~jnp.asarray(reset, bool), jnp.int32) + 1
+    next_prog = ProgressiveState(csum, wsum, bsum, passes)
+
+    image, blur_map = normalize_sums(csum, wsum, bsum, config)
+    image, next_prev = _postprocess(
+        image, blur_map, state, config, scene, max_blur_radius, denoiser_params
+    )
+    next_state = FrameState(
+        prev_image=next_prev,
+        flow=jnp.zeros_like(state.flow),
+        frame=state.frame + 1,
+    )
+    return image, next_state, next_prog

@@ -39,6 +39,7 @@ class InteractiveSession:
         camera: Camera = Camera(),
         backend: str = "auto",
         tables=None,
+        progressive: bool = False,
     ):
         self.scene = scene
         self.config = config
@@ -46,6 +47,16 @@ class InteractiveSession:
         self.backend = backend
         self.state = renderer.init_frame_state(scene.width, scene.height)
         self.frame_times: list[float] = []
+        # Progressive refinement: accumulate rays_per_pixel fresh rays per
+        # frame while the camera rests; camera motion resets via a *traced*
+        # flag so interaction never recompiles (BASELINE config #4).
+        self.progressive = progressive
+        self.prog = (
+            renderer.init_progressive_state(scene.width, scene.height)
+            if progressive
+            else None
+        )
+        self._moved = True  # first frame has no history
         # Source tables enable adaptive re-flattening: hit positions are
         # Newton-exact at any subdivision (ops/refine.py), but the hit/miss
         # silhouette follows the flattened chords, so deep zoom rebuilds the
@@ -61,6 +72,7 @@ class InteractiveSession:
         flow = flow_ops.add_zoom_flow(self.state.flow, old, new)
         self.state = self.state._replace(flow=flow)
         self.camera = Camera(new, self.camera.offset_x, self.camera.offset_y)
+        self._moved = True
 
     def drag(self, dx_pixels: float, dy_pixels: float) -> None:
         """Pan by a mouse delta in pixels: offset -= delta * zoom
@@ -72,6 +84,7 @@ class InteractiveSession:
         )
         flow = flow_ops.add_translation_flow(self.state.flow, -dx_pixels, -dy_pixels)
         self.state = self.state._replace(flow=flow)
+        self._moved = True
 
     def _maybe_reflatten(self):
         if self.tables is None:
@@ -92,9 +105,23 @@ class InteractiveSession:
         recorded with the reference's protocol (optixHello.cpp:1258-1263)."""
         self._maybe_reflatten()
         t0 = time.perf_counter()
-        image, self.state = renderer.render_frame(
-            self.scene, self.camera, self.state, self.config, backend=self.backend
-        )
+        if self.progressive:
+            import jax.numpy as jnp
+
+            image, self.state, self.prog = renderer.render_frame_progressive(
+                self.scene,
+                self.camera,
+                self.state,
+                self.prog,
+                self.config,
+                jnp.bool_(self._moved),
+                backend=self.backend,
+            )
+            self._moved = False
+        else:
+            image, self.state = renderer.render_frame(
+                self.scene, self.camera, self.state, self.config, backend=self.backend
+            )
         image.block_until_ready()
         self.frame_times.append(time.perf_counter() - t0)
         self.last_image = image
