@@ -9,8 +9,11 @@ Usage:  python benchmarks/perf_probe.py [probe names...]
 
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +24,8 @@ from raytracingdiffusioncurves_tpu.ops import trace_pallas
 XMLS = "/root/reference/optixHello/xmls"
 
 
-def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False):
+def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
+               rays_per_block=None):
     trace_pallas._ABLATE_STAGE = ablate
     trace_pallas._DISABLE_CAND = no_cand
     try:
@@ -29,8 +33,9 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False)
         scene.__dict__["width"] = w
         scene.__dict__["height"] = h
         dev = rtdc.build_device_scene(scene)
+        kw = {"rays_per_block": rays_per_block} if rays_per_block else {}
         config = rtdc.RenderConfig(
-            rays_per_pixel=rpp, use_aa=True, use_blur=False, use_denoiser=False
+            rays_per_pixel=rpp, use_aa=True, use_blur=False, use_denoiser=False, **kw
         )
 
         # _ABLATE_STAGE is a module global: bypass trace_sums_flat's jit cache
@@ -84,6 +89,42 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False)
         trace_pallas._DISABLE_CAND = False
 
 
+def time_prepass(path, w, h, rpp, frames=50, label=""):
+    """Time the candidate-list prepass alone (it runs per frame under the
+    frame jit; the trace kernel's 'entry' ablation includes it)."""
+    from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
+
+    scene = rtdc.load_scene(path)
+    scene.__dict__["width"] = w
+    scene.__dict__["height"] = h
+    dev = rtdc.build_device_scene(scene)
+    config = rtdc.RenderConfig(rays_per_pixel=rpp, use_aa=True)
+    R, pxb, sw, n_wedges = trace_pallas._choose_block(
+        rpp, config.rays_per_block, multi_chunk=dev.s_pad > trace_pallas.SEG_CHUNK
+    )
+    tile_h = pxb // trace_pallas.TILE_W
+    tiles_x = -(-w // trace_pallas.TILE_W)
+    tiles_y = -(-h // tile_h)
+
+    @jax.jit
+    def run_n(zoom, n):
+        def body(i, s):
+            c = cand_mod.segment_candidates(
+                dev.seg_consts, w, h, zoom + s * 0.0, 0.0, 0.0, rpp, sw,
+                tiles_x, tiles_y, trace_pallas.TILE_W, tile_h, 0, True,
+                cand_len=dev.s_pad,
+            )
+            return jnp.sum(c)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(run_n(jnp.float32(1.0), 1))
+    t0 = time.perf_counter()
+    float(run_n(jnp.float32(1.0), frames))
+    ms = (time.perf_counter() - t0) * 1000 / frames
+    print(json.dumps({"label": label, "ms": round(ms, 2)}), flush=True)
+
+
 PROBES = {
     "arch512": lambda: time_trace(f"{XMLS}/arch.xml", 512, 512, 16, label="arch512_16"),
     "arch512_128": lambda: time_trace(
@@ -110,6 +151,24 @@ PROBES = {
     ),
     "arch1024_shade": lambda: time_trace(
         f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="shade", label="arch1024_128"
+    ),
+    "arch1024_entry": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, ablate="entry", label="arch1024_128"
+    ),
+    "arch1024_prepass": lambda: time_prepass(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, label="arch1024_128_prepass"
+    ),
+    "arch1024_rb8k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, rays_per_block=8192,
+        label="arch1024_128_rb8192",
+    ),
+    "arch1024_rb16k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, rays_per_block=16384,
+        label="arch1024_128_rb16384",
+    ),
+    "arch1024_rb8k_entry": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, rays_per_block=8192, ablate="entry",
+        label="arch1024_128_rb8192",
     ),
     "ladybug512": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 512, 512, 64,

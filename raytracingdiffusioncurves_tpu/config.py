@@ -60,6 +60,14 @@ class RenderConfig:
     # controls geometric fidelity of the flattened curve (error ~ O(1/K^2)).
     flatten_subdivisions: int = 16
 
+    # Exact silhouettes: widen the chord sweep's acceptance by each
+    # sub-segment's conservative capsule band (scene/device.py CONST_BAND)
+    # and let the Newton residual on the exact cubic decide hit/miss —
+    # hit/miss then no longer follows the flattening chords, matching the
+    # reference's implicit curve intersector (optixHello.cpp:871-879) at any
+    # flatten_subdivisions (and killing the viewer's deep-zoom re-flatten).
+    exact_silhouettes: bool = True
+
     # Hits closer than this (in scene units ~ pixels) are rejected.  Replaces
     # OptiX's implicit tube-radius behaviour and guards portal continuation
     # rays, which originate exactly on the target curve, from re-hitting it

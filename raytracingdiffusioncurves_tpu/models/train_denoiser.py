@@ -78,9 +78,11 @@ def sample_example(dev, rng: np.random.Generator, size: int, backend: str, frame
                                       noise=dn.noise_level(rpp_lo))
 
 
-def generate(scene_names, out_path, size=192, cams_per_scene=6, seed=0):
+def generate(scene_names, out_path, size=192, cams_per_scene=6, seed=0,
+             backend=None):
     """Render a dataset: every scene x camera x noise level, saved float16."""
-    backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     rng = np.random.default_rng(seed)
     rpp_levels = (4, 8, 16, 32)
     rows = {"noisy": [], "warped_prev": [], "aux": [], "target": []}
@@ -188,6 +190,9 @@ def main(argv=None):
     g.add_argument("--size", type=int, default=192)
     g.add_argument("--cams", type=int, default=6)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--backend", default=None, choices=("jax", "pallas"),
+                   help="trace backend (default: pallas on TPU, else jax); "
+                   "jax-on-TPU skips the per-scene Pallas kernel compiles")
     t = sub.add_parser("train", help="train on a rendered dataset")
     t.add_argument("--data", required=True)
     t.add_argument("--val", default=None)
@@ -200,10 +205,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
-        generate(TRAIN_SCENES, args.out, args.size, args.cams, args.seed)
+        generate(TRAIN_SCENES, args.out, args.size, args.cams, args.seed,
+                 backend=args.backend)
         if args.val_out:
             generate(VAL_SCENES, args.val_out, args.size, max(args.cams // 2, 2),
-                     args.seed + 1)
+                     args.seed + 1, backend=args.backend)
     else:
         train(args.data, args.val, args.out, args.steps, args.batch, args.crop,
               args.lr, args.seed)

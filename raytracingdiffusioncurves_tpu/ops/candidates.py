@@ -38,10 +38,11 @@ from ..scene import device as dev
 # tracks the MEAN candidate count (~6 on arch), not CAND_LEN.
 CAND_LEN = 32
 # Column of the gathered candidate row holding the original segment id (f32,
-# exact for ids < 2^24) and the per-cell candidate count (CAND_LEN + 1
-# signals overflow).
-COL_ID = 6
-COL_COUNT = 7
+# exact for ids < 2^24).  Columns 6/7 carry the segment's silhouette band
+# and quadratic ordering correction (dev.CONST_BAND / CONST_QUAD) through
+# the gather; the per-cell candidate count rides a separate (T, W, 1) SMEM
+# operand.
+COL_ID = 8
 
 
 def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
@@ -123,13 +124,16 @@ def segment_candidates(
     tile_h: int,
     px_start,
     diffusion_save: bool,
+    cand_len: int = CAND_LEN,
 ) -> jax.Array:
-    """Build (tiles, wedges, CAND_LEN, CONST_COLS) candidate tables.
+    """Build (tiles, wedges, cand_len, CONST_COLS) candidate tables.
+
+    Returns (cand (T, W, L, C), counts (T, W, 1) int32).
 
     Slot layout per (tile, wedge): gathered seg_consts rows of the passing
     segments in ascending id order; unused slots are zero rows (e = 0 rows
     can never pass the kernel's validity product).  COL_ID carries the
-    original id, COL_OVERFLOW is 1.0 in every slot when the cell overflowed.
+    original id; counts > cand_len signals overflow.
     """
     f32 = jnp.float32
     s_pad = consts.shape[0]
@@ -146,7 +150,10 @@ def segment_candidates(
     valid = consts[:, dev.CONST_VALID] > 0.0
     mx = p0x + 0.5 * ex
     my = p0y + 0.5 * ey
-    sr = 0.5 * jnp.sqrt(ex * ex + ey * ey)
+    # chord half-length + silhouette band: the exact cubic can bulge up to
+    # CONST_BAND beyond the chord, and the band-widened sweep can accept
+    # hits there — the cull must stay conservative with respect to it.
+    sr = 0.5 * jnp.sqrt(ex * ex + ey * ey) + consts[:, dev.CONST_BAND]
 
     # --- cone test, same math as the kernel's chunk_lb (trace_pallas.py) ---
     dcx = mx[None, :] - bcx[:, None]  # (T, S)
@@ -169,21 +176,21 @@ def segment_candidates(
     # --- compact passing ids (ascending) into fixed-L slots ---
     iota = jnp.arange(s_pad, dtype=jnp.int32)
     key = jnp.where(mask, iota[None, None, :], jnp.int32(s_pad))
-    ids = jax.lax.sort(key, dimension=-1)[..., :CAND_LEN]  # (W, T, L)
+    ids = jax.lax.sort(key, dimension=-1)[..., :cand_len]  # (W, T, L)
     count = jnp.sum(mask, axis=-1)  # (W, T)
-    # count capped at CAND_LEN + 1: the kernel reads "count > CAND_LEN" as
+    # count capped at cand_len + 1: the kernel reads "count > cand_len" as
     # the overflow signal and falls back to the full sweep.
-    count = jnp.minimum(count, CAND_LEN + 1).astype(f32)
+    count = jnp.minimum(count, cand_len + 1).astype(jnp.int32)
 
     # gather; slot >= count hits the appended zero row
     consts_ext = jnp.concatenate([consts, jnp.zeros((1, consts.shape[1]), f32)], 0)
     cand = consts_ext[ids]  # (W, T, L, C)
     slot_used = ids < s_pad
     cand = cand.at[..., COL_ID].set(jnp.where(slot_used, ids, 0).astype(f32))
-    cand = cand.at[..., COL_COUNT].set(
-        jnp.broadcast_to(count[..., None], ids.shape)
+    return (
+        jnp.swapaxes(cand, 0, 1),  # (T, W, L, C)
+        jnp.swapaxes(count, 0, 1)[..., None],  # (T, W, 1) i32
     )
-    return jnp.swapaxes(cand, 0, 1)  # (T, W, L, C)
 
 
 def chunk_candidates(
@@ -261,13 +268,11 @@ def chunk_candidates(
     )
     lbs, ids = jax.lax.sort((lbs, ids), dimension=-1, num_keys=1)
     counts = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (W, T)
-    # (T*W, 1, C) layout: Mosaic requires the last two block dims to divide
-    # (8, 128) or equal the array dims; folding (tile, wedge) into the
-    # leading axis makes the (1, C) block equal to the trailing array dims.
-    n_w = ids.shape[0]
-    n_t = ids.shape[1]
+    # (T, W, C) layout: each program takes its tile's whole wedge block (the
+    # kernel loops wedges in-kernel) — the (1, W, C) block equals the
+    # trailing array dims, satisfying Mosaic's block-divisibility rule.
     return (
-        jnp.swapaxes(ids, 0, 1).reshape(n_t * n_w, 1, n_chunks),
-        jnp.swapaxes(lbs, 0, 1).reshape(n_t * n_w, 1, n_chunks),
-        jnp.swapaxes(counts, 0, 1).reshape(n_t * n_w, 1, 1),
+        jnp.swapaxes(ids, 0, 1),
+        jnp.swapaxes(lbs, 0, 1),
+        jnp.swapaxes(counts, 0, 1)[..., None],
     )

@@ -92,23 +92,30 @@ def closest_hit(
     origins: jax.Array,
     dirs: jax.Array,
     min_hit_distance: float,
+    band_scale=0.0,
 ):
     """Closest intersection of each ray against every sub-segment.
 
     Returns (best_idx (N,) int32, t (N,), s (N,) chord parameter, hit (N,) bool).
     Replaces optixTrace + the GAS (optixHello.cpp:764-830) with broadcast
     cross products over all segments and a min-reduction (brute force — the
-    Pallas kernel adds the chunk-culling accelerator).
+    Pallas kernel adds the chunk-culling accelerator).  band_scale > 0
+    widens acceptance by the silhouette band (exact-silhouette mode).
     """
-    _, t, s, valid = dev.intersect_consts(
-        scene.seg_consts, origins, dirs, min_hit=min_hit_distance
+    _, t, t_est, s, valid = dev.intersect_consts(
+        scene.seg_consts, origins, dirs, min_hit=min_hit_distance,
+        band_scale=band_scale,
     )
-    t_masked = jnp.where(valid, t, jnp.float32(np.inf))
-    best = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
+    # Rank by the quadratic-corrected estimate; band candidates can sit at
+    # t <= 0, so clamp the ordering key exactly like the Pallas kernel's
+    # positive-float bit-pattern packing.
+    rank = jnp.where(valid, jnp.maximum(t_est, 1e-30), jnp.float32(np.inf))
+    best = jnp.argmin(rank, axis=1).astype(jnp.int32)
     ar = jnp.arange(t.shape[0])
-    best_t = t_masked[ar, best]
+    hit = jnp.isfinite(rank[ar, best])
+    best_t = jnp.where(hit, t[ar, best], jnp.float32(np.inf))
     best_s = jnp.clip(s[ar, best], 0.0, 1.0)
-    return best, best_t, best_s, jnp.isfinite(best_t)
+    return best, best_t, best_s, hit
 
 
 def shade(
@@ -139,9 +146,39 @@ def shade(
     dt = g(dev.ALLT_DT)[0]
     cx = tuple(g(dev.ALLT_SRC_CTRL + 2 * i)[0] for i in range(4))
     cy = tuple(g(dev.ALLT_SRC_CTRL + 2 * i + 1)[0] for i in range(4))
-    tau, t_ref, _, _, dbx, dby = refine.refine_hit(
-        cx, cy, t0 + s * dt, ox, oy, dx, dy, t, config.min_hit_distance
-    )
+    if config.exact_silhouettes:
+        # Exact silhouettes: the sweep accepted band candidates; a strict
+        # chord hit is a guaranteed crossing (chord endpoints lie on the
+        # curve), and band-only candidates need Newton's residual to
+        # converge on one.
+        gex = g(dev.SHADE_COLS + dev.CONST_EX)[0]
+        gey = g(dev.SHADE_COLS + dev.CONST_EY)[0]
+        # Window margin = the parameter reach of the capsule band around this
+        # chord (see refine_hit_exact): ties between adjacent windows then
+        # resolve to the same crossing in both backends.
+        band = g(dev.ALLT_BAND)[0]
+        chord = jnp.sqrt(gex * gex + gey * gey)
+        margin = jnp.clip(
+            refine.MARGIN_SCALE * band * dt / jnp.maximum(chord, 1e-9), 0.0, 1.0
+        )
+        tau, t_ref, _, _, dbx, dby, conv = refine.refine_hit_exact(
+            cx, cy, t0 + s * dt, t0, dt, ox, oy, dx, dy, t,
+            config.min_hit_distance, margin=margin,
+        )
+        gc1 = g(dev.SHADE_COLS + dev.CONST_C1)[0]
+        gp0x = g(dev.SHADE_COLS + dev.CONST_P0X)[0]
+        gp0y = g(dev.SHADE_COLS + dev.CONST_P0Y)[0]
+        gden = dx * gey - dy * gex
+        gnum_t = gc1 - ox * gey + oy * gex
+        gnum_s = dy * gp0x - dx * gp0y + (oy * dx - ox * dy)
+        strict = (gnum_s * (gden - gnum_s) >= 0.0) & (
+            (gnum_t - jnp.float32(config.min_hit_distance) * gden) * gden > 0.0
+        )
+        hit = hit & (conv | strict)
+    else:
+        tau, t_ref, _, _, dbx, dby = refine.refine_hit(
+            cx, cy, t0 + s * dt, ox, oy, dx, dy, t, config.min_hit_distance
+        )
     t = jnp.where(hit, t_ref, t)
     sf = jnp.clip((tau - t0) / jnp.where(dt == 0.0, 1.0, dt), 0.0, 1.0)[:, None]
 
@@ -202,8 +239,34 @@ def shade(
 
 
 def trace_and_shade(scene, origins, dirs, config: RenderConfig) -> Hit:
-    best, t, s, hit = closest_hit(scene, origins, dirs, config.min_hit_distance)
-    return shade(scene, origins, dirs, best, t, s, hit, config)
+    if not config.exact_silhouettes:
+        best, t, s, hit = closest_hit(
+            scene, origins, dirs, config.min_hit_distance
+        )
+        return shade(scene, origins, dirs, best, t, s, hit, config)
+
+    # Exact silhouettes: two winner chains, like the Pallas kernel.  The
+    # band-widened winner is Newton-verified in shade(); rays whose band
+    # winner is rejected (no real crossing) fall back to the STRICT winner,
+    # which is a guaranteed crossing (chord endpoints lie on the curve).
+    # Per-ray |d| scales the band (≈1 for unit primaries; portal
+    # continuation rays are not renormalized, PARITY #11).
+    band_scale = jnp.sqrt(jnp.sum(dirs * dirs, axis=-1))  # (N,)
+    best_b, t_b, s_b, hit_b = closest_hit(
+        scene, origins, dirs, config.min_hit_distance, band_scale=band_scale
+    )
+    best_s, t_s, s_s, hit_s = closest_hit(
+        scene, origins, dirs, config.min_hit_distance
+    )
+    hb = shade(scene, origins, dirs, best_b, t_b, s_b, hit_b, config)
+    hs = shade(scene, origins, dirs, best_s, t_s, s_s, hit_s, config)
+    use_s = hit_b & ~hb.hit & hit_s
+
+    def pick(a, b):
+        m = use_s[:, None] if a.ndim == 2 else use_s
+        return jnp.where(m, a, b)
+
+    return Hit(*(pick(a, b) for a, b in zip(hs, hb)))
 
 
 def trace_full(scene: dev.DeviceScene, origins: jax.Array, dirs: jax.Array, config: RenderConfig):

@@ -106,10 +106,15 @@ def _trace_kernel(
     bounds_ref,  # (n_chunks, 4) f32 chunk bounding circles [cx, cy, r, 0]
     # VMEM tables
     consts_ref,  # (S_pad, CONST_COLS)
-    allt_hi_ref,  # (G, ALLT_ROWS, 128) bf16: chunked shade+consts, hi halves
-    allt_lo_ref,  # (G, ALLT_ROWS, 128) bf16: f32 residuals
-    # optional (use_cand): (1, 1, CAND_LEN, CONST_COLS) candidate block,
-    # then the VMEM output, revisited across the wedge grid dimension
+    allt_hl_ref,  # (G, 2*ALLT_ROWS, 128) bf16: chunked shade+consts, hi
+    #              halves stacked over f32 residuals — one 128-row MXU pass
+    #              gathers both (M pads to 128 regardless, so two separate
+    #              64-row matmuls would cost twice the MXU time)
+    red_ref,  # (R, PXB) bf16 sample->pixel reduction one-hot, precomputed
+    #          outside the kernel (constant across the grid; building its
+    #          iota/compare in-kernel cost ~10 ms/frame on the headline)
+    # optional (use_cand): (1, n_wedges, CAND_LEN, CONST_COLS) candidate
+    # block, then the VMEM output (written once per program)
     *refs,  # [cand_ref?], out_ref (1, 8, PXB)
     width: int,
     height: int,
@@ -123,12 +128,16 @@ def _trace_kernel(
     use_cand: bool = False,
     use_chunk_lists: bool = False,
     uniform_wd: float | None = None,
+    uniform_wm: float | None = None,
+    rmap: dict | None = None,  # original shade_all_t row -> compact gather row
+    gather_rows: int = dev.ALLT_ROWS,  # compact row count (hi half)
 ):
     if use_cand:
-        cand_ref, out_ref = refs
+        # cand_ref (1, W, L, C) VMEM; ccand_ref (1, W, 1) SMEM counts
+        cand_ref, ccand_ref, out_ref = refs
     elif use_chunk_lists:
-        # SMEM per-block chunk candidate lists: ids (1,1,C) i32 sorted by
-        # lower-bound distance, lbs (1,1,C) f32, count (1,1,1) i32
+        # SMEM per-block chunk candidate lists: ids (1, W, C) i32 sorted by
+        # lower-bound distance, lbs (1, W, C) f32, count (1, W, 1) i32
         cids_ref, clbs_ref, ccnt_ref, out_ref = refs
     else:
         (out_ref,) = refs
@@ -141,7 +150,14 @@ def _trace_kernel(
     f32 = jnp.float32
 
     pid_g = pl.program_id(0)  # pixel group
-    pid_w = pl.program_id(1)  # sample wedge
+    # Sample wedges are an IN-KERNEL fori_loop, not a grid dimension: at
+    # ~0.77 us fixed cost per program entry, the (blocks x wedges) grid of
+    # round 2's first cut spent 25 ms/frame on the headline config in pure
+    # program overhead; looping wedges inside amortizes it by n_wedges and
+    # keeps the output block accumulation in registers.
+    if _ABLATE_STAGE == "entry":  # pure grid/dispatch cost
+        out_ref[0] = jnp.zeros((8, px_per_program), jnp.float32) + cam_ref[0]
+        return
     zoom = cam_ref[0]
     off_x = cam_ref[1]
     off_y = cam_ref[2]
@@ -187,525 +203,687 @@ def _trace_kernel(
     col = tile_c * TILE_W + (pi & (TILE_W - 1))
     row = px_start // width + tile_r * (PXB // TILE_W) + (pi >> tw_sh)
     pixel = row * width + col
-    sample = pid_w * SW + (ridx & (SW - 1))
-    # RNG stream keyed on the GLOBAL ray id so tile-sharded rendering is
-    # bitwise identical to single-chip (tests/test_sharding.py).
-    global_ray = pixel * rpp + sample
 
-    ox = (col - width // 2).astype(f32) * zoom + off_x
+    # Wedge-invariant origin (pre-AA-jitter; the jitter draw is per sample).
+    ox0 = (col - width // 2).astype(f32) * zoom + off_x
     if config.diffusion_curve_save:
-        oy = ((height - row) - height // 2).astype(f32) * zoom + off_y
+        oy0 = ((height - row) - height // 2).astype(f32) * zoom + off_y
     else:
-        oy = (row - height // 2).astype(f32) * zoom + off_y
+        oy0 = (row - height // 2).astype(f32) * zoom + off_y
 
     sector = jnp.float32(2.0 * np.pi) / jnp.float32(rpp)
-    if config.use_aa:
-        u_rot, u_x, u_y = rng.uniform3(config.seed, global_ray, frame)
-        theta = sector * (sample.astype(f32) + u_rot)
-        ox = ox + u_x * zoom
-        oy = oy + u_y * zoom
-    else:
-        theta = sector * sample.astype(f32)
-    # Shared fast sincos (ops/fastmath.py): one quadrant reduction for both,
-    # bit-identical to the pure-JAX path's raygen.
-    dy, dx = fastmath.sincos(theta)
-
-    # Ray state and all per-ray shading math stay in the (8, RL) layout;
-    # only the segment sweep (which broadcasts rays against segment rows)
-    # sees flat (1, R) views, via cheap per-array relayouts.
-
-    # --- portal accumulation state (RSHP layout) ---
-    ones = jnp.ones(RSHP, f32)
-    zeros = jnp.zeros(RSHP, f32)
-    filt_r, filt_g, filt_b = ones, ones, ones
-    inv_w = zeros
-    blur_prod = ones
-    out_r, out_g, out_b = zeros, zeros, zeros
-    out_w, out_blur = zeros, zeros
-    alive = ones > 0.0
-
     min_hit = jnp.float32(config.min_hit_distance)
-
-    if _ABLATE_STAGE == "raygen":
-        out_ref[0] = jnp.zeros((8, PXB), f32) + jnp.sum(dx) + jnp.sum(ox)
-        return
-
     ids_sc = jax.lax.broadcasted_iota(jnp.int32, (sc, R), 0)
 
-    for _bounce in range(n_traces):
-        # Flat (1, R) views of the ray state for the segment sweep, plus the
-        # hoisted per-ray cross term of num_s (constant across segments).
-        oxf = flat(ox)
-        oyf = flat(oy)
-        dxf = flat(dx)
-        dyf = flat(dy)
-        crossf = flat(oy * dx - ox * dy)
+    def wedge_partial(pid_w):
+        """Trace this block's rays in sample wedge ``pid_w``; returns the
+        (8, R) weighted ray rows [r*w, g*w, b*w, w, blur*w, 0, 0, 0] that
+        the per-program reduction matmul folds into per-pixel sums."""
+        sample = pid_w * SW + (ridx & (SW - 1))
+        # RNG stream keyed on the GLOBAL ray id so tile-sharded rendering is
+        # bitwise identical to single-chip (tests/test_sharding.py).
+        global_ray = pixel * rpp + sample
 
-        def packed_min(ex, ey, c1, p0x, p0y, ids,
-                       ox=oxf, oy=oyf, dx=dxf, dy=dyf, cross=crossf):
-            """Closest hit over (n, 1) constant columns: (1, R) packed key.
+        if config.use_aa:
+            u_rot, u_x, u_y = rng.uniform3(config.seed, global_ray, frame)
+            theta = sector * (sample.astype(f32) + u_rot)
+            ox = ox0 + u_x * zoom
+            oy = oy0 + u_y * zoom
+        else:
+            theta = sector * sample.astype(f32)
+            ox, oy = ox0, oy0
+        # Shared fast sincos (ops/fastmath.py): one quadrant reduction for
+        # both, bit-identical to the pure-JAX path's raygen.
+        dy, dx = fastmath.sincos(theta)
 
-            Division-free validity by sign algebra, identical to the JAX
-            path (scene/device.py intersect_consts): s in [0,1] iff
-            num_s*(denom-num_s) >= 0; t > min_hit iff
-            (num_t - min_hit*denom)*denom > 0.  The second product also
-            rejects parallel rays and e = 0 padding rows (denom = 0), and
-            collinear rays (num_t = 0 gives product 0, never > 0).
-            """
-            denom = dx * ey - dy * ex  # (n, R)
-            num_t = c1 - ox * ey + oy * ex
-            num_s = dy * p0x - dx * p0y + cross
-            ok = (num_s * (denom - num_s) >= 0.0) & (
-                (num_t - min_hit * denom) * denom > 0.0
-            )
-            # Newton-refined approximate reciprocal for ordering (~2^-24
-            # error; the winner's t is recomputed exactly after the gather).
-            # denom = 0 rides the masked lane: r0 = inf -> t = nan -> FAR.
-            r0 = pl.reciprocal(denom, approx=True)
-            r = r0 * (2.0 - denom * r0)
-            tm = jnp.where(ok, num_t * r, FAR)
-            # Packed (t | local id) single min-reduction: t >= min_hit > 0
-            # and FAR are positive floats, whose bit patterns order as ints.
-            pk = (jax.lax.bitcast_convert_type(tm, jnp.int32) & _KEY_MASK) | ids
-            return jnp.min(pk, axis=0, keepdims=True)  # (1, R) i32
+        # Ray state and all per-ray shading math stay in the (8, RL) layout;
+        # only the segment sweep (which broadcasts rays against segment
+        # rows) sees flat (1, R) views, via cheap per-array relayouts.
 
-        def intersect_chunk(c, best_pk, best_ch):
-            sl = pl.ds(pl.multiple_of(c * sc, sc), sc)
-            c_min = packed_min(
-                consts_ref[sl, dev.CONST_EX : dev.CONST_EX + 1],
-                consts_ref[sl, dev.CONST_EY : dev.CONST_EY + 1],
-                consts_ref[sl, dev.CONST_C1 : dev.CONST_C1 + 1],
-                consts_ref[sl, dev.CONST_P0X : dev.CONST_P0X + 1],
-                consts_ref[sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
-                ids_sc,
-            )
-            upd = c_min < best_pk
-            return (
-                jnp.where(upd, c_min, best_pk),
-                jnp.where(upd, c, best_ch),
-            )
+        # --- portal accumulation state (RSHP layout) ---
+        ones = jnp.ones(RSHP, f32)
+        zeros = jnp.zeros(RSHP, f32)
+        filt_r, filt_g, filt_b = ones, ones, ones
+        inv_w = zeros
+        blur_prod = ones
+        out_r, out_g, out_b = zeros, zeros, zeros
+        out_w, out_blur = zeros, zeros
+        alive = ones > 0.0
 
-        # --- closest hit over segment chunks, with chunk culling ---
-        # The accelerating structure (the reference's GAS role,
-        # optixHello.cpp:764-830): each chunk of SEG_CHUNK sub-segments has
-        # a precomputed bounding circle.  A chunk is skipped with a real
-        # branch when (a) its lower-bound distance exceeds the block's worst
-        # current closest hit, or (b) on the primary trace, it lies entirely
-        # outside the block's direction wedge.  Both tests are conservative,
-        # so culling is exact.
-        if use_cand and _bounce == 0:
-            # --- candidate-list closest hit (ops/candidates.py) ---
-            # The per-frame prepass compacted this (tile, wedge) block's
-            # possible segments into CAND_LEN gathered rows; the sweep walks
-            # only ceil(count/8) 8-row groups, so typical cost tracks the
-            # mean candidate count (~6 on arch vs 56 total rows).
-            # Overflowed cells take the exact full sweep instead.
-            cnd = cand_ref[0, 0]  # (L, C)
-            cand_len = cnd.shape[0]
-            cnt = cnd[0, cand_mod.COL_COUNT].astype(jnp.int32)
-            ids_l = jax.lax.broadcasted_iota(jnp.int32, (cand_len, R), 0)
-            ids_8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
+        if _ABLATE_STAGE == "raygen":
+            return jnp.zeros((8, R), f32) + jnp.sum(dx) + jnp.sum(ox)
 
-            def _cand_branch():
-                def group(i, pk):
-                    sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
-                    gmin = packed_min(
-                        cand_ref[0, 0, sl, dev.CONST_EX : dev.CONST_EX + 1],
-                        cand_ref[0, 0, sl, dev.CONST_EY : dev.CONST_EY + 1],
-                        cand_ref[0, 0, sl, dev.CONST_C1 : dev.CONST_C1 + 1],
-                        cand_ref[0, 0, sl, dev.CONST_P0X : dev.CONST_P0X + 1],
-                        cand_ref[0, 0, sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
-                        ids_8 + i * 8,
-                    )
-                    return jnp.minimum(pk, gmin)
+        for _bounce in range(n_traces):
+            # Flat (1, R) views of the ray state for the segment sweep, plus the
+            # hoisted per-ray cross term of num_s (constant across segments).
+            oxf = flat(ox)
+            oyf = flat(oy)
+            dxf = flat(dx)
+            dyf = flat(dy)
+            crossf = flat(oy * dx - ox * dy)
 
-                pk = jax.lax.fori_loop(
-                    0,
-                    (cnt + 7) >> 3,
-                    group,
-                    jnp.full((1, R), _FAR_PACKED, jnp.int32),
+            # Per-ray |d| scaling the silhouette band (exact_silhouettes):
+            # ≈1 for primaries (fastmath.sincos is unit to ~5e-7); portal
+            # continuation rays are not renormalized.  Matches the JAX
+            # path's per-ray scale bit for bit.
+            if config.exact_silhouettes:
+                band_dsc = jnp.sqrt(flat(dx * dx + dy * dy))  # (1, R)
+            else:
+                band_dsc = None
+
+            def packed_min(ex, ey, c1, p0x, p0y, q, ids, band=None,
+                           ox=oxf, oy=oyf, dx=dxf, dy=dyf, cross=crossf):
+                """Closest hit over (n, 1) constant columns: (1, R) packed
+                key(s) — (pk_band, pk_strict) in exact-silhouette mode (band
+                is not None), else a single strict pk.
+
+                Division-free validity by sign algebra, identical to the JAX
+                path (scene/device.py intersect_consts): s in [0,1] iff
+                num_s*(denom-num_s) >= 0; t > min_hit iff
+                (num_t - min_hit*denom)*denom > 0.  The second product also
+                rejects parallel rays and e = 0 padding rows (denom = 0), and
+                collinear rays (num_t = 0 gives product 0, never > 0).
+
+                ``band`` (exact silhouettes): a second acceptance widened by
+                the sub-segment's capsule band — Newton decides whether the
+                band winner is a real crossing; rays whose band winner is
+                rejected fall back to the strict winner (itself a guaranteed
+                crossing: chord endpoints lie on the curve, so s in (0,1)
+                means F changes sign across the parameter window).
+                """
+                denom = dx * ey - dy * ex  # (n, R)
+                num_t = c1 - ox * ey + oy * ex
+                num_s = dy * p0x - dx * p0y + cross
+                prod_s = num_s * (denom - num_s)
+                prod_t = (num_t - min_hit * denom) * denom
+                # Newton-refined approximate reciprocal for ordering (~2^-24
+                # error; the winner's t is recomputed exactly after the gather).
+                # denom = 0 rides the masked lane: r0 = inf -> t = nan -> FAR.
+                r0 = pl.reciprocal(denom, approx=True)
+                r = r0 * (2.0 - denom * r0)
+                # Quadratic-corrected ordering estimate (dev.CONST_QUAD):
+                # 2nd-order-accurate hit distance, so ranking no longer
+                # flips winners by up to the chord sagitta.  Band candidates
+                # can sit at t <= 0; clamp so the bit-pattern ordering
+                # (positive floats only) stays valid.
+                sm = num_s * r
+                tmr = jnp.maximum((num_t - q * sm * (1.0 - sm)) * r, 1e-30)
+
+                def pmin(ok):
+                    tm = jnp.where(ok, tmr, FAR)
+                    # Packed (t | local id) single min-reduction: positive
+                    # float bit patterns order as ints.
+                    pk = (
+                        jax.lax.bitcast_convert_type(tm, jnp.int32) & _KEY_MASK
+                    ) | ids
+                    return jnp.min(pk, axis=0, keepdims=True)  # (1, R) i32
+
+                ok_strict = (prod_s >= 0.0) & (prod_t > 0.0)
+                ps = pmin(ok_strict)
+                if band is None:
+                    return ps, ps
+                hb = band * band_dsc
+                ms = jnp.where(denom >= 0.0, hb, -hb)
+                ok_band = ((num_s + ms) * (denom - num_s + ms) >= 0.0) & (
+                    prod_t > -hb * jnp.abs(denom)
                 )
-                # map the winning slot back to its original segment id
-                slot = pk & _ID_MASK
-                idcol = cnd[:, cand_mod.COL_ID : cand_mod.COL_ID + 1]
-                best = jnp.sum(
-                    jnp.where(ids_l == slot, idcol, 0.0), axis=0, keepdims=True
-                )
-                return best.astype(jnp.int32), (pk < _FAR_PACKED).astype(jnp.int32)
+                return pmin(ok_band), ps
 
-            def _full_branch():
-                pk = packed_min(
-                    consts_ref[:, dev.CONST_EX : dev.CONST_EX + 1],
-                    consts_ref[:, dev.CONST_EY : dev.CONST_EY + 1],
-                    consts_ref[:, dev.CONST_C1 : dev.CONST_C1 + 1],
-                    consts_ref[:, dev.CONST_P0X : dev.CONST_P0X + 1],
-                    consts_ref[:, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+            exact = config.exact_silhouettes
+
+            # Both chains ride every sweep: pk_b (band-widened acceptance)
+            # and pk_s (strict).  Without exact silhouettes they are the
+            # same tensor and XLA CSE collapses the duplicate updates.
+            def intersect_chunk(c, st):
+                pk_b, ch_b, pk_s, ch_s = st
+                sl = pl.ds(pl.multiple_of(c * sc, sc), sc)
+                c_b, c_s = packed_min(
+                    consts_ref[sl, dev.CONST_EX : dev.CONST_EX + 1],
+                    consts_ref[sl, dev.CONST_EY : dev.CONST_EY + 1],
+                    consts_ref[sl, dev.CONST_C1 : dev.CONST_C1 + 1],
+                    consts_ref[sl, dev.CONST_P0X : dev.CONST_P0X + 1],
+                    consts_ref[sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+                    consts_ref[sl, dev.CONST_QUAD : dev.CONST_QUAD + 1],
                     ids_sc,
+                    band=consts_ref[sl, dev.CONST_BAND : dev.CONST_BAND + 1]
+                    if exact
+                    else None,
                 )
-                return pk & _ID_MASK, (pk < _FAR_PACKED).astype(jnp.int32)
-
-            overflowed = cnt > cand_len
-            best_i, hit32 = jax.lax.cond(overflowed, _full_branch, _cand_branch)
-            best_pk = None  # unused on this path
-        elif n_chunks == 1:
-            best_pk = jnp.full((1, R), _FAR_PACKED, jnp.int32)
-            best_ch = jnp.zeros((1, R), jnp.int32)
-            best_pk, best_ch = intersect_chunk(0, best_pk, best_ch)
-        elif use_chunk_lists and _bounce == 0:
-            # --- sorted chunk candidate walk (ops/candidates.py) ---
-            # The prepass compacted this (tile, wedge) block's possible
-            # chunks into an ascending-lower-bound list; walk it and stop as
-            # soon as the next chunk's lower bound exceeds the block's worst
-            # current closest hit.  Replaces the O(n_chunks) per-program
-            # scalar sweep (round 1's wall on lady_bug/dolphin scenes).
-            best_pk = jnp.full((1, R), _FAR_PACKED, jnp.int32)
-            best_ch = jnp.zeros((1, R), jnp.int32)
-            count = ccnt_ref[0, 0, 0]
-
-            def walk_cond(state):
-                i, pk, ch = state
-                # worst per-ray best t, quantized UP one key step; primary
-                # rays are unit-length to ~5e-7 (fastmath.sincos), covered
-                # by the 1e-5 slack on the bound.
-                bt_up = jax.lax.bitcast_convert_type(
-                    (pk & _KEY_MASK) + np.int32(1 << ID_BITS), f32
-                )
-                worst = jnp.max(bt_up) * jnp.float32(1.00001)
-                return (i < count) & (clbs_ref[0, 0, i] < worst)
-
-            def walk_body(state):
-                i, pk, ch = state
-                pk, ch = intersect_chunk(cids_ref[0, 0, i], pk, ch)
-                return i + 1, pk, ch
-
-            _, best_pk, best_ch = jax.lax.while_loop(
-                walk_cond, walk_body, (jnp.int32(0), best_pk, best_ch)
-            )
-        else:
-            best_pk = jnp.full((1, R), _FAR_PACKED, jnp.int32)
-            best_ch = jnp.zeros((1, R), jnp.int32)
-            # block bounding circle over ray origins
-            oxmin, oxmax = jnp.min(ox), jnp.max(ox)
-            oymin, oymax = jnp.min(oy), jnp.max(oy)
-            bcx = 0.5 * (oxmin + oxmax)
-            bcy = 0.5 * (oymin + oymax)
-            br = 0.5 * jnp.sqrt((oxmax - oxmin) ** 2 + (oymax - oymin) ** 2)
-            # hit t is in ray-parameter units; portal continuation rays are
-            # not unit-length (PARITY.md #11), so scale the distance bound
-            # by the block's max direction magnitude to stay conservative.
-            maxd = jnp.sqrt(jnp.max(dx * dx + dy * dy))
-
-            # direction wedge (primary unit-direction rays only)
-            use_wedge = _bounce == 0 and n_wedges > 1
-            wedge_c = sector * (pid_w.astype(f32) * SW + 0.5 * SW)
-            ccx, ccy = jnp.cos(wedge_c), jnp.sin(wedge_c)
-            # static wedge half-width trig (SW < rpp => hw <= pi/2)
-            hw = math.pi * SW / rpp
-            cos_hw = jnp.float32(math.cos(hw))
-            sin_hw = jnp.float32(math.sin(hw))
-
-            def chunk_lb(c):
-                dcx = bounds_ref[c, 0] - bcx
-                dcy = bounds_ref[c, 1] - bcy
-                dist = jnp.sqrt(dcx * dcx + dcy * dcy)
-                lb = jnp.maximum(dist - bounds_ref[c, 2] - br, 0.0)
-                if not use_wedge:
-                    return lb
-                # Angular test without inverse trig (Pallas TPU has no
-                # atan2/arcsin): the chunk subtends half-angle chw with
-                # sin(chw) = (r_chunk + r_block)/dist (saturating to 1 when
-                # the circles overlap); it intersects the wedge iff the
-                # angle between the chunk direction and the wedge center is
-                # <= hw + chw, i.e. cos(angle) >= cos(hw + chw), expanded
-                # with the addition identity.  hw, chw <= pi/2 so the sum
-                # stays on the monotone branch.
-                inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
-                cos_d = (dcx * ccx + dcy * ccy) * inv_dist
-                reach = bounds_ref[c, 2] + br
-                sin_chw = jnp.clip(reach * inv_dist, 0.0, 1.0)
-                cos_chw = jnp.sqrt(jnp.maximum(1.0 - sin_chw * sin_chw, 0.0))
-                cos_lim = cos_hw * cos_chw - sin_hw * sin_chw
-                # An overlapping chunk (dist <= radii) subtends the full
-                # circle — arcsin saturation only reaches pi/2, so test
-                # overlap explicitly or chunks behind the wedge would be
-                # wrongly rejected.
-                outside = (cos_d < cos_lim) & (dist > reach)
-                return jnp.where(outside, FAR, lb)
-
-            # warm start: seed best_t from the nearest relevant chunk so
-            # the sweep culls from its first iteration
-            def nearest_body(c, carry):
-                near_c, near_lb = carry
-                lb = chunk_lb(c)
-                closer = lb < near_lb
-                return jnp.where(closer, c, near_c), jnp.where(closer, lb, near_lb)
-
-            near_c, near_lb = jax.lax.fori_loop(
-                1, n_chunks, nearest_body, (jnp.int32(0), chunk_lb(0))
-            )
-            best_pk, best_ch = jax.lax.cond(
-                near_lb < FAR,
-                lambda pk, ch: intersect_chunk(near_c, pk, ch),
-                lambda pk, ch: (pk, ch),
-                best_pk,
-                best_ch,
-            )
-
-            def sweep_body(c, carry):
-                pk, ch = carry
-                # Per-ray best t, quantized UP one key step so culling stays
-                # exact wrt the packed (quantized-down) ordering.
-                bt_up = jax.lax.bitcast_convert_type(
-                    (pk & _KEY_MASK) + np.int32(1 << ID_BITS), f32
-                )
-                worst = jnp.max(bt_up) * maxd
-                take = (chunk_lb(c) < worst) & (c != near_c)
-                return jax.lax.cond(
-                    take,
-                    lambda pk, ch: intersect_chunk(c, pk, ch),
-                    lambda pk, ch: (pk, ch),
-                    pk,
-                    ch,
+                upd_b = c_b < pk_b
+                upd_s = c_s < pk_s
+                return (
+                    jnp.where(upd_b, c_b, pk_b),
+                    jnp.where(upd_b, c, ch_b),
+                    jnp.where(upd_s, c_s, pk_s),
+                    jnp.where(upd_s, c, ch_s),
                 )
 
-            best_pk, best_ch = jax.lax.fori_loop(
-                0, n_chunks, sweep_body, (best_pk, best_ch)
+            def far_state():
+                far = jnp.full((1, R), _FAR_PACKED, jnp.int32)
+                zero = jnp.zeros((1, R), jnp.int32)
+                return (far, zero, far, zero)
+
+            # --- closest hit over segment chunks, with chunk culling ---
+            # The accelerating structure (the reference's GAS role,
+            # optixHello.cpp:764-830): each chunk of SEG_CHUNK sub-segments has
+            # a precomputed bounding circle.  A chunk is skipped with a real
+            # branch when (a) its lower-bound distance exceeds the block's worst
+            # current closest hit, or (b) on the primary trace, it lies entirely
+            # outside the block's direction wedge.  Both tests are conservative,
+            # so culling is exact.
+            if use_cand and _bounce == 0:
+                # --- candidate-list closest hit (ops/candidates.py) ---
+                # The per-frame prepass compacted this (tile, wedge) block's
+                # possible segments into CAND_LEN gathered rows; the sweep walks
+                # only ceil(count/8) 8-row groups, so typical cost tracks the
+                # mean candidate count (~6 on arch vs 56 total rows).
+                # Overflowed cells take the exact full sweep instead.
+                cnd = cand_ref[0, pid_w]  # (L, C)
+                cand_len = cnd.shape[0]
+                cnt = ccand_ref[0, pid_w, 0]
+
+                def _cand_branch():
+                    def group(i, pks):
+                        sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
+                        # The candidate's GLOBAL segment id rides the packed key
+                        # directly (single-chunk scenes have s_pad <= SEG_CHUNK =
+                        # 2^ID_BITS ids, and lists are id-sorted so ties break
+                        # exactly like the slot order / the JAX path's argmin) —
+                        # no slot->id remap pass over the whole list afterwards.
+                        gids = cand_ref[
+                            0, pid_w, sl, cand_mod.COL_ID : cand_mod.COL_ID + 1
+                        ].astype(jnp.int32)
+                        g_b, g_s = packed_min(
+                            cand_ref[0, pid_w, sl, dev.CONST_EX : dev.CONST_EX + 1],
+                            cand_ref[0, pid_w, sl, dev.CONST_EY : dev.CONST_EY + 1],
+                            cand_ref[0, pid_w, sl, dev.CONST_C1 : dev.CONST_C1 + 1],
+                            cand_ref[0, pid_w, sl, dev.CONST_P0X : dev.CONST_P0X + 1],
+                            cand_ref[0, pid_w, sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+                            cand_ref[
+                                0, pid_w, sl, dev.CONST_QUAD : dev.CONST_QUAD + 1
+                            ],
+                            gids,
+                            band=cand_ref[
+                                0, pid_w, sl, dev.CONST_BAND : dev.CONST_BAND + 1
+                            ]
+                            if exact
+                            else None,
+                        )
+                        return jnp.minimum(pks[0], g_b), jnp.minimum(pks[1], g_s)
+
+                    far = jnp.full((1, R), _FAR_PACKED, jnp.int32)
+                    pk_b, pk_s = jax.lax.fori_loop(
+                        0, (cnt + 7) >> 3, group, (far, far)
+                    )
+                    zero = jnp.zeros((1, R), jnp.int32)
+                    return (pk_b, zero, pk_s, zero)
+
+                def _full_branch():
+                    g_b, g_s = packed_min(
+                        consts_ref[:, dev.CONST_EX : dev.CONST_EX + 1],
+                        consts_ref[:, dev.CONST_EY : dev.CONST_EY + 1],
+                        consts_ref[:, dev.CONST_C1 : dev.CONST_C1 + 1],
+                        consts_ref[:, dev.CONST_P0X : dev.CONST_P0X + 1],
+                        consts_ref[:, dev.CONST_P0Y : dev.CONST_P0Y + 1],
+                        consts_ref[:, dev.CONST_QUAD : dev.CONST_QUAD + 1],
+                        ids_sc,
+                        band=consts_ref[:, dev.CONST_BAND : dev.CONST_BAND + 1]
+                        if exact
+                        else None,
+                    )
+                    zero = jnp.zeros((1, R), jnp.int32)
+                    return (g_b, zero, g_s, zero)
+
+                if cand_len >= s_pad:
+                    # Lists can hold every segment: overflow is impossible,
+                    # no cond (a traced lax.cond costs real time per wedge
+                    # even on the untaken side).
+                    sweep_st = _cand_branch()
+                else:
+                    overflowed = cnt > cand_len
+                    sweep_st = jax.lax.cond(overflowed, _full_branch, _cand_branch)
+            elif n_chunks == 1:
+                sweep_st = intersect_chunk(0, far_state())
+            elif use_chunk_lists and _bounce == 0:
+                # --- sorted chunk candidate walk (ops/candidates.py) ---
+                # The prepass compacted this (tile, wedge) block's possible
+                # chunks into an ascending-lower-bound list; walk it and stop as
+                # soon as the next chunk's lower bound exceeds the block's worst
+                # current closest hit.  Replaces the O(n_chunks) per-program
+                # scalar sweep (round 1's wall on lady_bug/dolphin scenes).
+                count = ccnt_ref[0, pid_w, 0]
+
+                def walk_cond(state):
+                    i, st = state
+                    # worst per-ray best t of the STRICT chain (>= the band
+                    # chain's per ray, so the early exit is conservative for
+                    # both), quantized UP one key step; primary rays are
+                    # unit-length to ~5e-7 (fastmath.sincos), covered by the
+                    # 1e-5 slack on the bound.
+                    bt_up = jax.lax.bitcast_convert_type(
+                        (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                    )
+                    worst = jnp.max(bt_up) * jnp.float32(1.00001)
+                    return (i < count) & (clbs_ref[0, pid_w, i] < worst)
+
+                def walk_body(state):
+                    i, st = state
+                    st = intersect_chunk(cids_ref[0, pid_w, i], st)
+                    return i + 1, st
+
+                _, sweep_st = jax.lax.while_loop(
+                    walk_cond, walk_body, (jnp.int32(0), far_state())
+                )
+            else:
+                # block bounding circle over ray origins
+                oxmin, oxmax = jnp.min(ox), jnp.max(ox)
+                oymin, oymax = jnp.min(oy), jnp.max(oy)
+                bcx = 0.5 * (oxmin + oxmax)
+                bcy = 0.5 * (oymin + oymax)
+                br = 0.5 * jnp.sqrt((oxmax - oxmin) ** 2 + (oymax - oymin) ** 2)
+                # hit t is in ray-parameter units; portal continuation rays are
+                # not unit-length (PARITY.md #11), so scale the distance bound
+                # by the block's max direction magnitude to stay conservative.
+                maxd = jnp.sqrt(jnp.max(dx * dx + dy * dy))
+
+                # direction wedge (primary unit-direction rays only)
+                use_wedge = _bounce == 0 and n_wedges > 1
+                wedge_c = sector * (pid_w.astype(f32) * SW + 0.5 * SW)
+                ccx, ccy = jnp.cos(wedge_c), jnp.sin(wedge_c)
+                # static wedge half-width trig (SW < rpp => hw <= pi/2)
+                hw = math.pi * SW / rpp
+                cos_hw = jnp.float32(math.cos(hw))
+                sin_hw = jnp.float32(math.sin(hw))
+
+                def chunk_lb(c):
+                    dcx = bounds_ref[c, 0] - bcx
+                    dcy = bounds_ref[c, 1] - bcy
+                    dist = jnp.sqrt(dcx * dcx + dcy * dcy)
+                    lb = jnp.maximum(dist - bounds_ref[c, 2] - br, 0.0)
+                    if not use_wedge:
+                        return lb
+                    # Angular test without inverse trig (Pallas TPU has no
+                    # atan2/arcsin): the chunk subtends half-angle chw with
+                    # sin(chw) = (r_chunk + r_block)/dist (saturating to 1 when
+                    # the circles overlap); it intersects the wedge iff the
+                    # angle between the chunk direction and the wedge center is
+                    # <= hw + chw, i.e. cos(angle) >= cos(hw + chw), expanded
+                    # with the addition identity.  hw, chw <= pi/2 so the sum
+                    # stays on the monotone branch.
+                    inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
+                    cos_d = (dcx * ccx + dcy * ccy) * inv_dist
+                    reach = bounds_ref[c, 2] + br
+                    sin_chw = jnp.clip(reach * inv_dist, 0.0, 1.0)
+                    cos_chw = jnp.sqrt(jnp.maximum(1.0 - sin_chw * sin_chw, 0.0))
+                    cos_lim = cos_hw * cos_chw - sin_hw * sin_chw
+                    # An overlapping chunk (dist <= radii) subtends the full
+                    # circle — arcsin saturation only reaches pi/2, so test
+                    # overlap explicitly or chunks behind the wedge would be
+                    # wrongly rejected.
+                    outside = (cos_d < cos_lim) & (dist > reach)
+                    return jnp.where(outside, FAR, lb)
+
+                # warm start: seed best_t from the nearest relevant chunk so
+                # the sweep culls from its first iteration
+                def nearest_body(c, carry):
+                    near_c, near_lb = carry
+                    lb = chunk_lb(c)
+                    closer = lb < near_lb
+                    return jnp.where(closer, c, near_c), jnp.where(closer, lb, near_lb)
+
+                near_c, near_lb = jax.lax.fori_loop(
+                    1, n_chunks, nearest_body, (jnp.int32(0), chunk_lb(0))
+                )
+                sweep_st = jax.lax.cond(
+                    near_lb < FAR,
+                    lambda st: intersect_chunk(near_c, st),
+                    lambda st: st,
+                    far_state(),
+                )
+
+                def sweep_body(c, st):
+                    # Per-ray best t of the STRICT chain (conservative for
+                    # both chains), quantized UP one key step so culling
+                    # stays exact wrt the packed (quantized-down) ordering.
+                    bt_up = jax.lax.bitcast_convert_type(
+                        (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                    )
+                    worst = jnp.max(bt_up) * maxd
+                    take = (chunk_lb(c) < worst) & (c != near_c)
+                    return jax.lax.cond(
+                        take,
+                        lambda st: intersect_chunk(c, st),
+                        lambda st: st,
+                        st,
+                    )
+
+                sweep_st = jax.lax.fori_loop(0, n_chunks, sweep_body, sweep_st)
+
+            # Unpack both chains: global winner ids, hit masks (i32 0/1 —
+            # Mosaic cannot reshape i1 vectors, and the mask is relayouted
+            # for shading).  Winners' exact t is recomputed after the gather
+            # (the key quantizes t to 2^-17).
+            pk_b, ch_b, pk_s, ch_s = sweep_st
+            best_i = (pk_b & _ID_MASK) + ch_b * sc
+            hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
+            best_i_s = (pk_s & _ID_MASK) + ch_s * sc
+            hit32_s = (pk_s < _FAR_PACKED).astype(jnp.int32)
+
+            # --- gather the winner's shade row + geometry consts (MXU) ---
+            # Near-exact f32 gather from ONE 128-row bf16 matmul: the table
+            # stacks bf16 high halves over bf16 f32-residuals (2*ALLT_ROWS =
+            # 128 rows — exactly one MXU M tile); with a 0/1 one-hot operand
+            # every product is exact and every output column has a single
+            # nonzero term, so hi + lo reconstructs the f32 row to ~2^-17
+            # relative — far below the renderer's pixel-scale tolerances.
+            # (A plain f32 gather needs Precision.HIGHEST = 6 MXU passes.)
+            if _ABLATE_STAGE == "intersect":
+                return (
+                    jnp.zeros((8, R), f32)
+                    + jnp.sum(hit32.astype(f32))
+                    + jnp.sum(best_i.astype(f32))
+                )
+
+            dims = (((1,), (0,)), ((), ()))
+            gsc = 128  # gather chunk width (bf16 lane tile); tables are 3-D
+            n_gchunks = allt_hl_ref.shape[0]
+
+            def gather(bi):
+                """One-hot MXU gather of the winners' compact table rows."""
+                def gather_chunk(c, acc2):
+                    seg_ids = (
+                        jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0) + c * gsc
+                    )
+                    onehot = (seg_ids == bi).astype(jnp.bfloat16)  # (gsc, R)
+                    return acc2 + jax.lax.dot_general(
+                        allt_hl_ref[c], onehot, dims, preferred_element_type=f32
+                    )
+
+                acc2 = jnp.zeros((2 * gather_rows, R), f32)
+                if n_gchunks == 1:
+                    acc2 = gather_chunk(0, acc2)
+                else:
+                    # coherent blocks hit few chunks: gather only the chunk
+                    # range spanned by the winning sub-segment ids
+                    i_lo = jnp.min(bi) // gsc
+                    i_hi = jnp.max(bi) // gsc
+                    acc2 = jax.lax.fori_loop(i_lo, i_hi + 1, gather_chunk, acc2)
+                return acc2[:gather_rows] + acc2[gather_rows:]
+
+            def eval_winner(bi, hitv):
+                """Gather + exact chord recompute + Newton for one winner
+                chain.  Returns (acc, tau, t_ref, dbx, dby, conv, strict,
+                t_chord); ``hitv`` only guards Newton's t fallback input."""
+                acc = gather(bi)
+
+                def ga(row):
+                    if rmap is not None:
+                        row = rmap[row]
+                    return unflat(acc[row : row + 1, :])
+
+                # Recompute exact chord t, s from the gathered consts — the
+                # chunk loop used an approximate reciprocal for speed.
+                gex = ga(dev.SHADE_COLS + dev.CONST_EX)
+                gey = ga(dev.SHADE_COLS + dev.CONST_EY)
+                gc1 = ga(dev.SHADE_COLS + dev.CONST_C1)
+                gp0x = ga(dev.SHADE_COLS + dev.CONST_P0X)
+                gp0y = ga(dev.SHADE_COLS + dev.CONST_P0Y)
+                gdenom = dx * gey - dy * gex
+                ginv = jnp.where(gdenom == 0.0, 0.0, 1.0 / gdenom)
+                gnum_t = gc1 - ox * gey + oy * gex
+                gnum_s = dy * gp0x - dx * gp0y + (oy * dx - ox * dy)
+                t_chord = jnp.where(hitv, gnum_t * ginv, 1.0)
+                s_chord = jnp.clip(gnum_s * ginv, 0.0, 1.0)
+
+                # Newton-refine onto the exact cubic (ops/refine.py): kills
+                # flattening facets under zoom and gives the exact normal.
+                gt0 = ga(dev.ALLT_T0)
+                gdt = ga(dev.ALLT_DT)
+                cx = tuple(ga(dev.ALLT_SRC_CTRL + 2 * i) for i in range(4))
+                cy = tuple(ga(dev.ALLT_SRC_CTRL + 2 * i + 1) for i in range(4))
+                tau0 = gt0 + s_chord * gdt
+                if exact:
+                    # Window margin = the parameter reach of the capsule band
+                    # around this chord (see refine_hit_exact): adjacent-
+                    # window ordering ties then resolve to the same crossing
+                    # in both backends.  Same formula as the JAX path.
+                    band = ga(dev.ALLT_BAND)
+                    chord = jnp.sqrt(gex * gex + gey * gey)
+                    margin = jnp.clip(
+                        refine.MARGIN_SCALE * band * gdt
+                        / jnp.maximum(chord, 1e-9),
+                        0.0,
+                        1.0,
+                    )
+                    tau, t_ref, _, _, dbx, dby, conv = refine.refine_hit_exact(
+                        cx, cy, tau0, gt0, gdt, ox, oy, dx, dy, t_chord,
+                        min_hit, margin=margin,
+                    )
+                    strict = (gnum_s * (gdenom - gnum_s) >= 0.0) & (
+                        (gnum_t - min_hit * gdenom) * gdenom > 0.0
+                    )
+                else:
+                    tau, t_ref, _, _, dbx, dby = refine.refine_hit(
+                        cx, cy, tau0, ox, oy, dx, dy, t_chord, min_hit
+                    )
+                    conv = strict = None
+                return (acc, tau, t_ref, dbx, dby, conv, strict, t_chord,
+                        gt0, gdt)
+
+            hit = unflat(hit32) > 0
+            ev = eval_winner(best_i, hit)
+            if exact:
+                # A strict chord hit is a guaranteed crossing (chord
+                # endpoints lie on the curve: s in (0,1) means F changes
+                # sign across the window); band-only candidates need
+                # Newton's residual to converge on one.  Rays whose band
+                # winner is rejected fall back to the STRICT winner — the
+                # block pays the second gather only when some ray needs it
+                # (same decision rule as the JAX path, ops/intersect.py).
+                rejected = hit & ~(ev[5] | ev[6])
+                hit_s = unflat(hit32_s) > 0
+                use_s = rejected & hit_s
+                hit = (hit & ~rejected) | use_s
+                use_f = flat(use_s.astype(jnp.int32)) > 0  # (1, R) for acc
+
+                def _with_fallback():
+                    ev_s = eval_winner(best_i_s, hit_s)
+                    acc_m = jnp.where(use_f, ev_s[0], ev[0])
+                    rest = tuple(
+                        jnp.where(use_s, s, b)
+                        for s, b in zip(ev_s[1:5], ev[1:5])
+                    )
+                    tail = tuple(
+                        jnp.where(use_s, s, b)
+                        for s, b in zip(ev_s[7:], ev[7:])
+                    )
+                    return (acc_m,) + rest + tail
+
+                def _no_fallback():
+                    return (ev[0],) + ev[1:5] + ev[7:]
+
+                acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = jax.lax.cond(
+                    jnp.any(use_s), _with_fallback, _no_fallback
+                )
+            else:
+                acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
+                    (ev[0],) + ev[1:5] + ev[7:]
+                )
+            if _ABLATE_STAGE == "gather":
+                return jnp.zeros((8, R), f32) + jnp.sum(acc)
+
+            # Shading runs in the (8, RL) ray layout (full VPU sublane
+            # utilization — the (1, R) shading of round 1 cost ~70 ms of the
+            # headline frame); each consumed row of acc is relayouted once.
+            # ``rmap`` translates shade_all_t row ids to the compact gather
+            # table (only the rows this scene's shading actually reads are
+            # gathered — the MXU gather cost is proportional to the row count).
+            def g(row):
+                if rmap is not None:
+                    row = rmap[row]
+                return unflat(acc[row : row + 1, :])
+
+            t_hit = jnp.where(hit, t_ref, t_chord)
+            s_hit = jnp.clip((tau - gt0) / jnp.where(gdt == 0.0, 1.0, gdt), 0.0, 1.0)
+
+            def lerp(c0, c1_):
+                a = g(c0)
+                b = g(c1_)
+                return a + (b - a) * s_hit
+
+            # Side test (isRayRight, DeviceCode.cu:78-83): normal = (dy, -dx) of
+            # the exact curve derivative, flipped by the diffusion-save
+            # convention.
+            nx, ny = dby, -dbx
+            ndotd = nx * dx + ny * dy
+            if config.diffusion_curve_save:
+                is_right = ndotd > 0.0
+            else:
+                is_right = ndotd <= 0.0
+
+            col_r = jnp.where(
+                is_right, lerp(dev.COL_CR0, dev.COL_CR1), lerp(dev.COL_CL0, dev.COL_CL1)
+            )
+            col_g = jnp.where(
+                is_right,
+                lerp(dev.COL_CR0 + 1, dev.COL_CR1 + 1),
+                lerp(dev.COL_CL0 + 1, dev.COL_CL1 + 1),
+            )
+            col_b = jnp.where(
+                is_right,
+                lerp(dev.COL_CR0 + 2, dev.COL_CR1 + 2),
+                lerp(dev.COL_CL0 + 2, dev.COL_CL1 + 2),
             )
 
-        # Unpack: global winner id, hit mask (i32 0/1 — Mosaic cannot
-        # reshape i1 vectors, and the mask is relayouted for shading).  The
-        # winner's exact t is recomputed after the gather (the key
-        # quantizes t to 2^-17).
-        if best_pk is not None:
-            best_i = (best_pk & _ID_MASK) + best_ch * sc
-            hit32 = (best_pk < _FAR_PACKED).astype(jnp.int32)
-
-        # --- gather the winner's shade row + geometry consts (MXU) ---
-        # Near-exact f32 gather from two single-pass bf16 matmuls: the
-        # tables are pre-split into bf16 high halves + bf16 residuals; with
-        # a 0/1 one-hot operand every product is exact and every output
-        # column has a single nonzero term, so hi + lo reconstructs the f32
-        # row to ~2^-17 relative — far below the renderer's pixel-scale
-        # tolerances.  (A plain f32 gather needs Precision.HIGHEST = 6 MXU
-        # passes; this costs 2.)
-        if _ABLATE_STAGE == "intersect":
-            out_ref[0] = (
-                jnp.zeros((8, PXB), f32)
-                + jnp.sum(hit32.astype(f32))
-                + jnp.sum(best_i.astype(f32))
+            blur_h = lerp(dev.COL_BLUR0, dev.COL_BLUR1)
+            # Scene-uniform weight multiplier / degree (most scenes: the
+            # defaults, optixHello.cpp:466-472,503-509) skip the gather rows and
+            # the lerp; portal-free scenes skip the portal-flag row.
+            wm = (
+                jnp.float32(uniform_wm)
+                if uniform_wm is not None
+                else lerp(dev.COL_WM0, dev.COL_WM1)
             )
-            return
+            if uniform_wd is None:
+                wd = lerp(dev.COL_WD0, dev.COL_WD1)
+            if n_traces > 1:
+                is_portal = (g(dev.COL_PORTAL) > 0.0) & hit
+            else:
+                is_portal = jnp.zeros(RSHP, jnp.bool_)
 
-        acc_hi = jnp.zeros((dev.ALLT_ROWS, R), f32)
-        acc_lo = jnp.zeros((dev.ALLT_ROWS, R), f32)
-        dims = (((1,), (0,)), ((), ()))
-        gsc = 128  # gather chunk width (bf16 lane tile); tables are 3-D
-        n_gchunks = allt_hi_ref.shape[0]
+            # weight = wm * t^(-wd) (DeviceCode.cu:330); IEEE 1/0=inf semantics
+            # make weight-0 curves occlude without contributing (:310).
+            # Scene-uniform weight degrees specialize the pow (exp/log pair) to
+            # rsqrt / div / nothing — last-ulp differences vs the generic form,
+            # well under the parity tolerances.
+            t_c = jnp.maximum(t_hit, 1e-30)
+            if uniform_wd == 0.5:
+                w_self = jax.lax.rsqrt(t_c)
+            elif uniform_wd == 0.0:
+                w_self = None  # weight = wm alone
+            elif uniform_wd == 1.0:
+                w_self = 1.0 / t_c
+            elif uniform_wd == 2.0:
+                w_self = 1.0 / (t_c * t_c)
+            else:
+                w_self = jnp.exp(-wd * jnp.log(t_c))
+            if uniform_wm == 1.0:
+                w_self = jnp.ones(RSHP, f32) if w_self is None else w_self
+            else:
+                w_self = wm if w_self is None else wm * w_self
 
-        def gather_chunk(c, acc_hi, acc_lo):
-            seg_ids = jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0) + c * gsc
-            onehot = (seg_ids == best_i).astype(jnp.bfloat16)  # (gsc, R)
+            terminal = alive & hit & ~is_portal
+            w_final = 1.0 / (inv_w + 1.0 / w_self)
+            out_r = jnp.where(terminal, filt_r * col_r, out_r)
+            out_g = jnp.where(terminal, filt_g * col_g, out_g)
+            out_b = jnp.where(terminal, filt_b * col_b, out_b)
+            out_w = jnp.where(terminal, w_final, out_w)
+            out_blur = jnp.where(terminal, blur_prod * blur_h, out_blur)
+
+            if n_traces > 1:
+                cont = alive & hit & is_portal
+                filt_r = jnp.where(cont, filt_r * col_r, filt_r)
+                filt_g = jnp.where(cont, filt_g * col_g, filt_g)
+                filt_b = jnp.where(cont, filt_b * col_b, filt_b)
+                inv_w = jnp.where(cont, inv_w + 1.0 / w_self, inv_w)
+                blur_prod = jnp.where(cont, blur_prod * blur_h, blur_prod)
+                # Portal exit ray (DeviceCode.cu:227-257), reference-exact
+                # including the quirky sin = nx*dy + ny*dx and the
+                # unnormalized rotated direction.
+                nlen = jnp.sqrt(nx * nx + ny * ny)
+                ninv = jnp.where(nlen > 0.0, 1.0 / nlen, 0.0)
+                nxu, nyu = nx * ninv, ny * ninv
+                r_cos = nxu * dx + nyu * dy
+                r_sin = nxu * dy + nyu * dx
+                # exact exit point/derivative on the target cubic at tau
+                tcx = tuple(g(dev.ALLT_TGT_CTRL + 2 * i) for i in range(4))
+                tcy = tuple(g(dev.ALLT_TGT_CTRL + 2 * i + 1) for i in range(4))
+                ex_x, ex_y, ex_dbx, ex_dby = refine.bezier_and_derivative(tcx, tcy, tau)
+                tnx, tny = ex_dby, -ex_dbx
+                tlen = jnp.sqrt(tnx * tnx + tny * tny)
+                tinv = jnp.where(tlen > 0.0, 1.0 / tlen, 0.0)
+                tnx, tny = tnx * tinv, tny * tinv
+                ndx = tnx * r_cos - tny * r_sin
+                ndy = tny * r_cos + tnx * r_sin
+                ox = jnp.where(cont, ex_x, ox)
+                oy = jnp.where(cont, ex_y, oy)
+                dx = jnp.where(cont, ndx, dx)
+                dy = jnp.where(cont, ndy, dy)
+                alive = cont
+
+        # --- per-pixel weighted reduction (DeviceCode.cu:153-181) ---
+        if _ABLATE_STAGE == "shade":
             return (
-                acc_hi
-                + jax.lax.dot_general(
-                    allt_hi_ref[c], onehot, dims, preferred_element_type=f32
-                ),
-                acc_lo
-                + jax.lax.dot_general(
-                    allt_lo_ref[c], onehot, dims, preferred_element_type=f32
-                ),
+                jnp.zeros((8, R), f32)
+                + jnp.sum(out_r * out_w)
+                + jnp.sum(out_g)
+                + jnp.sum(out_b)
+                + jnp.sum(out_blur)
             )
 
-        if n_gchunks == 1:
-            acc_hi, acc_lo = gather_chunk(0, acc_hi, acc_lo)
-        else:
-            # coherent blocks hit few chunks: gather only the chunk range
-            # spanned by the winning sub-segment ids
-            i_lo = jnp.min(best_i) // gsc
-            i_hi = jnp.max(best_i) // gsc
-            acc_hi, acc_lo = jax.lax.fori_loop(
-                i_lo,
-                i_hi + 1,
-                lambda c, carry: gather_chunk(c, *carry),
-                (acc_hi, acc_lo),
-            )
-        acc = acc_hi + acc_lo
-        if _ABLATE_STAGE == "gather":
-            out_ref[0] = jnp.zeros((8, PXB), f32) + jnp.sum(acc)
-            return
+        return jnp.concatenate(
+            [
+                flat(out_r * out_w),
+                flat(out_g * out_w),
+                flat(out_b * out_w),
+                flat(out_w),
+                flat(out_blur * out_w),
+                jnp.zeros((3, R), f32),
+            ],
+            axis=0,
+        )  # (8, R)
 
-        # Shading runs in the (8, RL) ray layout (full VPU sublane
-        # utilization — the (1, R) shading of round 1 cost ~70 ms of the
-        # headline frame); each consumed row of acc is relayouted once.
-        def g(row):
-            return unflat(acc[row : row + 1, :])
-
-        hit = unflat(hit32) > 0
-
-        # Recompute exact chord t, s from the gathered per-segment consts —
-        # the chunk loop used an approximate reciprocal for speed.
-        gex = g(dev.SHADE_COLS + dev.CONST_EX)
-        gey = g(dev.SHADE_COLS + dev.CONST_EY)
-        gc1 = g(dev.SHADE_COLS + dev.CONST_C1)
-        gp0x = g(dev.SHADE_COLS + dev.CONST_P0X)
-        gp0y = g(dev.SHADE_COLS + dev.CONST_P0Y)
-        gdenom = dx * gey - dy * gex
-        ginv = jnp.where(gdenom == 0.0, 0.0, 1.0 / gdenom)
-        t_hit = (gc1 - ox * gey + oy * gex) * ginv
-        s_hit = jnp.clip(
-            (dy * gp0x - dx * gp0y + (oy * dx - ox * dy)) * ginv, 0.0, 1.0
-        )
-        t_hit = jnp.where(hit, t_hit, 1.0)
-
-        # Newton-refine onto the exact cubic (ops/refine.py): kills
-        # flattening facets under zoom and gives the exact normal.
-        gt0 = g(dev.ALLT_T0)
-        gdt = g(dev.ALLT_DT)
-        cx = tuple(g(dev.ALLT_SRC_CTRL + 2 * i) for i in range(4))
-        cy = tuple(g(dev.ALLT_SRC_CTRL + 2 * i + 1) for i in range(4))
-        tau, t_ref, _, _, dbx, dby = refine.refine_hit(
-            cx, cy, gt0 + s_hit * gdt, ox, oy, dx, dy, t_hit, min_hit
-        )
-        t_hit = jnp.where(hit, t_ref, t_hit)
-        s_hit = jnp.clip((tau - gt0) / jnp.where(gdt == 0.0, 1.0, gdt), 0.0, 1.0)
-
-        def lerp(c0, c1_):
-            a = g(c0)
-            b = g(c1_)
-            return a + (b - a) * s_hit
-
-        # Side test (isRayRight, DeviceCode.cu:78-83): normal = (dy, -dx) of
-        # the exact curve derivative, flipped by the diffusion-save
-        # convention.
-        nx, ny = dby, -dbx
-        ndotd = nx * dx + ny * dy
-        if config.diffusion_curve_save:
-            is_right = ndotd > 0.0
-        else:
-            is_right = ndotd <= 0.0
-
-        col_r = jnp.where(
-            is_right, lerp(dev.COL_CR0, dev.COL_CR1), lerp(dev.COL_CL0, dev.COL_CL1)
-        )
-        col_g = jnp.where(
-            is_right,
-            lerp(dev.COL_CR0 + 1, dev.COL_CR1 + 1),
-            lerp(dev.COL_CL0 + 1, dev.COL_CL1 + 1),
-        )
-        col_b = jnp.where(
-            is_right,
-            lerp(dev.COL_CR0 + 2, dev.COL_CR1 + 2),
-            lerp(dev.COL_CL0 + 2, dev.COL_CL1 + 2),
+    # Accumulate the (8, R) weighted ray rows across wedges, then run ONE
+    # sample->pixel reduction matmul per program: the reduction is linear in
+    # the rows, and an M=16 matmul pays for a full 128-row MXU M tile — one
+    # matmul for all wedges costs n_wedges x less than one per wedge.
+    if n_wedges == 1:
+        rows = wedge_partial(jnp.int32(0))
+    else:
+        rows = jax.lax.fori_loop(
+            0,
+            n_wedges,
+            lambda wv, acc: acc + wedge_partial(wv),
+            jnp.zeros((8, R), f32),
         )
 
-        blur_h = lerp(dev.COL_BLUR0, dev.COL_BLUR1)
-        wm = lerp(dev.COL_WM0, dev.COL_WM1)
-        wd = lerp(dev.COL_WD0, dev.COL_WD1)
-        is_portal = (g(dev.COL_PORTAL) > 0.0) & hit
-
-        # weight = wm * t^(-wd) (DeviceCode.cu:330); IEEE 1/0=inf semantics
-        # make weight-0 curves occlude without contributing (:310).
-        # Scene-uniform weight degrees specialize the pow (exp/log pair) to
-        # rsqrt / div / nothing — last-ulp differences vs the generic form,
-        # well under the parity tolerances.
-        t_c = jnp.maximum(t_hit, 1e-30)
-        if uniform_wd == 0.5:
-            w_self = wm * jax.lax.rsqrt(t_c)
-        elif uniform_wd == 0.0:
-            w_self = wm
-        elif uniform_wd == 1.0:
-            w_self = wm * (1.0 / t_c)
-        elif uniform_wd == 2.0:
-            w_self = wm * (1.0 / (t_c * t_c))
-        else:
-            w_self = wm * jnp.exp(-wd * jnp.log(t_c))
-
-        terminal = alive & hit & ~is_portal
-        w_final = 1.0 / (inv_w + 1.0 / w_self)
-        out_r = jnp.where(terminal, filt_r * col_r, out_r)
-        out_g = jnp.where(terminal, filt_g * col_g, out_g)
-        out_b = jnp.where(terminal, filt_b * col_b, out_b)
-        out_w = jnp.where(terminal, w_final, out_w)
-        out_blur = jnp.where(terminal, blur_prod * blur_h, out_blur)
-
-        if n_traces > 1:
-            cont = alive & hit & is_portal
-            filt_r = jnp.where(cont, filt_r * col_r, filt_r)
-            filt_g = jnp.where(cont, filt_g * col_g, filt_g)
-            filt_b = jnp.where(cont, filt_b * col_b, filt_b)
-            inv_w = jnp.where(cont, inv_w + 1.0 / w_self, inv_w)
-            blur_prod = jnp.where(cont, blur_prod * blur_h, blur_prod)
-            # Portal exit ray (DeviceCode.cu:227-257), reference-exact
-            # including the quirky sin = nx*dy + ny*dx and the
-            # unnormalized rotated direction.
-            nlen = jnp.sqrt(nx * nx + ny * ny)
-            ninv = jnp.where(nlen > 0.0, 1.0 / nlen, 0.0)
-            nxu, nyu = nx * ninv, ny * ninv
-            r_cos = nxu * dx + nyu * dy
-            r_sin = nxu * dy + nyu * dx
-            # exact exit point/derivative on the target cubic at tau
-            tcx = tuple(g(dev.ALLT_TGT_CTRL + 2 * i) for i in range(4))
-            tcy = tuple(g(dev.ALLT_TGT_CTRL + 2 * i + 1) for i in range(4))
-            ex_x, ex_y, ex_dbx, ex_dby = refine.bezier_and_derivative(tcx, tcy, tau)
-            tnx, tny = ex_dby, -ex_dbx
-            tlen = jnp.sqrt(tnx * tnx + tny * tny)
-            tinv = jnp.where(tlen > 0.0, 1.0 / tlen, 0.0)
-            tnx, tny = tnx * tinv, tny * tinv
-            ndx = tnx * r_cos - tny * r_sin
-            ndy = tny * r_cos + tnx * r_sin
-            ox = jnp.where(cont, ex_x, ox)
-            oy = jnp.where(cont, ex_y, oy)
-            dx = jnp.where(cont, ndx, dx)
-            dy = jnp.where(cont, ndy, dy)
-            alive = cont
-
-    # --- per-pixel weighted reduction (DeviceCode.cu:153-181), accumulated
-    # across the wedge grid steps (the same out_ref block is revisited) ---
-    if _ABLATE_STAGE == "shade":
-        out_ref[0] = (
-            jnp.zeros((8, PXB), f32)
-            + jnp.sum(out_r * out_w)
-            + jnp.sum(out_g)
-            + jnp.sum(out_b)
-            + jnp.sum(out_blur)
-        )
+    if _ABLATE_STAGE is not None:
+        out_ref[0] = rows[:, :PXB]
         return
 
-    rows = jnp.concatenate(
-        [
-            flat(out_r * out_w),
-            flat(out_g * out_w),
-            flat(out_b * out_w),
-            flat(out_w),
-            flat(out_blur * out_w),
-            jnp.zeros((3, R), f32),
-        ],
-        axis=0,
-    )  # (8, R)
-    ray_px = jax.lax.broadcasted_iota(jnp.int32, (R, PXB), 0) // SW
-    px_ids = jax.lax.broadcasted_iota(jnp.int32, (R, PXB), 1)
-    reduce_oh = (ray_px == px_ids).astype(jnp.bfloat16)  # (R, PXB)
-    # Same bf16 hi/lo trick as the gather, but split at runtime; the MXU
-    # accumulates in f32 so only input quantization matters, and hi + lo
-    # reconstructs the f32 inputs exactly.
+    # The sample->pixel one-hot is precomputed outside the kernel (constant
+    # across the grid).  Same bf16 hi/lo trick as the gather, but split at
+    # runtime; the MXU accumulates in f32 so only input quantization
+    # matters, and hi + lo reconstructs the f32 inputs exactly.
+    reduce_oh = red_ref[...]  # (R, PXB) bf16
     rows_hi = rows.astype(jnp.bfloat16)
     rows_lo = (rows - rows_hi.astype(f32)).astype(jnp.bfloat16)
     dims2 = (((1,), (0,)), ((), ()))
-    partial = jax.lax.dot_general(
-        rows_hi, reduce_oh, dims2, preferred_element_type=f32
-    ) + jax.lax.dot_general(rows_lo, reduce_oh, dims2, preferred_element_type=f32)
-
-    if n_wedges == 1:
-        out_ref[0] = partial
-    else:
-
-        @pl.when(pid_w == 0)
-        def _():
-            out_ref[0] = partial
-
-        @pl.when(pid_w != 0)
-        def _():
-            out_ref[0] += partial
+    both = jax.lax.dot_general(
+        jnp.concatenate([rows_hi, rows_lo], axis=0), reduce_oh, dims2,
+        preferred_element_type=f32,
+    )  # (16, PXB): one MXU pass for hi and lo
+    out_ref[0] = both[:8] + both[8:]
 
 
 def trace_sums(
@@ -773,6 +951,27 @@ def trace_sums_flat(
     if _DISABLE_CAND:
         use_cand = use_chunk_lists = False
 
+    # Compact gather-table row set: the MXU gather costs ~rows x K x R per
+    # block, so only the rows THIS scene's shading reads are shipped.  The
+    # kernel addresses rows through ``rmap``.
+    used = list(range(dev.COL_CL0, dev.COL_CR1 + 3))  # 12 color rows
+    used += [dev.COL_BLUR0, dev.COL_BLUR1]
+    if scene.uniform_wm is None:
+        used += [dev.COL_WM0, dev.COL_WM1]
+    if scene.uniform_wd is None:
+        used += [dev.COL_WD0, dev.COL_WD1]
+    if n_traces > 1:
+        used.append(dev.COL_PORTAL)
+    used += [dev.ALLT_CONSTS + i for i in range(5)]  # EX, EY, C1, P0X, P0Y
+    used += list(range(dev.ALLT_SRC_CTRL, dev.ALLT_SRC_CTRL + 8))
+    if n_traces > 1:
+        used += list(range(dev.ALLT_TGT_CTRL, dev.ALLT_TGT_CTRL + 8))
+    used += [dev.ALLT_T0, dev.ALLT_DT]
+    if config.exact_silhouettes:
+        used.append(dev.ALLT_BAND)
+    gather_rows = -(-len(used) // 8) * 8  # sublane multiple
+    rmap = {r: i for i, r in enumerate(used)}
+
     kernel = functools.partial(
         _trace_kernel,
         width=w,
@@ -787,19 +986,33 @@ def trace_sums_flat(
         use_cand=use_cand,
         use_chunk_lists=use_chunk_lists,
         uniform_wd=scene.uniform_wd,
+        uniform_wm=scene.uniform_wm,
+        rmap=rmap,
+        gather_rows=gather_rows,
     )
 
-    # bf16 hi/lo split, chunked 3-D for aligned dynamic indexing in-kernel:
-    # (ALLT_ROWS, S_pad) -> (ceil(S_pad/128), ALLT_ROWS, 128)
+    # bf16 hi/lo split of the compact rows, chunked 3-D for aligned dynamic
+    # indexing in-kernel, hi halves stacked over residuals so the in-kernel
+    # gather is ONE MXU pass:
+    # (ALLT_ROWS, S_pad) -> (ceil(S_pad/128), 2*gather_rows, 128)
     s_pad128 = ((scene.s_pad + 127) // 128) * 128
-    allt = scene.shade_all_t
+    allt = scene.shade_all_t[jnp.asarray(used, jnp.int32)]
+    if gather_rows != len(used):
+        allt = jnp.pad(allt, ((0, gather_rows - len(used)), (0, 0)))
     if s_pad128 != scene.s_pad:
         allt = jnp.pad(allt, ((0, 0), (0, s_pad128 - scene.s_pad)))
-    allt3 = jnp.moveaxis(allt.reshape(dev.ALLT_ROWS, s_pad128 // 128, 128), 1, 0)
+    allt3 = jnp.moveaxis(allt.reshape(gather_rows, s_pad128 // 128, 128), 1, 0)
     allt_hi = allt3.astype(jnp.bfloat16)
     allt_lo = (allt3 - allt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    allt_hl = jnp.concatenate([allt_hi, allt_lo], axis=1)
 
-    operands = [cam, meta, scene.chunk_bounds, scene.seg_consts, allt_hi, allt_lo]
+    # Sample->pixel reduction one-hot, constant across the grid.
+    reduce_oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, pxb), 0) // sw
+        == jax.lax.broadcasted_iota(jnp.int32, (R, pxb), 1)
+    ).astype(jnp.bfloat16)
+
+    operands = [cam, meta, scene.chunk_bounds, scene.seg_consts, allt_hl, reduce_oh]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -811,7 +1024,7 @@ def trace_sums_flat(
     if use_cand:
         # Per-frame candidate prepass (ops/candidates.py), fused under the
         # same jit; each program DMAs only its (tile, wedge) list.
-        cand = cand_mod.segment_candidates(
+        cand, ccand = cand_mod.segment_candidates(
             scene.seg_consts,
             w,
             h,
@@ -826,14 +1039,21 @@ def trace_sums_flat(
             tile_h,
             px_start,
             config.diffusion_curve_save,
+            cand_len=scene.s_pad,  # lists cover every segment: no overflow
         )
-        operands.append(cand)
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, cand_mod.CAND_LEN, dev.CONST_COLS),
-                lambda g, w_: (g, w_, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
+        operands.extend([cand, ccand])
+        in_specs.extend(
+            [
+                pl.BlockSpec(
+                    (1, n_wedges, scene.s_pad, dev.CONST_COLS),
+                    lambda g: (g, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_wedges, 1), lambda g: (g, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ]
         )
     if use_chunk_lists:
         cids, clbs, ccnts = cand_mod.chunk_candidates(
@@ -852,29 +1072,29 @@ def trace_sums_flat(
             px_start,
             config.diffusion_curve_save,
         )
-        # Lists are laid out (T*W, 1, C) so the (1, C) block equals the
-        # trailing array dims (Mosaic block-divisibility rule).
-        fold = lambda g, w_, nw=n_wedges: (g * nw + w_, 0, 0)
+        # Lists are laid out (T, W, C); each program takes its tile's whole
+        # (W, C) wedge block and indexes the wedge in-kernel.
+        fold = lambda g: (g, 0, 0)
         operands.extend([cids, clbs, ccnts])
         in_specs.extend(
             [
-                pl.BlockSpec((1, 1, n_chunks), fold, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, n_chunks), fold, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), fold, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_wedges, n_chunks), fold, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_wedges, n_chunks), fold, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_wedges, 1), fold, memory_space=pltpu.SMEM),
             ]
         )
 
     sums = pl.pallas_call(
         kernel,
-        grid=(n_blocks, n_wedges),
+        grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 8, pxb), lambda g, w_: (g, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, pxb), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 8, pxb), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
     )(*operands)
 

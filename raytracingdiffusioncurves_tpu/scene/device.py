@@ -60,7 +60,21 @@ SHADE_COLS = 32
 #   num_s = cross(p0-o, d) = dy*p0x - dx*p0y + (oy*dx - ox*dy)
 #   t = num_t/denom, s = num_s/denom
 CONST_EX, CONST_EY, CONST_C1, CONST_P0X, CONST_P0Y, CONST_VALID = 0, 1, 2, 3, 4, 5
-CONST_COLS = 8
+# Conservative capsule band: max distance from the exact cubic (over the
+# sub-segment's parameter window) to its chord segment, plus the reference's
+# tube radius curve_width = 1e-3 (optixHello.cpp:95).  The exact-silhouette
+# sweep widens its acceptance by this much and lets Newton's residual decide
+# hit/miss, so hit/miss no longer follows the flattening chords.
+CONST_BAND = 6
+# Quadratic ordering correction: 4 * cross(e, B(mid) - p0) — the signed
+# apex deviation of the parabola through the window's endpoints and
+# midpoint, premultiplied so the sweep's ordering key becomes
+# t_est = (num_t - QUAD * s(1-s)) / denom, a 2nd-order-accurate hit
+# distance.  Chord-t ordering errors of up to the full sagitta made the
+# closest-crossing winner flip sides along silhouette grazings; the
+# parabola correction shrinks that by ~an order of magnitude.
+CONST_QUAD = 7
+CONST_COLS = 9
 
 # shade_all_t rows: SHADE_COLS shade rows, the 5 geometry consts, then the
 # hit-refinement block: source cubic control points (8), portal target cubic
@@ -69,6 +83,12 @@ ALLT_CONSTS = SHADE_COLS  # rows 32..36: EX, EY, C1, P0X, P0Y
 ALLT_SRC_CTRL = 37  # rows 37..44: x0,y0,x1,y1,x2,y2,x3,y3
 ALLT_TGT_CTRL = 45  # rows 45..52: portal target control points
 ALLT_T0, ALLT_DT = 53, 54  # cubic parameter window of the sub-segment
+# The winner's silhouette band (CONST_BAND), needed post-gather by the
+# exact-silhouette root isolation to widen its parameter window so crossings
+# just beyond a window edge resolve identically no matter which adjacent
+# candidate won the (near-tied) sweep ordering — the backends' ordering keys
+# round differently, and without the margin those ties flipped hit/side.
+ALLT_BAND = 55
 ALLT_ROWS = 64  # padded to a bf16 sublane multiple; MXU pads M to 128 anyway
 
 LANE = 128  # TPU lane width (gather tables pad to this)
@@ -85,7 +105,7 @@ def _pad_to(n: int, m: int) -> int:
     data_fields=["seg_consts", "shade_table", "shade_all_t", "chunk_bounds"],
     meta_fields=[
         "width", "height", "n_sub", "s_pad", "has_portals", "max_blur",
-        "uniform_wd",
+        "uniform_wd", "uniform_wm",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +132,55 @@ class DeviceScene:
     # the 0.5 default, optixHello.cpp:94), the kernel specializes
     # w = wm * t^-wd to rsqrt/div and skips the exp/log pair. None = mixed.
     uniform_wd: float | None = None
+    # Same for the weight multiplier (default 1, optixHello.cpp:466-472):
+    # uniform scenes skip the wm gather rows and the multiply entirely.
+    uniform_wm: float | None = None
+
+
+def _capsule_bands(rr: np.ndarray, p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    """Conservative max distance from each sub-segment's exact cubic to its
+    chord segment (float64, build time).
+
+    ``rr`` is the stacked refine rows: source control points x0,y0..x3,y3 at
+    [:8], the parameter window t0 at [16] and dt at [17].  Dense sampling
+    plus an analytic second-derivative pad keeps the bound conservative
+    between samples; the reference's tube radius curve_width = 1e-3
+    (optixHello.cpp:95) is folded in.
+    """
+    n = rr.shape[0]
+    cx = rr[:, 0:8:2]  # (n, 4)
+    cy = rr[:, 1:8:2]
+    t0 = rr[:, 16]
+    dt = rr[:, 17]
+    k = 33
+    taus = t0[:, None] + dt[:, None] * np.linspace(0.0, 1.0, k)[None, :]
+    mt = 1.0 - taus
+    b0 = mt**3
+    b1 = 3.0 * mt**2 * taus
+    b2 = 3.0 * mt * taus**2
+    b3 = taus**3
+    bx = b0 * cx[:, :1] + b1 * cx[:, 1:2] + b2 * cx[:, 2:3] + b3 * cx[:, 3:4]
+    by = b0 * cy[:, :1] + b1 * cy[:, 1:2] + b2 * cy[:, 2:3] + b3 * cy[:, 3:4]
+    # point-to-segment distance
+    e = p1 - p0  # (n, 2)
+    ee = np.maximum((e * e).sum(axis=1), 1e-30)[:, None]
+    px = bx - p0[:, :1]
+    py = by - p0[:, 1:2]
+    s = np.clip((px * e[:, :1] + py * e[:, 1:2]) / ee, 0.0, 1.0)
+    ddx = px - s * e[:, :1]
+    ddy = py - s * e[:, 1:2]
+    d_samp = np.sqrt(ddx * ddx + ddy * ddy).max(axis=1)
+    # between-samples pad: |B(tau)| deviates from the sampled piecewise-
+    # linear by at most |B''|_max * (dtau/2)^2 / 2 over each sample gap.
+    a2x = np.abs(cx[:, 2] - 2 * cx[:, 1] + cx[:, 0])
+    a2y = np.abs(cy[:, 2] - 2 * cy[:, 1] + cy[:, 0])
+    b2x = np.abs(cx[:, 3] - 2 * cx[:, 2] + cx[:, 1])
+    b2y = np.abs(cy[:, 3] - 2 * cy[:, 2] + cy[:, 1])
+    bpp = 6.0 * np.sqrt(
+        np.maximum(a2x, b2x) ** 2 + np.maximum(a2y, b2y) ** 2
+    )  # global-parameter second-derivative bound
+    pad = bpp * (np.abs(dt) / (k - 1) / 2.0) ** 2 / 2.0
+    return d_samp + pad + 1e-3
 
 
 def _attr_limits(table: AttrTable, curve: int, u0: float, u1: float) -> tuple[np.ndarray, np.ndarray]:
@@ -162,6 +231,7 @@ def build_device_scene(
     scene: SceneTables,
     flatten_subdivisions: int = 16,
     dtype=jnp.float32,
+    max_sagitta: float = 0.25,
 ) -> DeviceScene:
     """Flatten a loaded scene into the device tables."""
     rows: list[np.ndarray] = []  # shade rows
@@ -186,7 +256,20 @@ def build_device_scene(
             tgt_seg = tgt_first + min(int(scene.curve_index[seg]), tgt_count - 1)
             tgt_ctrl = scene.vertices[tgt_seg].astype(np.float64)
 
-        ts = _segment_breakpoints(scene, seg, flatten_subdivisions)
+        # Bounded-sagitta adaptive flattening: flatten_subdivisions is the
+        # MINIMUM; curvier cubics subdivide until each chord's deviation
+        # bound bpp * dt^2 / 8 <= max_sagitta, capping the exact-silhouette
+        # band (= the closest-hit ordering error bound) scene-wide.
+        a2 = ctrl[2] - 2.0 * ctrl[1] + ctrl[0]
+        b2 = ctrl[3] - 2.0 * ctrl[2] + ctrl[1]
+        bpp = 6.0 * max(np.linalg.norm(a2), np.linalg.norm(b2))
+        k_seg = int(
+            min(
+                max(flatten_subdivisions, np.ceil(np.sqrt(bpp / (8.0 * max_sagitta)))),
+                max(4 * flatten_subdivisions, 64),
+            )
+        )
+        ts = _segment_breakpoints(scene, seg, k_seg)
         pts = geometry.bezier_point(ctrl, ts)  # (B+1, 2)
         ders = geometry.bezier_derivative(ctrl, ts)
         if is_portal:
@@ -275,11 +358,26 @@ def build_device_scene(
     consts[:, CONST_P0X] = p0[:, 0]
     consts[:, CONST_P0Y] = p0[:, 1]
     consts[:, CONST_VALID] = shade[:, COL_VALID]
+    if n_sub:
+        rr = np.stack(refine_rows)
+        consts[:n_sub, CONST_BAND] = _capsule_bands(rr, p0[:n_sub], p1[:n_sub])
+        # signed mid-window deviation for the quadratic ordering key
+        cxr, cyr = rr[:, 0:8:2], rr[:, 1:8:2]
+        tm = rr[:, 16] + 0.5 * rr[:, 17]
+        mt = 1.0 - tm
+        w = np.stack([mt**3, 3 * mt**2 * tm, 3 * mt * tm**2, tm**3], axis=1)
+        bmx = (w * cxr).sum(axis=1)
+        bmy = (w * cyr).sum(axis=1)
+        consts[:n_sub, CONST_QUAD] = 4.0 * (
+            e[:n_sub, 0] * (bmy - p0[:n_sub, 1])
+            - e[:n_sub, 1] * (bmx - p0[:n_sub, 0])
+        )
 
     shade_all_t = np.zeros((ALLT_ROWS, s_pad), np.float64)
     shade_all_t[:SHADE_COLS] = shade.T
     shade_all_t[SHADE_COLS : SHADE_COLS + 5] = consts[:, :5].T
     shade_all_t[ALLT_SRC_CTRL:, :n_sub] = np.stack(refine_rows).T
+    shade_all_t[ALLT_BAND, :n_sub] = consts[:n_sub, CONST_BAND]
 
     n_chunks = max(1, -(-s_pad // SEG_ALIGN))
     chunk_bounds = np.zeros((n_chunks, 4), np.float64)
@@ -293,11 +391,18 @@ def build_device_scene(
         mn, mx = pts.min(axis=0), pts.max(axis=0)
         center = 0.5 * (mn + mx)
         radius = float(np.max(np.linalg.norm(pts - center, axis=1)))
+        # + the largest silhouette band in the chunk: the band-widened sweep
+        # can accept hits up to that far beyond the chords, and culling must
+        # stay conservative with respect to everything the sweep accepts.
+        radius += float(np.max(consts[lo:hi, CONST_BAND]))
         chunk_bounds[c] = [center[0], center[1], radius, 0.0]
 
     wds = np.concatenate([shade[:n_sub, COL_WD0], shade[:n_sub, COL_WD1]])
     wds32 = wds.astype(np.float32)
     uniform_wd = float(wds32[0]) if n_sub and np.all(wds32 == wds32[0]) else None
+    wms = np.concatenate([shade[:n_sub, COL_WM0], shade[:n_sub, COL_WM1]])
+    wms32 = wms.astype(np.float32)
+    uniform_wm = float(wms32[0]) if n_sub and np.all(wms32 == wms32[0]) else None
 
     return DeviceScene(
         seg_consts=jnp.asarray(consts, dtype),
@@ -311,6 +416,7 @@ def build_device_scene(
         has_portals=scene.has_portals,
         max_blur=scene.max_blur,
         uniform_wd=uniform_wd,
+        uniform_wm=uniform_wm,
     )
 
 
@@ -319,6 +425,7 @@ def intersect_consts(
     origins: jax.Array,
     dirs: jax.Array,
     min_hit: float = 0.0,
+    band_scale: float | jax.Array = 0.0,
 ):
     """Intersect rays against a (S, CONST_COLS) slice of seg_consts.
 
@@ -335,6 +442,13 @@ def intersect_consts(
     padding rows yield 0, never > 0), which subsumes the old CONST_VALID
     test.  Note t == min_hit exactly is now rejected (was accepted) — a
     measure-zero boundary change shared by both paths.
+
+    ``band_scale`` > 0 enables the exact-silhouette band: acceptance widens
+    by m = band_scale * CONST_BAND (band_scale ~ max |d|; 1 for unit
+    directions) in num_s units (a ray line passes within h of the chord
+    segment iff its crossing s lies in [0, 1] widened by h*|d|/|denom| —
+    i.e. num_s within m of [0, denom]), and the t cut relaxes by the same
+    margin.  Downstream Newton rejects the non-crossing candidates.
     """
     ex = consts_slice[:, CONST_EX][None, :]
     ey = consts_slice[:, CONST_EY][None, :]
@@ -348,10 +462,25 @@ def intersect_consts(
     denom = dx * ey - dy * ex
     num_t = c1 - ox * ey + oy * ex
     num_s = dy * p0x - dx * p0y + (oy * dx - ox * dy)
-    valid = (num_s * (denom - num_s) >= 0.0) & (
-        (num_t - jnp.float32(min_hit) * denom) * denom > 0.0
-    )
+    if isinstance(band_scale, (int, float)) and band_scale == 0.0:
+        valid = (num_s * (denom - num_s) >= 0.0) & (
+            (num_t - jnp.float32(min_hit) * denom) * denom > 0.0
+        )
+    else:
+        scale = jnp.reshape(jnp.asarray(band_scale, jnp.float32), (-1, 1))
+        h = consts_slice[:, CONST_BAND][None, :] * scale  # (N or 1, S)
+        # where(>=0) not copysign: denom == -0.0 must take the same branch
+        # as the Pallas kernel's formulation.
+        ms = jnp.where(denom >= 0.0, h, -h)
+        valid = ((num_s + ms) * (denom - num_s + ms) >= 0.0) & (
+            (num_t - jnp.float32(min_hit) * denom) * denom > -h * jnp.abs(denom)
+        )
     inv = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
     t = num_t * inv
     s = num_s * inv
-    return denom, t, s, valid
+    # Quadratic-corrected ordering estimate (CONST_QUAD): 2nd-order-accurate
+    # hit distance, so closest-crossing ranking no longer flips winners by
+    # up to the chord sagitta (same key as the Pallas kernel's packed sweep).
+    q = consts_slice[:, CONST_QUAD][None, :]
+    t_est = (num_t - q * s * (1.0 - s)) * inv
+    return denom, t, t_est, s, valid

@@ -57,12 +57,11 @@ class InteractiveSession:
             else None
         )
         self._moved = True  # first frame has no history
-        # Source tables enable adaptive re-flattening: hit positions are
-        # Newton-exact at any subdivision (ops/refine.py), but the hit/miss
-        # silhouette follows the flattened chords, so deep zoom rebuilds the
-        # device tables at finer granularity (chord error ~ O(1/K^2)).
+        # Kept for API compatibility: exact silhouettes (config.py
+        # exact_silhouettes; band-widened sweep + Newton accept/reject)
+        # make hit/miss exact at any flattening, so deep zoom no longer
+        # rebuilds device tables or recompiles.
         self.tables = tables
-        self._built_k = None
 
     def scroll(self, yoffset: float) -> None:
         """Zoom: zoom_factor *= 1.5^-yoffset, with the radial flow update for
@@ -86,24 +85,9 @@ class InteractiveSession:
         self.state = self.state._replace(flow=flow)
         self._moved = True
 
-    def _maybe_reflatten(self):
-        if self.tables is None:
-            return
-        import math
-
-        from .scene.device import build_device_scene
-
-        k = int(min(64, max(16, 2 ** math.ceil(math.log2(16 / min(self.camera.zoom_factor, 1.0))))))
-        if self._built_k is None:
-            self._built_k = 16
-        if k != self._built_k:
-            self.scene = build_device_scene(self.tables, flatten_subdivisions=k)
-            self._built_k = k
-
     def render(self) -> jax.Array:
         """Render one frame; returns the (H, W, 4) image. Frame time is
         recorded with the reference's protocol (optixHello.cpp:1258-1263)."""
-        self._maybe_reflatten()
         t0 = time.perf_counter()
         if self.progressive:
             import jax.numpy as jnp
