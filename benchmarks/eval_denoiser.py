@@ -1,0 +1,73 @@
+"""Held-out denoiser evaluation: trained CNN vs the analytic temporal pass.
+
+Both denoisers see the same inputs (noisy render + flow-warped previous
+output) on the VALIDATION scenes only (weight_demo, zephyr — never trained
+on, models/train_denoiser.py VAL_SCENES), mirroring the reference's use of
+a pretrained model it never trained on its own scenes
+(/root/reference/optixHello/optixHello.cpp:1057).
+
+Usage: python benchmarks/eval_denoiser.py [--val denoise_val.npz]
+           [--weights weights/denoiser.msgpack]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp  # noqa: E402
+
+from raytracingdiffusioncurves_tpu.models import denoiser as dn  # noqa: E402
+from raytracingdiffusioncurves_tpu.ops import denoise as denoise_ops  # noqa: E402
+from raytracingdiffusioncurves_tpu.ops import flow as flow_ops  # noqa: E402
+from raytracingdiffusioncurves_tpu.utils.image import psnr, to_uint8  # noqa: E402
+
+
+def _q(x):
+    return to_uint8(np.asarray(x), False).astype(np.float64) / 255.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--val", default="denoise_val.npz")
+    p.add_argument("--weights", default="weights/denoiser.msgpack")
+    args = p.parse_args()
+
+    val = dict(np.load(args.val))
+    params = dn.load_params(args.weights)
+    model = dn.DenoiserNet()
+
+    rows = {"noisy": [], "analytic": [], "cnn": []}
+    for i in range(val["noisy"].shape[0]):
+        noisy = jnp.asarray(val["noisy"][i], jnp.float32)
+        warped = jnp.asarray(val["warped_prev"][i], jnp.float32)
+        aux = jnp.asarray(val["aux"][i], jnp.float32)
+        target = _q(val["target"][i])
+
+        # analytic pass: inputs already warped, so pass zero flow; frame=1
+        # enables the temporal blend (frame 0 would ignore the history).
+        noisy4 = jnp.concatenate([noisy, jnp.ones(noisy.shape[:2] + (1,))], -1)
+        warped4 = jnp.concatenate([warped, jnp.ones(noisy.shape[:2] + (1,))], -1)
+        analytic = denoise_ops.temporal_denoise(
+            noisy4, warped4, flow_ops.zero_flow(*noisy.shape[:2]), jnp.int32(1)
+        )[..., :3]
+        cnn = model.apply(params, noisy[None], warped[None], aux[None])[0]
+
+        rows["noisy"].append(psnr(_q(noisy), target))
+        rows["analytic"].append(psnr(_q(analytic), target))
+        rows["cnn"].append(psnr(_q(cnn), target))
+
+    out = {k: round(float(np.mean(v)), 2) for k, v in rows.items()}
+    out["cnn_minus_analytic"] = round(out["cnn"] - out["analytic"], 2)
+    out["n_examples"] = len(rows["noisy"])
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

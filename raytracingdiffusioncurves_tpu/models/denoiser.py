@@ -26,27 +26,50 @@ import optax
 from flax import linen as nn
 
 
+def analytic_baseline(noisy: jax.Array, warped_prev: jax.Array) -> jax.Array:
+    """The analytic temporal pass on already-warped history (ops/denoise.py
+    temporal_denoise with the warp factored out): bilateral + temporal
+    blend.  Shared by training and inference so the CNN's residual is
+    learned against exactly what it sees at run time."""
+    from ..ops import denoise as denoise_ops
+
+    spatial = denoise_ops.spatial_bilateral(noisy)
+    return warped_prev + (spatial - warped_prev) * denoise_ops._TEMPORAL_ALPHA
+
+
 class DenoiserNet(nn.Module):
-    """Residual CNN: input (noisy rgb, prev-warped rgb, aux) -> rgb.
+    """Residual CNN on top of the analytic temporal pass.
 
-    Mirrors the OptiX temporal denoiser's interface: current frame + flow-
-    warped previous output as guide (optixHello.cpp:1115-1127).  ``aux``
-    carries the blur map plus a constant noise-level channel (1/sqrt(rpp)),
-    so ONE set of weights serves every rays-per-pixel setting — the
-    conditioning that fixed round 1's overfit-to-one-noise-level recipe."""
+    Input (noisy rgb, prev-warped rgb, analytic-denoised rgb, aux) -> rgb,
+    predicted as ``analytic + residual``: at zero residual the net already
+    matches the analytic temporal/bilateral denoiser, so training can only
+    move it above that baseline.  Mirrors the OptiX temporal denoiser's
+    interface: current frame + flow-warped previous output as guide
+    (optixHello.cpp:1115-1127).  ``aux`` carries the blur map plus a
+    constant noise-level channel (1/sqrt(rpp)), so ONE set of weights
+    serves every rays-per-pixel setting — the conditioning that fixed round
+    1's overfit-to-one-noise-level recipe."""
 
-    features: int = 24
+    features: int = 28
     depth: int = 3
 
     @nn.compact
-    def __call__(self, noisy: jax.Array, warped_prev: jax.Array, aux: jax.Array):
-        x = jnp.concatenate([noisy, warped_prev, aux], axis=-1)
+    def __call__(
+        self,
+        noisy: jax.Array,
+        warped_prev: jax.Array,
+        aux: jax.Array,
+        analytic: jax.Array | None = None,
+    ):
+        if analytic is None:
+            analytic = jax.vmap(analytic_baseline)(noisy, warped_prev)
+        x = jnp.concatenate([noisy, warped_prev, analytic, aux], axis=-1)
         x = x.astype(jnp.bfloat16)
         for _ in range(self.depth):
             x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=jnp.bfloat16)(x)
             x = nn.relu(x)
         x = nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.bfloat16)(x)
-        return noisy + x.astype(jnp.float32)  # residual correction
+        return analytic + x.astype(jnp.float32)  # residual on the baseline
 
 
 class TrainState(NamedTuple):
@@ -56,8 +79,10 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(
-    rng_key, height: int, width: int, lr: float = 1e-3, aux_channels: int = 2
+    rng_key, height: int, width: int, lr=1e-3, aux_channels: int = 2
 ):
+    """``lr`` may be a float or an optax schedule (the trainer passes a
+    cosine decay)."""
     model = DenoiserNet()
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     aux = jnp.zeros((1, height, width, aux_channels), jnp.float32)
@@ -116,15 +141,26 @@ def load_params(path: str):
 
 
 def apply_denoiser(
-    model, params, image, warped_prev, blur_map, mix: float = 1.0, noise: float = 0.0
+    model, params, image, warped_prev, blur_map, mix: float = 1.0,
+    noise: float = 0.0, frame=None,
 ):
     """Inference wrapper matching the blendFactor semantics
-    (optixHello.cpp:1131): mix=1 -> fully denoised."""
+    (optixHello.cpp:1131): mix=1 -> fully denoised.  On frame 0 there is no
+    history, so the warped-previous guide falls back to the bilateral of the
+    current frame (the analytic pass does the same, ops/denoise.py)."""
+    from ..ops import denoise as denoise_ops
+
     aux = jnp.stack(
         [blur_map, jnp.full_like(blur_map, jnp.float32(noise))], axis=-1
     )
+    noisy = image[..., :3]
+    prev = warped_prev[..., :3]
+    spatial = denoise_ops.spatial_bilateral(noisy)
+    if frame is not None:
+        prev = jnp.where(jnp.asarray(frame) > 0, prev, spatial)
+    analytic = prev + (spatial - prev) * denoise_ops._TEMPORAL_ALPHA
     pred = model.apply(
-        params, image[None, ..., :3], warped_prev[None, ..., :3], aux[None]
+        params, noisy[None], prev[None], aux[None], analytic[None]
     )[0]
     alpha = jnp.ones(image.shape[:2] + (1,), jnp.float32)
     denoised = jnp.concatenate([pred, alpha], axis=-1)

@@ -170,6 +170,7 @@ def _postprocess(
                 dn.DenoiserNet(), denoiser_params, image, warped, blur_map,
                 mix=config.corrected_image_mix,
                 noise=dn.noise_level(config.rays_per_pixel),
+                frame=state.frame,
             )
         else:
             denoised = denoise_ops.temporal_denoise(

@@ -153,10 +153,15 @@ def _psnr_noisy(data) -> float:
 
 def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
           lr=2e-3, seed=0):
-    data = dict(np.load(data_path))
+    # data_path: one .npz or a comma-separated list (concatenated).
+    parts = [dict(np.load(p)) for p in str(data_path).split(",")]
+    data = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
     val = dict(np.load(val_path)) if val_path else None
     rng = np.random.default_rng(seed)
-    model, state, tx = dn.create_train_state(jax.random.key(seed), crop, crop, lr)
+    import optax
+
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+    model, state, tx = dn.create_train_state(jax.random.key(seed), crop, crop, sched)
 
     best = (-1.0, state.params)
     for step in range(steps):
