@@ -32,8 +32,11 @@ def main():
     scene.__dict__["height"] = size
     dev = rtdc.build_device_scene(scene)
     # BASELINE config #2: per-pixel randomization (AA) + blur enabled.
+    # BENCH_EXACT=0 disables exact silhouettes (diagnostic: isolates the
+    # band-chain + root-isolation cost from the chord-only kernel).
     config = rtdc.RenderConfig(
-        rays_per_pixel=rpp, use_aa=True, use_blur=True, use_denoiser=False
+        rays_per_pixel=rpp, use_aa=True, use_blur=True, use_denoiser=False,
+        exact_silhouettes=os.environ.get("BENCH_EXACT", "1") != "0",
     )
     cam = rtdc.Camera(1.0, 0.0, 0.0)
     state = rtdc.init_frame_state(size, size)

@@ -25,9 +25,10 @@ XMLS = "/root/reference/optixHello/xmls"
 
 
 def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
-               rays_per_block=None):
+               rays_per_block=None, exact_ablate=None):
     trace_pallas._ABLATE_STAGE = ablate
     trace_pallas._DISABLE_CAND = no_cand
+    trace_pallas._EXACT_ABLATE = exact_ablate
     try:
         scene = rtdc.load_scene(path)
         scene.__dict__["width"] = w
@@ -87,6 +88,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
     finally:
         trace_pallas._ABLATE_STAGE = None
         trace_pallas._DISABLE_CAND = False
+        trace_pallas._EXACT_ABLATE = None
 
 
 def time_prepass(path, w, h, rpp, frames=50, label=""):
@@ -109,12 +111,12 @@ def time_prepass(path, w, h, rpp, frames=50, label=""):
     @jax.jit
     def run_n(zoom, n):
         def body(i, s):
-            c = cand_mod.segment_candidates(
+            c, counts = cand_mod.segment_candidates(
                 dev.seg_consts, w, h, zoom + s * 0.0, 0.0, 0.0, rpp, sw,
                 tiles_x, tiles_y, trace_pallas.TILE_W, tile_h, 0, True,
                 cand_len=dev.s_pad,
             )
-            return jnp.sum(c)
+            return jnp.sum(c) + jnp.sum(counts).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -169,6 +171,14 @@ PROBES = {
     "arch1024_rb8k_entry": lambda: time_trace(
         f"{XMLS}/arch.xml", 1024, 1024, 128, rays_per_block=8192, ablate="entry",
         label="arch1024_128_rb8192",
+    ),
+    "arch1024_exact_legacyref": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, exact_ablate="legacy_refine",
+        label="arch1024_128_exact_legacyref",
+    ),
+    "arch1024_exact_nofb": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, exact_ablate="no_fallback",
+        label="arch1024_128_exact_nofb",
     ),
     "ladybug512": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 512, 512, 64,

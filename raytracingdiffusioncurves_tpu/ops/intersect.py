@@ -127,6 +127,7 @@ def shade(
     s: jax.Array,
     hit: jax.Array,
     config: RenderConfig,
+    refine_exact: bool | None = None,
 ) -> Hit:
     """Closest-hit shading (DeviceCode.cu:194-342): Newton refinement onto
     the exact cubic, attribute lerp, side test against the curve normal, and
@@ -146,7 +147,9 @@ def shade(
     dt = g(dev.ALLT_DT)[0]
     cx = tuple(g(dev.ALLT_SRC_CTRL + 2 * i)[0] for i in range(4))
     cy = tuple(g(dev.ALLT_SRC_CTRL + 2 * i + 1)[0] for i in range(4))
-    if config.exact_silhouettes:
+    if refine_exact is None:
+        refine_exact = config.exact_silhouettes
+    if refine_exact:
         # Exact silhouettes: the sweep accepted band candidates; a strict
         # chord hit is a guaranteed crossing (chord endpoints lie on the
         # curve), and band-only candidates need Newton's residual to
@@ -259,7 +262,11 @@ def trace_and_shade(scene, origins, dirs, config: RenderConfig) -> Hit:
         scene, origins, dirs, config.min_hit_distance
     )
     hb = shade(scene, origins, dirs, best_b, t_b, s_b, hit_b, config)
-    hs = shade(scene, origins, dirs, best_s, t_s, s_s, hit_s, config)
+    # The strict chain's winners carry a guaranteed in-window crossing, so
+    # the cheap Newton refine replaces root isolation (mirrors the Pallas
+    # kernel's fb=True fallback evaluation).
+    hs = shade(scene, origins, dirs, best_s, t_s, s_s, hit_s, config,
+               refine_exact=False)
     use_s = hit_b & ~hb.hit & hit_s
 
     def pick(a, b):

@@ -42,6 +42,21 @@ def bezier_and_derivative(cx, cy, tau):
     return bx, by, dbx, dby
 
 
+def bezier_derivative_only(cx, cy, tau):
+    """(dBx, dBy) at tau via the power basis — for consumers that only need
+    the tangent (exact-silhouette shading), ~60% cheaper than
+    bezier_and_derivative."""
+    x0, x1, x2, x3 = cx
+    y0, y1, y2, y3 = cy
+    dx0 = 3.0 * (x1 - x0)
+    dx1 = 6.0 * (x2 - 2.0 * x1 + x0)
+    dx2 = 3.0 * (x3 - 3.0 * x2 + 3.0 * x1 - x0)
+    dy0 = 3.0 * (y1 - y0)
+    dy1 = 6.0 * (y2 - 2.0 * y1 + y0)
+    dy2 = 3.0 * (y3 - 3.0 * y2 + 3.0 * y1 - y0)
+    return (dx2 * tau + dx1) * tau + dx0, (dy2 * tau + dy1) * tau + dy0
+
+
 def _newton(cx, cy, tau0, ox, oy, dx, dy, iters):
     """Shared Newton loop on F(tau) = cross(d, B(tau) - o).  Returns
     (tau, bx, by, dbx, dby, f, df) at the final iterate plus the tau0
@@ -186,7 +201,7 @@ def refine_hit_exact(cx, cy, tau0, win0, win_dt, ox, oy, dx, dy, t_chord, min_hi
         fhi = F(hi)
         found = (flo * fhi <= 0.0) & (hi > lo)
         a, b, fa = lo, hi, flo
-        for _ in range(6):
+        for _ in range(5):
             mid = 0.5 * (a + b)
             fm = F(mid)
             left = fa * fm <= 0.0
@@ -214,5 +229,7 @@ def refine_hit_exact(cx, cy, tau0, win0, win_dt, ox, oy, dx, dy, t_chord, min_hi
     conv = jnp.isfinite(best_t)
     tau = jnp.where(conv, best_tau, tau0)
     t_ref = jnp.where(conv, best_t, t_chord)
-    bx, by, dbx, dby = bezier_and_derivative(cx, cy, tau)
-    return tau, t_ref, bx, by, dbx, dby, conv
+    # Only the tangent is consumed downstream (side test / portal frame);
+    # the hit point is o + t_ref * d.
+    dbx, dby = bezier_derivative_only(cx, cy, tau)
+    return tau, t_ref, None, None, dbx, dby, conv

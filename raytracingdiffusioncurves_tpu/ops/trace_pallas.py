@@ -76,6 +76,11 @@ TILE_W = 16
 _ABLATE_STAGE = None
 # Perf-debug knob: force the full sweep even when candidate lists apply.
 _DISABLE_CAND = False
+# Perf-debug knob for exact-silhouette mode: "legacy_refine" keeps the dual-
+# chain sweep but swaps the root isolation for the cheap 1-iter Newton (and
+# drops the fallback); "no_fallback" keeps root isolation but never takes the
+# strict-fallback gather.  Attribution only — output is WRONG at silhouettes.
+_EXACT_ABLATE = None
 
 
 def _choose_block(
@@ -322,11 +327,12 @@ def _trace_kernel(
                 ps = pmin(ok_strict)
                 if band is None:
                     return ps, ps
+                # Sign-free band widening (see scene/device.py
+                # intersect_consts): with ms = sign(denom) * hb,
+                # (num_s+ms)(denom-num_s+ms) = prod_s + hb*|denom| + hb^2.
                 hb = band * band_dsc
-                ms = jnp.where(denom >= 0.0, hb, -hb)
-                ok_band = ((num_s + ms) * (denom - num_s + ms) >= 0.0) & (
-                    prod_t > -hb * jnp.abs(denom)
-                )
+                had = hb * jnp.abs(denom)
+                ok_band = (prod_s + had + hb * hb >= 0.0) & (prod_t + had > 0.0)
                 return pmin(ok_band), ps
 
             exact = config.exact_silhouettes
@@ -610,10 +616,14 @@ def _trace_kernel(
                     acc2 = jax.lax.fori_loop(i_lo, i_hi + 1, gather_chunk, acc2)
                 return acc2[:gather_rows] + acc2[gather_rows:]
 
-            def eval_winner(bi, hitv):
+            def eval_winner(bi, hitv, fb=False):
                 """Gather + exact chord recompute + Newton for one winner
                 chain.  Returns (acc, tau, t_ref, dbx, dby, conv, strict,
-                t_chord); ``hitv`` only guards Newton's t fallback input."""
+                t_chord); ``hitv`` only guards Newton's t fallback input.
+                ``fb``: this is the strict-fallback chain — its winners carry
+                a guaranteed in-window crossing (chord endpoints lie on the
+                curve), so the cheap Newton refine replaces root isolation
+                (same rule as the JAX path, ops/intersect.py)."""
                 acc = gather(bi)
 
                 def ga(row):
@@ -642,7 +652,13 @@ def _trace_kernel(
                 cx = tuple(ga(dev.ALLT_SRC_CTRL + 2 * i) for i in range(4))
                 cy = tuple(ga(dev.ALLT_SRC_CTRL + 2 * i + 1) for i in range(4))
                 tau0 = gt0 + s_chord * gdt
-                if exact:
+                if exact and (fb or _EXACT_ABLATE == "legacy_refine"):
+                    tau, t_ref, _, _, dbx, dby = refine.refine_hit(
+                        cx, cy, tau0, ox, oy, dx, dy, t_chord, min_hit
+                    )
+                    ones_b = jnp.ones(RSHP, jnp.bool_)
+                    conv = strict = ones_b
+                elif exact:
                     # Window margin = the parameter reach of the capsule band
                     # around this chord (see refine_hit_exact): adjacent-
                     # window ordering ties then resolve to the same crossing
@@ -672,7 +688,13 @@ def _trace_kernel(
 
             hit = unflat(hit32) > 0
             ev = eval_winner(best_i, hit)
-            if exact:
+            if exact and _EXACT_ABLATE in ("legacy_refine", "no_fallback"):
+                rejected = hit & ~(ev[5] | ev[6])
+                hit = hit & ~rejected
+                acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
+                    (ev[0],) + ev[1:5] + ev[7:]
+                )
+            elif exact:
                 # A strict chord hit is a guaranteed crossing (chord
                 # endpoints lie on the curve: s in (0,1) means F changes
                 # sign across the window); band-only candidates need
@@ -687,7 +709,7 @@ def _trace_kernel(
                 use_f = flat(use_s.astype(jnp.int32)) > 0  # (1, R) for acc
 
                 def _with_fallback():
-                    ev_s = eval_winner(best_i_s, hit_s)
+                    ev_s = eval_winner(best_i_s, hit_s, fb=True)
                     acc_m = jnp.where(use_f, ev_s[0], ev[0])
                     rest = tuple(
                         jnp.where(use_s, s, b)

@@ -469,11 +469,13 @@ def intersect_consts(
     else:
         scale = jnp.reshape(jnp.asarray(band_scale, jnp.float32), (-1, 1))
         h = consts_slice[:, CONST_BAND][None, :] * scale  # (N or 1, S)
-        # where(>=0) not copysign: denom == -0.0 must take the same branch
-        # as the Pallas kernel's formulation.
-        ms = jnp.where(denom >= 0.0, h, -h)
-        valid = ((num_s + ms) * (denom - num_s + ms) >= 0.0) & (
-            (num_t - jnp.float32(min_hit) * denom) * denom > -h * jnp.abs(denom)
+        # Sign-free identity: with ms = sign(denom) * h,
+        #   (num_s + ms)(denom - num_s + ms) = prod_s + h*|denom| + h^2,
+        # so the widened s-window test needs no select.  The t cut relaxes
+        # by the same h*|denom| margin.  Matches the Pallas kernel.
+        had = h * jnp.abs(denom)
+        valid = (num_s * (denom - num_s) + had + h * h >= 0.0) & (
+            (num_t - jnp.float32(min_hit) * denom) * denom + had > 0.0
         )
     inv = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
     t = num_t * inv
