@@ -27,7 +27,11 @@ import raytracingdiffusioncurves_tpu as rtdc  # noqa: E402
 from raytracingdiffusioncurves_tpu.utils.image import psnr, to_uint8  # noqa: E402
 
 SCREENCAPS = "/root/reference/optixHello/screencaps"
-LADY = "/root/reference/optixHello/xmls/DiffusionCurvePack/lady_bug.xml"
+XMLS = "/root/reference/optixHello/xmls"
+LADY = f"{XMLS}/DiffusionCurvePack/lady_bug.xml"
+# Cameras estimated by benchmarks/register_cameras.py (grid + local search
+# against each screencap); regenerate with that script if scenes change.
+CAMERAS_JSON = os.path.join(os.path.dirname(__file__), "cameras.json")
 
 
 def render(dev, rpp, seed=0, denoise=False, backend="auto"):
@@ -41,17 +45,67 @@ def render(dev, rpp, seed=0, denoise=False, backend="auto"):
     return np.asarray(img)
 
 
+def feature_caps(backend: str, size: int = 512, rpp: int = 128):
+    """PSNR of our renders against the reference's FEATURE screencaps
+    (endcap, weight_demo, blur on/off, AA line gradient — SURVEY.md §4) at
+    the cameras registered by benchmarks/register_cameras.py.
+
+    Cross-renderer PSNR absorbs JPEG compression, the reference's unknown
+    AA/denoise settings, window aspect and MC noise — treat it as a
+    similarity score (the reference's own lb16-vs-lb128 self-PSNR is ~31 dB;
+    anything near that is at the noise floor), and pair it with the
+    self-convergence metric for the trend."""
+    import json as _json
+
+    from PIL import Image
+
+    if not os.path.exists(CAMERAS_JSON):
+        return {}
+    cams = _json.load(open(CAMERAS_JSON))
+    out = {}
+    for cap, rec in cams.items():
+        if "zoom" not in rec:
+            continue
+        scene = rtdc.load_scene(os.path.join(XMLS, rec["scene"]))
+        scene.__dict__["width"] = scene.__dict__["height"] = size
+        dev = rtdc.build_device_scene(scene)
+        cfg = rtdc.RenderConfig(
+            rays_per_pixel=rpp, use_blur=rec.get("blur", False),
+            use_denoiser=False,
+        )
+        img, _ = rtdc.trace_image(
+            dev, rtdc.Camera(rec["zoom"], rec["off_x"], rec["off_y"]),
+            cfg, 0, backend=backend,
+        )
+        ours = to_uint8(np.asarray(img), flip_vertical=True)[..., :3]
+        ref = np.asarray(
+            Image.open(os.path.join(SCREENCAPS, cap)).convert("RGB").resize(
+                (size, size)
+            ),
+            np.float64,
+        )
+        out[f"psnr_vs_{cap}"] = round(
+            psnr(ours.astype(np.float64) / 255.0, ref / 255.0), 2
+        )
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--gt-rpp", type=int, default=1024)
     p.add_argument("--backend", default="auto")
+    p.add_argument("--features-only", action="store_true")
     args = p.parse_args()
 
     import jax
 
     if args.backend == "auto":
         args.backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+
+    if args.features_only:
+        print(json.dumps(feature_caps(args.backend, args.size), indent=1))
+        return
 
     scene = rtdc.load_scene(LADY)
     scene.__dict__["width"] = args.size
@@ -80,6 +134,7 @@ def main():
             ours = to_uint8(img, flip_vertical=True)[..., :3].astype(np.float64) / 255.0
             results[f"psnr_vs_reference_lb{rpp}"] = round(psnr(ours, ref), 2)
 
+    results.update(feature_caps(args.backend, args.size))
     print(json.dumps(results, indent=1))
 
 

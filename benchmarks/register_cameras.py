@@ -132,29 +132,35 @@ def register(cap, coarse=48, fine=128):
         ys = jnp.asarray(y + span * np.linspace(-shrink, shrink, 7), jnp.float32)
         m, z, x, y = _grid_search(mse_f, zs, xs, ys)
     psnr = -10.0 * np.log10(max(m, 1e-12))
-    print(
-        json.dumps(
-            {
-                "cap": cap,
-                "scene": scene_path,
-                "zoom": round(z, 6),
-                "off_x": round(x, 3),
-                "off_y": round(y, 3),
-                "mse": round(m, 6),
-                "psnr_128": round(psnr, 2),
-            }
-        ),
-        flush=True,
-    )
+    rec = {
+        "scene": scene_path,
+        "blur": use_blur,
+        "zoom": round(z, 6),
+        "off_x": round(x, 3),
+        "off_y": round(y, 3),
+        "mse": round(m, 6),
+        "psnr_128": round(psnr, 2),
+    }
+    print(json.dumps({"cap": cap, **rec}), flush=True)
+    return rec
+
+
+OUT_JSON = os.path.join(os.path.dirname(__file__), "cameras.json")
 
 
 def main():
     names = sys.argv[1:] or list(TARGETS)
+    results = {}
+    if os.path.exists(OUT_JSON):
+        results = json.load(open(OUT_JSON))
     for cap in names:
         try:
-            register(cap)
+            results[cap] = register(cap)
         except Exception as e:
             print(json.dumps({"cap": cap, "error": repr(e)[:300]}), flush=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {OUT_JSON}", flush=True)
 
 
 if __name__ == "__main__":
