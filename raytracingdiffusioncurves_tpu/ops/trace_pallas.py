@@ -256,7 +256,9 @@ def _trace_kernel(
         alive = ones > 0.0
 
         if _ABLATE_STAGE == "raygen":
-            return jnp.zeros((8, R), f32) + jnp.sum(dx) + jnp.sum(ox)
+            # broadcast sink (no cross-lane reduction: scalar reductions are
+            # slow in Mosaic and would dominate the ablated measurement)
+            return jnp.zeros((8, R), f32) + flat(dx + ox)
 
         for _bounce in range(n_traces):
             # Flat (1, R) views of the ray state for the segment sweep, plus the
@@ -584,11 +586,9 @@ def _trace_kernel(
             # relative — far below the renderer's pixel-scale tolerances.
             # (A plain f32 gather needs Precision.HIGHEST = 6 MXU passes.)
             if _ABLATE_STAGE == "intersect":
-                return (
-                    jnp.zeros((8, R), f32)
-                    + jnp.sum(hit32.astype(f32))
-                    + jnp.sum(best_i.astype(f32))
-                )
+                return jnp.zeros((8, R), f32) + (
+                    hit32 + best_i + best_i_s
+                ).astype(f32)
 
             dims = (((1,), (0,)), ((), ()))
             gsc = 128  # gather chunk width (bf16 lane tile); tables are 3-D
@@ -732,7 +732,7 @@ def _trace_kernel(
                     (ev[0],) + ev[1:5] + ev[7:]
                 )
             if _ABLATE_STAGE == "gather":
-                return jnp.zeros((8, R), f32) + jnp.sum(acc)
+                return jnp.zeros((8, R), f32) + acc[:8]
 
             # Shading runs in the (8, RL) ray layout (full VPU sublane
             # utilization — the (1, R) shading of round 1 cost ~70 ms of the
@@ -855,12 +855,8 @@ def _trace_kernel(
 
         # --- per-pixel weighted reduction (DeviceCode.cu:153-181) ---
         if _ABLATE_STAGE == "shade":
-            return (
-                jnp.zeros((8, R), f32)
-                + jnp.sum(out_r * out_w)
-                + jnp.sum(out_g)
-                + jnp.sum(out_b)
-                + jnp.sum(out_blur)
+            return jnp.zeros((8, R), f32) + flat(
+                out_r * out_w + out_g + out_b + out_blur
             )
 
         return jnp.concatenate(
@@ -889,9 +885,9 @@ def _trace_kernel(
             jnp.zeros((8, R), f32),
         )
 
-    if _ABLATE_STAGE is not None:
-        out_ref[0] = rows[:, :PXB]
-        return
+    # Ablated runs flow through the same reduction matmul (a lane slice of
+    # the (8, R) rows to (8, PXB) SIGABRTs Mosaic; the uniform reduce cost
+    # is part of every ablation's baseline anyway).
 
     # The sample->pixel one-hot is precomputed outside the kernel (constant
     # across the grid).  Same bf16 hi/lo trick as the gather, but split at
