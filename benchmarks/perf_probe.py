@@ -102,7 +102,8 @@ def time_prepass(path, w, h, rpp, frames=50, label=""):
     dev = rtdc.build_device_scene(scene)
     config = rtdc.RenderConfig(rays_per_pixel=rpp, use_aa=True)
     R, pxb, sw, n_wedges = trace_pallas._choose_block(
-        rpp, config.rays_per_block, multi_chunk=dev.s_pad > trace_pallas.SEG_CHUNK
+        rpp, config.rays_per_block,
+        multi_chunk=dev.s_pad > trace_pallas.SEG_CHUNK,
     )
     tile_h = pxb // trace_pallas.TILE_W
     tiles_x = -(-w // trace_pallas.TILE_W)
@@ -114,7 +115,7 @@ def time_prepass(path, w, h, rpp, frames=50, label=""):
             c, counts = cand_mod.segment_candidates(
                 dev.seg_consts, w, h, zoom + s * 0.0, 0.0, 0.0, rpp, sw,
                 tiles_x, tiles_y, trace_pallas.TILE_W, tile_h, 0, True,
-                cand_len=dev.s_pad,
+                cand_len=min(dev.s_pad, trace_pallas.SEG_CHUNK),
             )
             return jnp.sum(c) + jnp.sum(counts).astype(jnp.float32)
 

@@ -45,11 +45,19 @@ CAND_LEN = 32
 COL_ID = 8
 
 
+# Largest scene (padded sub-segments) that gets per-(tile, wedge) SEGMENT
+# candidate lists.  Beyond this, the prepass (T x W x S cone tests + sort)
+# and the list tables outgrow their savings and chunk-granularity lists take
+# over.  Chosen to cover every shipped scene but the Orzan-pack giants.
+CAND_MAX_SPAD = 2048
+
+
 def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
     """Candidate lists pay off when the full sweep is bigger than the list
-    and the wedge actually narrows directions (single-chunk scenes only;
-    multi-chunk scenes use chunk-granularity lists instead)."""
-    return n_chunks == 1 and s_pad > CAND_LEN and n_wedges > 1
+    and the wedge actually narrows directions.  Multi-chunk scenes up to
+    CAND_MAX_SPAD use them too (slot-packed sweep keys + post-sweep id
+    remap in the kernel); larger scenes use chunk-granularity lists."""
+    return s_pad > CAND_LEN and n_wedges > 1 and s_pad <= CAND_MAX_SPAD
 
 
 def _tile_circles(

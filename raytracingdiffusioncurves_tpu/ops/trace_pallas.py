@@ -390,17 +390,26 @@ def _trace_kernel(
                 cand_len = cnd.shape[0]
                 cnt = ccand_ref[0, pid_w, 0]
 
+                # When global ids fit the packed key's ID_BITS (s_pad <=
+                # SEG_CHUNK), they ride it directly; otherwise the SLOT index
+                # rides the key (cand_len <= 2^ID_BITS always) and one
+                # slot->id remap pass over the list follows the sweep.  Lists
+                # are id-sorted, so slot-order ties break exactly like global
+                # id order / the JAX path's argmin.
+                ids_fit = s_pad <= (1 << ID_BITS)
+
                 def _cand_branch():
+                    ids_8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
+
                     def group(i, pks):
                         sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
-                        # The candidate's GLOBAL segment id rides the packed key
-                        # directly (single-chunk scenes have s_pad <= SEG_CHUNK =
-                        # 2^ID_BITS ids, and lists are id-sorted so ties break
-                        # exactly like the slot order / the JAX path's argmin) —
-                        # no slot->id remap pass over the whole list afterwards.
-                        gids = cand_ref[
-                            0, pid_w, sl, cand_mod.COL_ID : cand_mod.COL_ID + 1
-                        ].astype(jnp.int32)
+                        if ids_fit:
+                            ids = cand_ref[
+                                0, pid_w, sl,
+                                cand_mod.COL_ID : cand_mod.COL_ID + 1,
+                            ].astype(jnp.int32)
+                        else:
+                            ids = ids_8 + i * 8
                         g_b, g_s = packed_min(
                             cand_ref[0, pid_w, sl, dev.CONST_EX : dev.CONST_EX + 1],
                             cand_ref[0, pid_w, sl, dev.CONST_EY : dev.CONST_EY + 1],
@@ -410,7 +419,7 @@ def _trace_kernel(
                             cand_ref[
                                 0, pid_w, sl, dev.CONST_QUAD : dev.CONST_QUAD + 1
                             ],
-                            gids,
+                            ids,
                             band=cand_ref[
                                 0, pid_w, sl, dev.CONST_BAND : dev.CONST_BAND + 1
                             ]
@@ -424,9 +433,39 @@ def _trace_kernel(
                         0, (cnt + 7) >> 3, group, (far, far)
                     )
                     zero = jnp.zeros((1, R), jnp.int32)
-                    return (pk_b, zero, pk_s, zero)
+                    if ids_fit:
+                        return (pk_b, zero, pk_s, zero)
+                    # slot -> global id: one masked sum over the list's id
+                    # column, then split the id into (low ID_BITS, chunk) so
+                    # the common unpack best_i = (pk & mask) + ch * sc holds.
+                    idcol = cnd[:, cand_mod.COL_ID : cand_mod.COL_ID + 1]
+                    ids_l = jax.lax.broadcasted_iota(
+                        jnp.int32, (cand_len, R), 0
+                    )
+
+                    def remap(pk):
+                        slot = pk & _ID_MASK
+                        g = jnp.sum(
+                            jnp.where(ids_l == slot, idcol, 0.0),
+                            axis=0,
+                            keepdims=True,
+                        ).astype(jnp.int32)
+                        return (
+                            (pk & _KEY_MASK) | (g & _ID_MASK),
+                            jax.lax.shift_right_logical(g, ID_BITS),
+                        )
+
+                    pk_b, ch_b = remap(pk_b)
+                    pk_s, ch_s = remap(pk_s)
+                    return (pk_b, ch_b, pk_s, ch_s)
 
                 def _full_branch():
+                    if n_chunks > 1:
+                        # overflowed multi-chunk cell: exact loop over all
+                        # chunks (rare — counts beyond cand_len).
+                        return jax.lax.fori_loop(
+                            0, n_chunks, intersect_chunk, far_state()
+                        )
                     g_b, g_s = packed_min(
                         consts_ref[:, dev.CONST_EX : dev.CONST_EX + 1],
                         consts_ref[:, dev.CONST_EY : dev.CONST_EY + 1],
@@ -938,6 +977,11 @@ def trace_sums_flat(
 
     h, w = scene.height, scene.width
     rpp = config.rays_per_pixel
+    # Narrow wedges keep candidate lists short AND keep pxb (pixels per
+    # program) high for a fixed rays-per-program budget — widening sw to 16
+    # here shrank pxb 4x, quadrupled the program count and cost +19 ms on
+    # the headline (program entry ~5 us each).  Chunk-granularity scenes
+    # always use the narrow wedge; candidate-list scenes too, measured.
     R, pxb, sw, n_wedges = _choose_block(
         rpp, config.rays_per_block, multi_chunk=scene.s_pad > SEG_CHUNK
     )
@@ -965,7 +1009,12 @@ def trace_sums_flat(
 
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
     use_cand = cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
-    use_chunk_lists = n_chunks > 1
+    use_chunk_lists = n_chunks > 1 and not use_cand
+    # List length: everything fits for small scenes (no overflow cond in the
+    # kernel); multi-chunk scenes cap at SEG_CHUNK slots (the slot must fit
+    # the packed key's ID_BITS) with the rare overflowed cell falling back
+    # to the exact all-chunks sweep.
+    cand_len = scene.s_pad if scene.s_pad <= SEG_CHUNK else SEG_CHUNK
     if _DISABLE_CAND:
         use_cand = use_chunk_lists = False
 
@@ -1057,13 +1106,13 @@ def trace_sums_flat(
             tile_h,
             px_start,
             config.diffusion_curve_save,
-            cand_len=scene.s_pad,  # lists cover every segment: no overflow
+            cand_len=cand_len,
         )
         operands.extend([cand, ccand])
         in_specs.extend(
             [
                 pl.BlockSpec(
-                    (1, n_wedges, scene.s_pad, dev.CONST_COLS),
+                    (1, n_wedges, cand_len, dev.CONST_COLS),
                     lambda g: (g, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
