@@ -52,9 +52,12 @@ FAR = np.float32(1e30)
 # The closest-hit sweep packs (t, local segment id) into one int32: positive
 # f32 bit patterns order like ints, so clearing the low ID_BITS mantissa bits
 # and writing the id yields a single min-reduction over both.  Quantizes the
-# ordering key to 2^-17 relative — near-ties may swap winners, the same
-# class as the approximate-reciprocal ordering round 1 shipped.
-ID_BITS = 6  # covers SEG_CHUNK ids per chunk
+# ordering key to 2^-16 relative — near-ties may swap winners, the same
+# class as the approximate-reciprocal ordering round 1 shipped.  7 bits (not
+# the 6 SEG_CHUNK needs) so candidate lists of up to 128 slots ride the key:
+# scenes with s_pad <= 128 then keep full no-overflow lists and the per-wedge
+# overflow lax.cond disappears from the sweep.
+ID_BITS = 7
 _ID_MASK = np.int32((1 << ID_BITS) - 1)
 _KEY_MASK = np.int32(-(1 << ID_BITS))
 _FAR_PACKED = np.int32(int(np.asarray(FAR).view(np.int32)) & ~((1 << ID_BITS) - 1))
@@ -279,6 +282,7 @@ def _trace_kernel(
                 band_dsc = None
 
             def packed_min(ex, ey, c1, p0x, p0y, q, ids, band=None,
+                           reduce_rows=True,
                            ox=oxf, oy=oyf, dx=dxf, dy=dyf, cross=crossf):
                 """Closest hit over (n, 1) constant columns: (1, R) packed
                 key(s) — (pk_band, pk_strict) in exact-silhouette mode (band
@@ -318,11 +322,17 @@ def _trace_kernel(
 
                 def pmin(ok):
                     tm = jnp.where(ok, tmr, FAR)
-                    # Packed (t | local id) single min-reduction: positive
-                    # float bit patterns order as ints.
+                    # Packed (t | local id) keys: positive float bit patterns
+                    # order as ints.  ``reduce_rows`` False keeps the (n, R)
+                    # block — the candidate walk accumulates (8, R) running
+                    # minima at full sublane rate and reduces ONCE per wedge
+                    # ((1, R) rows use 1 of 8 sublanes; per-group reductions
+                    # were ~1/3 of the sweep stage).
                     pk = (
                         jax.lax.bitcast_convert_type(tm, jnp.int32) & _KEY_MASK
                     ) | ids
+                    if not reduce_rows:
+                        return pk  # (n, R) i32
                     return jnp.min(pk, axis=0, keepdims=True)  # (1, R) i32
 
                 ok_strict = (prod_s >= 0.0) & (prod_t > 0.0)
@@ -425,13 +435,18 @@ def _trace_kernel(
                             ]
                             if exact
                             else None,
+                            reduce_rows=False,
                         )
+                        # full-sublane-rate (8, R) running minima; ONE
+                        # sublane reduction per wedge after the walk
                         return jnp.minimum(pks[0], g_b), jnp.minimum(pks[1], g_s)
 
-                    far = jnp.full((1, R), _FAR_PACKED, jnp.int32)
-                    pk_b, pk_s = jax.lax.fori_loop(
-                        0, (cnt + 7) >> 3, group, (far, far)
+                    far8 = jnp.full((8, R), _FAR_PACKED, jnp.int32)
+                    pk8_b, pk8_s = jax.lax.fori_loop(
+                        0, (cnt + 7) >> 3, group, (far8, far8)
                     )
+                    pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
+                    pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
                     zero = jnp.zeros((1, R), jnp.int32)
                     if ids_fit:
                         return (pk_b, zero, pk_s, zero)
@@ -450,9 +465,14 @@ def _trace_kernel(
                             axis=0,
                             keepdims=True,
                         ).astype(jnp.int32)
+                        # split so the common unpack (pk & mask) + ch * sc
+                        # reconstructs g:  g = (g >> ID_BITS) * 2^ID_BITS
+                        #                    + (g & mask),  ch * sc matches
+                        # via the 2^ID_BITS // sc multiplier.
                         return (
                             (pk & _KEY_MASK) | (g & _ID_MASK),
-                            jax.lax.shift_right_logical(g, ID_BITS),
+                            jax.lax.shift_right_logical(g, ID_BITS)
+                            * ((1 << ID_BITS) // sc),
                         )
 
                     pk_b, ch_b = remap(pk_b)
@@ -1010,11 +1030,11 @@ def trace_sums_flat(
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
     use_cand = cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
     use_chunk_lists = n_chunks > 1 and not use_cand
-    # List length: everything fits for small scenes (no overflow cond in the
-    # kernel); multi-chunk scenes cap at SEG_CHUNK slots (the slot must fit
-    # the packed key's ID_BITS) with the rare overflowed cell falling back
-    # to the exact all-chunks sweep.
-    cand_len = scene.s_pad if scene.s_pad <= SEG_CHUNK else SEG_CHUNK
+    # List length: everything fits for scenes up to 2^ID_BITS sub-segments
+    # (no overflow cond in the kernel at all); larger scenes cap at
+    # 2^ID_BITS slots (the slot must fit the packed key) with the rare
+    # overflowed cell falling back to the exact all-chunks sweep.
+    cand_len = min(scene.s_pad, 1 << ID_BITS)
     if _DISABLE_CAND:
         use_cand = use_chunk_lists = False
 
