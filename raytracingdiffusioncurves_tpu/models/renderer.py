@@ -59,6 +59,7 @@ def trace_image(
     config: RenderConfig,
     frame: jax.Array | int = 0,
     backend: str = "auto",
+    cand_tables=None,
 ):
     """Render the raw (pre-postprocessing) image and blur map.
 
@@ -70,7 +71,9 @@ def trace_image(
     deviation; alpha is always 1 — the reference never writes it).
     """
     h, w = scene.height, scene.width
-    csum, wsum, bsum = trace_sums_flat(scene, camera, config, frame, 0, h * w, backend)
+    csum, wsum, bsum = trace_sums_flat(
+        scene, camera, config, frame, 0, h * w, backend, cand_tables
+    )
     return normalize_sums(
         csum.reshape(h, w, 3), wsum.reshape(h, w), bsum.reshape(h, w), config
     )
@@ -99,16 +102,23 @@ def trace_sums_flat(
     px_start,
     n_px: int,
     backend: str = "auto",
+    cand_tables=None,
 ):
     """Trace pixels [px_start, px_start + n_px) of the scene's pixel grid.
     Returns flat (color_sum (n_px, 3), weight_sum (n_px,), blur_sum (n_px,)).
-    This is the sharding primitive: each chip traces its own pixel range."""
+    This is the sharding primitive: each chip traces its own pixel range.
+    ``cand_tables``: precomputed camera-dependent acceleration tables
+    (build_cand_tables) — camera-static callers hoist the per-frame prepass
+    (Pallas backend only; the JAX path is the brute-force oracle)."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     if backend == "pallas":
         from ..ops import trace_pallas
 
-        return trace_pallas.trace_sums_flat(scene, camera, config, frame, px_start, n_px)
+        return trace_pallas.trace_sums_flat(
+            scene, camera, config, frame, px_start, n_px,
+            cand_tables=cand_tables,
+        )
     return _trace_sums_jax_flat(scene, camera, config, frame, px_start, n_px)
 
 
@@ -203,6 +213,7 @@ def render_frame(
     backend: str = "auto",
     max_blur_radius: int | None = None,
     denoiser_params=None,
+    cand_tables=None,
 ) -> tuple[jax.Array, FrameState]:
     """One full frame: trace -> temporal denoise -> variable blur.
 
@@ -212,7 +223,9 @@ def render_frame(
     display path and prev_image; the blur runs after (:1186-1240); the flow
     is zeroed after each denoise (:1234).
     """
-    image, blur_map = trace_image(scene, camera, config, state.frame, backend)
+    image, blur_map = trace_image(
+        scene, camera, config, state.frame, backend, cand_tables
+    )
     image, next_prev = _postprocess(
         image, blur_map, state, config, scene, max_blur_radius, denoiser_params
     )
@@ -258,6 +271,7 @@ def render_frame_progressive(
     backend: str = "auto",
     max_blur_radius: int | None = None,
     denoiser_params=None,
+    cand_tables=None,
 ) -> tuple[jax.Array, FrameState, ProgressiveState]:
     """One progressive pass: trace config.rays_per_pixel fresh rays per pixel
     (the RNG folds the frame counter in, ops/rng.py, so each pass draws a new
@@ -272,7 +286,7 @@ def render_frame_progressive(
     """
     h, w = scene.height, scene.width
     csum, wsum, bsum = trace_sums_flat(
-        scene, camera, config, state.frame, 0, h * w, backend
+        scene, camera, config, state.frame, 0, h * w, backend, cand_tables
     )
     keep = 1.0 - jnp.asarray(reset, jnp.float32)
     csum = csum.reshape(h, w, 3) + prog.color_sum * keep

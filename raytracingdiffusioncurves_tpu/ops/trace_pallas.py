@@ -655,11 +655,15 @@ def _trace_kernel(
 
             def gather(bi):
                 """One-hot MXU gather of the winners' compact table rows."""
+                # (bf16 compares for the one-hot build were tried — 2-packed
+                # VREGs would halve the build — but this Mosaic rejects them;
+                # i32 compare + bf16 select it is.)
+                ids_local = jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0)
+
                 def gather_chunk(c, acc2):
-                    seg_ids = (
-                        jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0) + c * gsc
-                    )
-                    onehot = (seg_ids == bi).astype(jnp.bfloat16)  # (gsc, R)
+                    onehot = (ids_local == bi - c * gsc).astype(
+                        jnp.bfloat16
+                    )  # (gsc, R)
                     return acc2 + jax.lax.dot_general(
                         allt_hl_ref[c], onehot, dims, preferred_element_type=f32
                     )
@@ -963,6 +967,79 @@ def _trace_kernel(
     out_ref[0] = both[:8] + both[8:]
 
 
+def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
+    """Static block/tile geometry shared by trace_sums_flat and
+    build_cand_tables (they MUST agree: the tables are laid out per
+    (tile, wedge))."""
+    R, pxb, sw, n_wedges = _choose_block(
+        config.rays_per_pixel, config.rays_per_block,
+        multi_chunk=scene.s_pad > SEG_CHUNK,
+    )
+    # Tiled pixel coverage requires whole row bands (the sharded path always
+    # passes them).
+    if n_px % w != 0:
+        raise ValueError(f"n_px {n_px} must cover whole rows of width {w}")
+    tile_h = pxb // TILE_W
+    tiles_x = -(-w // TILE_W)
+    n_rows = n_px // w
+    tiles_y = -(-n_rows // tile_h)
+    return R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, tiles_x * tiles_y
+
+
+def _accel_kind(scene: dev.DeviceScene, n_wedges: int):
+    """Which camera-dependent acceleration tables this scene uses:
+    'seg' (segment candidate lists), 'chunk' (chunk candidate lists) or
+    None (plain chunk sweep)."""
+    n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
+    if _DISABLE_CAND:
+        return None
+    if cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges):
+        return "seg"
+    if n_chunks > 1:
+        return "chunk"
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_px"))
+def build_cand_tables(
+    scene: dev.DeviceScene,
+    camera: Camera,
+    config: RenderConfig,
+    px_start=0,
+    n_px: int | None = None,
+):
+    """Build the camera-dependent acceleration tables for trace_sums_flat's
+    ``cand_tables`` argument — the analogue of the reference's accel build
+    (optixHello.cpp:764-830, built once and reused): the tables depend only
+    on (scene, camera, config), so callers rendering several frames from one
+    camera build them once instead of paying the per-frame prepass.  Returns
+    a tuple of arrays (shape depends on the scene's acceleration kind), or
+    None for scenes that take the plain chunk sweep.  Passing tables built
+    for a DIFFERENT camera/viewport mis-culls silently — callers own the
+    cache invalidation (viewer.py rebuilds on any camera change)."""
+    w, h = scene.width, scene.height
+    if n_px is None:
+        n_px = h * w
+    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, _) = _grid_geom(
+        scene, config, w, n_px
+    )
+    kind = _accel_kind(scene, n_wedges)
+    if kind == "seg":
+        return cand_mod.segment_candidates(
+            scene.seg_consts, w, h, camera.zoom_factor, camera.offset_x,
+            camera.offset_y, config.rays_per_pixel, sw, tiles_x, tiles_y,
+            TILE_W, tile_h, px_start, config.diffusion_curve_save,
+            cand_len=min(scene.s_pad, 1 << ID_BITS),
+        )
+    if kind == "chunk":
+        return cand_mod.chunk_candidates(
+            scene.chunk_bounds, w, h, camera.zoom_factor, camera.offset_x,
+            camera.offset_y, config.rays_per_pixel, sw, tiles_x, tiles_y,
+            TILE_W, tile_h, px_start, config.diffusion_curve_save,
+        )
+    return None
+
+
 def trace_sums(
     scene: dev.DeviceScene,
     camera: Camera,
@@ -988,10 +1065,13 @@ def trace_sums_flat(
     px_start,
     n_px: int,
     interpret: bool | None = None,
+    cand_tables=None,
 ):
     """Trace pixels [px_start, px_start + n_px) of the scene's pixel grid;
     returns flat (color_sum (n_px, 3), weight_sum (n_px,), blur_sum (n_px,)).
-    ``px_start`` is traced — tile offsets never recompile."""
+    ``px_start`` is traced — tile offsets never recompile.  ``cand_tables``:
+    precomputed build_cand_tables output for THIS (camera, px_start) —
+    camera-static callers hoist the per-frame prepass with it."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -1002,18 +1082,9 @@ def trace_sums_flat(
     # here shrank pxb 4x, quadrupled the program count and cost +19 ms on
     # the headline (program entry ~5 us each).  Chunk-granularity scenes
     # always use the narrow wedge; candidate-list scenes too, measured.
-    R, pxb, sw, n_wedges = _choose_block(
-        rpp, config.rays_per_block, multi_chunk=scene.s_pad > SEG_CHUNK
+    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
+        scene, config, w, n_px
     )
-    # Tiled pixel coverage requires whole row bands (the sharded path always
-    # passes them).
-    if n_px % w != 0:
-        raise ValueError(f"n_px {n_px} must cover whole rows of width {w}")
-    tile_h = pxb // TILE_W
-    tiles_x = -(-w // TILE_W)
-    n_rows = n_px // w
-    tiles_y = -(-n_rows // tile_h)
-    n_blocks = tiles_x * tiles_y
 
     n_traces = (config.max_trace_depth + 1) if scene.has_portals else 1
 
@@ -1109,25 +1180,29 @@ def trace_sums_flat(
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     if use_cand:
-        # Per-frame candidate prepass (ops/candidates.py), fused under the
-        # same jit; each program DMAs only its (tile, wedge) list.
-        cand, ccand = cand_mod.segment_candidates(
-            scene.seg_consts,
-            w,
-            h,
-            camera.zoom_factor,
-            camera.offset_x,
-            camera.offset_y,
-            rpp,
-            sw,
-            tiles_x,
-            tiles_y,
-            TILE_W,
-            tile_h,
-            px_start,
-            config.diffusion_curve_save,
-            cand_len=cand_len,
-        )
+        # Candidate prepass (ops/candidates.py): precomputed per camera via
+        # build_cand_tables when the caller hoists it, else fused under the
+        # frame jit; each program DMAs only its (tile, wedge) list.
+        if cand_tables is not None:
+            cand, ccand = cand_tables
+        else:
+            cand, ccand = cand_mod.segment_candidates(
+                scene.seg_consts,
+                w,
+                h,
+                camera.zoom_factor,
+                camera.offset_x,
+                camera.offset_y,
+                rpp,
+                sw,
+                tiles_x,
+                tiles_y,
+                TILE_W,
+                tile_h,
+                px_start,
+                config.diffusion_curve_save,
+                cand_len=cand_len,
+            )
         operands.extend([cand, ccand])
         in_specs.extend(
             [
@@ -1143,22 +1218,25 @@ def trace_sums_flat(
             ]
         )
     if use_chunk_lists:
-        cids, clbs, ccnts = cand_mod.chunk_candidates(
-            scene.chunk_bounds,
-            w,
-            h,
-            camera.zoom_factor,
-            camera.offset_x,
-            camera.offset_y,
-            rpp,
-            sw,
-            tiles_x,
-            tiles_y,
-            TILE_W,
-            tile_h,
-            px_start,
-            config.diffusion_curve_save,
-        )
+        if cand_tables is not None:
+            cids, clbs, ccnts = cand_tables
+        else:
+            cids, clbs, ccnts = cand_mod.chunk_candidates(
+                scene.chunk_bounds,
+                w,
+                h,
+                camera.zoom_factor,
+                camera.offset_x,
+                camera.offset_y,
+                rpp,
+                sw,
+                tiles_x,
+                tiles_y,
+                TILE_W,
+                tile_h,
+                px_start,
+                config.diffusion_curve_save,
+            )
         # Lists are laid out (T, W, C); each program takes its tile's whole
         # (W, C) wedge block and indexes the wedge in-kernel.
         fold = lambda g: (g, 0, 0)

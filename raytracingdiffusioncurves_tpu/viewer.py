@@ -62,6 +62,11 @@ class InteractiveSession:
         # make hit/miss exact at any flattening, so deep zoom no longer
         # rebuilds device tables or recompiles.
         self.tables = tables
+        # Camera-dependent acceleration tables (trace_pallas
+        # build_cand_tables): rebuilt only when the camera moves, reused
+        # while it rests — the GAS-build analogue (optixHello.cpp:764-830).
+        self._cand_tables = None
+        self._cand_camera = None
 
     def scroll(self, yoffset: float) -> None:
         """Zoom: zoom_factor *= 1.5^-yoffset, with the radial flow update for
@@ -85,10 +90,24 @@ class InteractiveSession:
         self.state = self.state._replace(flow=flow)
         self._moved = True
 
+    def _accel_tables(self):
+        if self.camera != self._cand_camera:
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu" or self.backend == "pallas":
+                from .ops import trace_pallas
+
+                self._cand_tables = trace_pallas.build_cand_tables(
+                    self.scene, self.camera, self.config
+                )
+            self._cand_camera = self.camera
+        return self._cand_tables
+
     def render(self) -> jax.Array:
         """Render one frame; returns the (H, W, 4) image. Frame time is
         recorded with the reference's protocol (optixHello.cpp:1258-1263)."""
         t0 = time.perf_counter()
+        cand_tables = self._accel_tables()
         if self.progressive:
             import jax.numpy as jnp
 
@@ -100,11 +119,13 @@ class InteractiveSession:
                 self.config,
                 jnp.bool_(self._moved),
                 backend=self.backend,
+                cand_tables=cand_tables,
             )
             self._moved = False
         else:
             image, self.state = renderer.render_frame(
-                self.scene, self.camera, self.state, self.config, backend=self.backend
+                self.scene, self.camera, self.state, self.config,
+                backend=self.backend, cand_tables=cand_tables,
             )
         image.block_until_ready()
         self.frame_times.append(time.perf_counter() - t0)
