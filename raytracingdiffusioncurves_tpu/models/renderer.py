@@ -175,7 +175,7 @@ def _postprocess(
             from ..models import denoiser as dn
             from ..ops import flow as flow_ops
 
-            warped = flow_ops.warp_by_flow(state.prev_image, state.flow)
+            warped = flow_ops.warp_separable(state.prev_image, state.flow)
             denoised = dn.apply_denoiser(
                 dn.DenoiserNet(), denoiser_params, image, warped, blur_map,
                 mix=config.corrected_image_mix,

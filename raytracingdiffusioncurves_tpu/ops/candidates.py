@@ -56,8 +56,17 @@ def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
     """Candidate lists pay off when the full sweep is bigger than the list
     and the wedge actually narrows directions.  Multi-chunk scenes up to
     CAND_MAX_SPAD use them too (slot-packed sweep keys + post-sweep id
-    remap in the kernel); larger scenes use chunk-granularity lists."""
-    return s_pad > CAND_LEN and n_wedges > 1 and s_pad <= CAND_MAX_SPAD
+    remap in the kernel); larger scenes use chunk-granularity lists.
+
+    Wedge cap (measured): above 64 wedges the per-program (W, L, C) VMEM
+    candidate block exceeds the scoped budget (256 wedges OOMed the 4K
+    1024-rpp config at 32 MB vs the 16 MB limit) — those configs use
+    chunk-granularity lists instead."""
+    return (
+        s_pad > CAND_LEN
+        and 1 < n_wedges <= 64
+        and s_pad <= CAND_MAX_SPAD
+    )
 
 
 def _tile_circles(

@@ -66,7 +66,7 @@ def temporal_denoise(
     reference's blendFactor (optixHello.cpp:98,1131).
     """
     spatial = spatial_bilateral(image)
-    warped = flow_ops.warp_by_flow(prev_image, flow)
+    warped = flow_ops.warp_separable(prev_image, flow)
     # On frame 0 there is no history: fall back to the spatial result.
     alpha = jnp.where(frame > 0, jnp.float32(_TEMPORAL_ALPHA), jnp.float32(1.0))
     denoised = warped + (spatial - warped) * alpha

@@ -140,12 +140,16 @@ def _trace_kernel(
     rmap: dict | None = None,  # original shade_all_t row -> compact gather row
     gather_rows: int = dev.ALLT_ROWS,  # compact row count (hi half)
 ):
-    if use_cand:
-        # cand_ref (1, W, L, C) VMEM; ccand_ref (1, W, 1) SMEM counts
+    # cand_ref (1, W, L, C) VMEM; ccand_ref (1, W, 1) SMEM counts.
+    # Chunk lists (SMEM): ids (1, W, C) i32 sorted by lower-bound distance,
+    # lbs (1, W, C) f32, count (1, W, 1) i32.  Both sets ride together for
+    # big candidate-list scenes: overflowed cells then fall back to the
+    # sorted chunk walk instead of sweeping every chunk.
+    if use_cand and use_chunk_lists:
+        cand_ref, ccand_ref, cids_ref, clbs_ref, ccnt_ref, out_ref = refs
+    elif use_cand:
         cand_ref, ccand_ref, out_ref = refs
     elif use_chunk_lists:
-        # SMEM per-block chunk candidate lists: ids (1, W, C) i32 sorted by
-        # lower-bound distance, lbs (1, W, C) f32, count (1, W, 1) i32
         cids_ref, clbs_ref, ccnt_ref, out_ref = refs
     else:
         (out_ref,) = refs
@@ -389,6 +393,41 @@ def _trace_kernel(
             # current closest hit, or (b) on the primary trace, it lies entirely
             # outside the block's direction wedge.  Both tests are conservative,
             # so culling is exact.
+            if use_chunk_lists and _bounce == 0:
+                # --- sorted chunk candidate walk (ops/candidates.py) ---
+                # The prepass compacted this (tile, wedge) block's possible
+                # chunks into an ascending-lower-bound list; walk it and
+                # stop as soon as the next chunk's lower bound exceeds the
+                # block's worst current closest hit.  Used directly for
+                # beyond-CAND_MAX_SPAD scenes, and as the overflow fallback
+                # for candidate-list cells (vs round 2's first cut: a loop
+                # over EVERY chunk, which dominated lady_bug's frame).
+                def _chunk_walk():
+                    count = ccnt_ref[0, pid_w, 0]
+
+                    def walk_cond(state):
+                        i, st = state
+                        # worst per-ray best t of the STRICT chain (>= the
+                        # band chain's per ray, so the early exit is
+                        # conservative for both), quantized UP one key step;
+                        # primary rays are unit-length to ~5e-7
+                        # (fastmath.sincos), covered by the 1e-5 slack.
+                        bt_up = jax.lax.bitcast_convert_type(
+                            (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                        )
+                        worst = jnp.max(bt_up) * jnp.float32(1.00001)
+                        return (i < count) & (clbs_ref[0, pid_w, i] < worst)
+
+                    def walk_body(state):
+                        i, st = state
+                        st = intersect_chunk(cids_ref[0, pid_w, i], st)
+                        return i + 1, st
+
+                    _, st = jax.lax.while_loop(
+                        walk_cond, walk_body, (jnp.int32(0), far_state())
+                    )
+                    return st
+
             if use_cand and _bounce == 0:
                 # --- candidate-list closest hit (ops/candidates.py) ---
                 # The per-frame prepass compacted this (tile, wedge) block's
@@ -480,9 +519,11 @@ def _trace_kernel(
                     return (pk_b, ch_b, pk_s, ch_s)
 
                 def _full_branch():
+                    if use_chunk_lists:
+                        # overflowed cell: sorted chunk walk with closest-
+                        # hit early exit (NOT a loop over every chunk).
+                        return _chunk_walk()
                     if n_chunks > 1:
-                        # overflowed multi-chunk cell: exact loop over all
-                        # chunks (rare — counts beyond cand_len).
                         return jax.lax.fori_loop(
                             0, n_chunks, intersect_chunk, far_state()
                         )
@@ -512,35 +553,7 @@ def _trace_kernel(
             elif n_chunks == 1:
                 sweep_st = intersect_chunk(0, far_state())
             elif use_chunk_lists and _bounce == 0:
-                # --- sorted chunk candidate walk (ops/candidates.py) ---
-                # The prepass compacted this (tile, wedge) block's possible
-                # chunks into an ascending-lower-bound list; walk it and stop as
-                # soon as the next chunk's lower bound exceeds the block's worst
-                # current closest hit.  Replaces the O(n_chunks) per-program
-                # scalar sweep (round 1's wall on lady_bug/dolphin scenes).
-                count = ccnt_ref[0, pid_w, 0]
-
-                def walk_cond(state):
-                    i, st = state
-                    # worst per-ray best t of the STRICT chain (>= the band
-                    # chain's per ray, so the early exit is conservative for
-                    # both), quantized UP one key step; primary rays are
-                    # unit-length to ~5e-7 (fastmath.sincos), covered by the
-                    # 1e-5 slack on the bound.
-                    bt_up = jax.lax.bitcast_convert_type(
-                        (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
-                    )
-                    worst = jnp.max(bt_up) * jnp.float32(1.00001)
-                    return (i < count) & (clbs_ref[0, pid_w, i] < worst)
-
-                def walk_body(state):
-                    i, st = state
-                    st = intersect_chunk(cids_ref[0, pid_w, i], st)
-                    return i + 1, st
-
-                _, sweep_st = jax.lax.while_loop(
-                    walk_cond, walk_body, (jnp.int32(0), far_state())
-                )
+                sweep_st = _chunk_walk()
             else:
                 # block bounding circle over ray origins
                 oxmin, oxmax = jnp.min(ox), jnp.max(ox)
@@ -1024,19 +1037,24 @@ def build_cand_tables(
         scene, config, w, n_px
     )
     kind = _accel_kind(scene, n_wedges)
+    out = ()
     if kind == "seg":
-        return cand_mod.segment_candidates(
+        out = cand_mod.segment_candidates(
             scene.seg_consts, w, h, camera.zoom_factor, camera.offset_x,
             camera.offset_y, config.rays_per_pixel, sw, tiles_x, tiles_y,
             TILE_W, tile_h, px_start, config.diffusion_curve_save,
             cand_len=min(scene.s_pad, 1 << ID_BITS),
         )
-    if kind == "chunk":
-        return cand_mod.chunk_candidates(
+        if scene.s_pad <= (1 << ID_BITS):
+            return out
+        # big scenes also ship chunk lists: the overflow fallback walks them
+    if kind in ("seg", "chunk"):
+        out = out + cand_mod.chunk_candidates(
             scene.chunk_bounds, w, h, camera.zoom_factor, camera.offset_x,
             camera.offset_y, config.rays_per_pixel, sw, tiles_x, tiles_y,
             TILE_W, tile_h, px_start, config.diffusion_curve_save,
         )
+        return out
     return None
 
 
@@ -1100,12 +1118,13 @@ def trace_sums_flat(
 
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
     use_cand = cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
-    use_chunk_lists = n_chunks > 1 and not use_cand
     # List length: everything fits for scenes up to 2^ID_BITS sub-segments
     # (no overflow cond in the kernel at all); larger scenes cap at
-    # 2^ID_BITS slots (the slot must fit the packed key) with the rare
-    # overflowed cell falling back to the exact all-chunks sweep.
+    # 2^ID_BITS slots (the slot must fit the packed key), with overflowed
+    # cells falling back to the sorted chunk walk — so those scenes ship
+    # chunk lists alongside the segment lists.
     cand_len = min(scene.s_pad, 1 << ID_BITS)
+    use_chunk_lists = n_chunks > 1 and (not use_cand or cand_len < scene.s_pad)
     if _DISABLE_CAND:
         use_cand = use_chunk_lists = False
 
@@ -1184,7 +1203,7 @@ def trace_sums_flat(
         # build_cand_tables when the caller hoists it, else fused under the
         # frame jit; each program DMAs only its (tile, wedge) list.
         if cand_tables is not None:
-            cand, ccand = cand_tables
+            cand, ccand = cand_tables[:2]
         else:
             cand, ccand = cand_mod.segment_candidates(
                 scene.seg_consts,
@@ -1219,7 +1238,7 @@ def trace_sums_flat(
         )
     if use_chunk_lists:
         if cand_tables is not None:
-            cids, clbs, ccnts = cand_tables
+            cids, clbs, ccnts = cand_tables[-3:]
         else:
             cids, clbs, ccnts = cand_mod.chunk_candidates(
                 scene.chunk_bounds,

@@ -96,3 +96,20 @@ def test_render_frame_with_learned_denoiser():
         dev, rtdc.Camera(), fstate, cfg, backend="jax", denoiser_params=state.params
     )
     assert np.isfinite(np.asarray(img2)).all()
+
+
+def test_warp_separable_matches_generic():
+    """The MXU separable warp must match the generic gather warp on every
+    flow this renderer produces (zoom + pan accumulations,
+    ops/flow.py add_zoom_flow/add_translation_flow)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(size=(33, 47, 4)), jnp.float32)
+    fl = flow_ops.zero_flow(33, 47)
+    fl = flow_ops.add_zoom_flow(fl, 1.0, 1.37)
+    fl = flow_ops.add_translation_flow(fl, 2.25, -1.5)
+    fl = flow_ops.add_zoom_flow(fl, 1.37, 0.8)
+    a = np.asarray(flow_ops.warp_by_flow(img, fl))
+    b = np.asarray(flow_ops.warp_separable(img, fl))
+    np.testing.assert_allclose(a, b, atol=2e-6)
