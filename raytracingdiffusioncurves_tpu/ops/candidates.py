@@ -48,8 +48,9 @@ COL_ID = 8
 # Largest scene (padded sub-segments) that gets per-(tile, wedge) SEGMENT
 # candidate lists.  Beyond this, the prepass (T x W x S cone tests + sort)
 # and the list tables outgrow their savings and chunk-granularity lists take
-# over.  Chosen to cover every shipped scene but the Orzan-pack giants.
-CAND_MAX_SPAD = 2048
+# over.  4096 covers lady_bug at the default flattening (2624); the
+# Orzan-pack giants (dolphin, 28.8k) stay on chunk lists.
+CAND_MAX_SPAD = 4096
 
 
 def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
@@ -183,27 +184,38 @@ def segment_candidates(
     overlap = dist <= reach
 
     ccx, ccy, cos_hw, sin_hw = _wedge_dirs(rpp, sw)
+    n_wedges = ccx.shape[0]
 
     dnx = dcx * inv_dist
     dny = dcy * inv_dist
-    cos_d = dnx[None, :, :] * ccx[:, None, None] + dny[None, :, :] * ccy[:, None, None]
-    cos_lim = (cos_hw * cos_chw - sin_hw * sin_chw)[None, :, :]
-    mask = (valid[None, None, :] & (overlap[None, :, :] | (cos_d >= cos_lim)))
-
-    # --- compact passing ids (ascending) into fixed-L slots ---
     iota = jnp.arange(s_pad, dtype=jnp.int32)
-    key = jnp.where(mask, iota[None, None, :], jnp.int32(s_pad))
-    ids = jax.lax.sort(key, dimension=-1)[..., :cand_len]  # (W, T, L)
-    count = jnp.sum(mask, axis=-1)  # (W, T)
-    # count capped at cand_len + 1: the kernel reads "count > cand_len" as
-    # the overflow signal and falls back to the full sweep.
-    count = jnp.minimum(count, cand_len + 1).astype(jnp.int32)
-
-    # gather; slot >= count hits the appended zero row
     consts_ext = jnp.concatenate([consts, jnp.zeros((1, consts.shape[1]), f32)], 0)
-    cand = consts_ext[ids]  # (W, T, L, C)
-    slot_used = ids < s_pad
-    cand = cand.at[..., COL_ID].set(jnp.where(slot_used, ids, 0).astype(f32))
+
+    def one_wedge(wc):
+        """Candidates of every tile for ONE wedge direction — the W axis is
+        lax.map'ed so peak HBM stays at the (T, S) working set (the dense
+        (W, T, S) mask + sort of big scenes OOMed 16 GB at 1080p x 2624)."""
+        wx, wy = wc
+        cos_d = dnx * wx + dny * wy  # (T, S)
+        cos_lim = cos_hw * cos_chw - sin_hw * sin_chw
+        mask = valid[None, :] & (overlap | (cos_d >= cos_lim))
+        # --- compact passing ids (ascending) into fixed-L slots ---
+        key = jnp.where(mask, iota[None, :], jnp.int32(s_pad))
+        ids = jax.lax.sort(key, dimension=-1)[..., :cand_len]  # (T, L)
+        # count capped at cand_len + 1: the kernel reads "count > cand_len"
+        # as the overflow signal and falls back to the full sweep.
+        count = jnp.minimum(jnp.sum(mask, axis=-1), cand_len + 1).astype(
+            jnp.int32
+        )
+        # gather; slot >= count hits the appended zero row
+        cand = consts_ext[ids]  # (T, L, C)
+        slot_used = ids < s_pad
+        cand = cand.at[..., COL_ID].set(
+            jnp.where(slot_used, ids, 0).astype(f32)
+        )
+        return cand, count
+
+    cand, count = jax.lax.map(one_wedge, (ccx, ccy))  # (W, T, L, C), (W, T)
     return (
         jnp.swapaxes(cand, 0, 1),  # (T, W, L, C)
         jnp.swapaxes(count, 0, 1)[..., None],  # (T, W, 1) i32

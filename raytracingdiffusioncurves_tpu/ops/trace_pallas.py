@@ -95,6 +95,12 @@ def _choose_block(
     rays_per_block/rays_per_pixel combination)."""
     sw = math.gcd(rpp, WEDGE_SAMPLES_MULTICHUNK if multi_chunk else WEDGE_SAMPLES)
     w = rpp // sw
+    if w > 32:
+        # High-wedge configs carry a (W, L, C) candidate block per program;
+        # alongside the (R, PXB) reduction one-hot it overflows the 16 MB
+        # scoped VMEM (measured at 256 rpp / 64 wedges).  Halving the block
+        # trades ~5 us/program entry for headroom.
+        rays_per_block = min(rays_per_block, 2048)
     pxb = max(rays_per_block // sw, 1)
     # pxb must be a multiple of TILE_W (whole tile rows) and of
     # 128/gcd(sw, 128) (so R = pxb*sw is a multiple of the 128 lane width).
@@ -999,14 +1005,25 @@ def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
     return R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, tiles_x * tiles_y
 
 
-def _accel_kind(scene: dev.DeviceScene, n_wedges: int):
+# XLA stores the (T, W, L, C) candidate table with its (128, 9) minor dims
+# padded to (128, 128) — a 14x HBM blow-up (measured: lady_bug 1080p x 64
+# wedges wanted 16.7 GB).  Cap the PADDED footprint; configs beyond it use
+# chunk-granularity lists.
+_CAND_TABLE_HBM_CAP = 3 << 30
+
+
+def _accel_kind(scene: dev.DeviceScene, n_wedges: int, n_blocks: int):
     """Which camera-dependent acceleration tables this scene uses:
     'seg' (segment candidate lists), 'chunk' (chunk candidate lists) or
     None (plain chunk sweep)."""
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
     if _DISABLE_CAND:
         return None
-    if cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges):
+    padded = n_blocks * n_wedges * 128 * 128 * 4
+    if (
+        cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
+        and padded <= _CAND_TABLE_HBM_CAP
+    ):
         return "seg"
     if n_chunks > 1:
         return "chunk"
@@ -1033,10 +1050,10 @@ def build_cand_tables(
     w, h = scene.width, scene.height
     if n_px is None:
         n_px = h * w
-    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, _) = _grid_geom(
+    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
         scene, config, w, n_px
     )
-    kind = _accel_kind(scene, n_wedges)
+    kind = _accel_kind(scene, n_wedges, n_blocks)
     out = ()
     if kind == "seg":
         out = cand_mod.segment_candidates(
@@ -1117,7 +1134,8 @@ def trace_sums_flat(
     )
 
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
-    use_cand = cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
+    kind = _accel_kind(scene, n_wedges, n_blocks)
+    use_cand = kind == "seg"
     # List length: everything fits for scenes up to 2^ID_BITS sub-segments
     # (no overflow cond in the kernel at all); larger scenes cap at
     # 2^ID_BITS slots (the slot must fit the packed key), with overflowed
