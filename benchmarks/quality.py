@@ -63,6 +63,18 @@ def feature_caps(backend: str, size: int = 512, rpp: int = 128):
         return {}
     cams = _json.load(open(CAMERAS_JSON))
     out = {}
+    # Calibration: the reference's own lb16 vs lb128 screencaps (same scene,
+    # different ray counts + JPEG) set the attainable cross-image ceiling.
+    la = np.asarray(
+        Image.open(os.path.join(SCREENCAPS, "lb16.jpg")).convert("RGB"),
+        np.float64,
+    ) / 255.0
+    lb = np.asarray(
+        Image.open(os.path.join(SCREENCAPS, "lb128.jpg")).convert("RGB"),
+        np.float64,
+    ) / 255.0
+    if la.shape == lb.shape:
+        out["psnr_ref_lb16_vs_lb128"] = round(psnr(la, lb), 2)
     for cap, rec in cams.items():
         if "zoom" not in rec:
             continue
@@ -73,8 +85,10 @@ def feature_caps(backend: str, size: int = 512, rpp: int = 128):
             rays_per_pixel=rpp, use_blur=rec.get("blur", False),
             use_denoiser=False,
         )
+        # the registered zoom is tied to the registration resolution
+        zoom = rec["zoom"] * rec.get("size", 128) / size
         img, _ = rtdc.trace_image(
-            dev, rtdc.Camera(rec["zoom"], rec["off_x"], rec["off_y"]),
+            dev, rtdc.Camera(zoom, rec["off_x"], rec["off_y"]),
             cfg, 0, backend=backend,
         )
         ours = to_uint8(np.asarray(img), flip_vertical=True)[..., :3]

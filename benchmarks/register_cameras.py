@@ -135,6 +135,9 @@ def register(cap, coarse=48, fine=128):
     rec = {
         "scene": scene_path,
         "blur": use_blur,
+        # zoom is tied to the registration resolution: world span = size *
+        # zoom, so rendering at another size S uses zoom * size / S.
+        "size": fine,
         "zoom": round(z, 6),
         "off_x": round(x, 3),
         "off_y": round(y, 3),
