@@ -186,3 +186,26 @@ def test_parity_segment_candidates():
             (np.asarray(img_j), np.asarray(bm_j)),
             (np.asarray(img_p), np.asarray(bm_p)),
         )
+
+
+def test_hoisted_cand_tables_match_inline(ref_xml_dir):
+    """build_cand_tables output passed via cand_tables must reproduce the
+    inline per-frame prepass bit for bit, for both acceleration kinds
+    (segment candidate lists and chunk lists — the hoisted tables are the
+    one-time accel build, optixHello.cpp:764-830)."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    for xml, k in (("arch.xml", 16), ("DiffusionCurvePack/lady_bug.xml", 2)):
+        scene = rtdc.load_scene(str(ref_xml_dir / xml))
+        scene.__dict__["width"] = scene.__dict__["height"] = 48
+        dev = rtdc.build_device_scene(scene, flatten_subdivisions=k)
+        cfg = rtdc.RenderConfig(
+            rays_per_pixel=16, use_blur=False, use_denoiser=False
+        )
+        tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
+        assert tables is not None, xml
+        a, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+        b, _ = rtdc.trace_image(
+            dev, rtdc.Camera(), cfg, backend="pallas", cand_tables=tables
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=xml)
