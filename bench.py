@@ -28,8 +28,7 @@ def main():
 
     setup_start = time.perf_counter()
     scene = rtdc.load_scene("/root/reference/optixHello/xmls/arch.xml")
-    scene.__dict__["width"] = size
-    scene.__dict__["height"] = size
+    scene = scene.with_size(size, size)
     dev = rtdc.build_device_scene(scene)
     # BASELINE config #2: per-pixel randomization (AA) + blur enabled.
     # BENCH_EXACT=0 disables exact silhouettes (diagnostic: isolates the

@@ -25,14 +25,13 @@ XMLS = "/root/reference/optixHello/xmls"
 
 
 def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
-               rays_per_block=None, exact_ablate=None):
+               rays_per_block=None, exact_ablate=None, hoist=False):
     trace_pallas._ABLATE_STAGE = ablate
     trace_pallas._DISABLE_CAND = no_cand
     trace_pallas._EXACT_ABLATE = exact_ablate
     try:
         scene = rtdc.load_scene(path)
-        scene.__dict__["width"] = w
-        scene.__dict__["height"] = h
+        scene = scene.with_size(w, h)
         dev = rtdc.build_device_scene(scene)
         kw = {"rays_per_block": rays_per_block} if rays_per_block else {}
         config = rtdc.RenderConfig(
@@ -43,6 +42,15 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         # (static args don't include the global) by jitting the unwrapped fn.
         inner = trace_pallas.trace_sums_flat.__wrapped__
 
+        # ``hoist``: prebuild the camera-dependent accel tables ONCE (the
+        # production static-camera protocol, bench.py) so ablations measure
+        # the kernel alone, not the fused per-frame prepass.
+        tables = None
+        if hoist:
+            tables = trace_pallas.build_cand_tables(
+                dev, rtdc.Camera(1.0, 0.0, 0.0), config
+            )
+
         # The tunneled TPU costs ~40-50 ms per dispatched call, so K frames
         # run inside ONE jit (sequential via the loop carry) — per-frame
         # time then reflects device execution, not tunnel round-trips.
@@ -50,7 +58,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         def run_n(off, n):
             def body(i, s):
                 c, ws, b = inner(
-                    dev, rtdc.Camera(1.0, off + s * 0.0, 0.0), config, i, 0, w * h
+                    dev, rtdc.Camera(1.0, off + s * 0.0, 0.0), config, i, 0, w * h,
+                    cand_tables=tables,
                 )
                 return jnp.sum(c) + jnp.sum(ws) + jnp.sum(b)
 
@@ -76,6 +85,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                     "compile_s": round(comp, 1),
                     "ablate": ablate,
                     "no_cand": no_cand,
+                    "hoist": hoist,
                     "rays_per_s": round(w * h * rpp / ms * 1000.0),
                 }
             ),
@@ -97,8 +107,7 @@ def time_prepass(path, w, h, rpp, frames=50, label=""):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
 
     scene = rtdc.load_scene(path)
-    scene.__dict__["width"] = w
-    scene.__dict__["height"] = h
+    scene = scene.with_size(w, h)
     dev = rtdc.build_device_scene(scene)
     config = rtdc.RenderConfig(rays_per_pixel=rpp, use_aa=True)
     R, pxb, sw, n_wedges = trace_pallas._choose_block(
@@ -129,6 +138,38 @@ def time_prepass(path, w, h, rpp, frames=50, label=""):
 
 
 PROBES = {
+    # --- hoisted-table (production static-camera) ablation set ---
+    "h_base": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, label="h_arch1024_128"
+    ),
+    "h_entry": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, ablate="entry",
+        label="h_arch1024_128",
+    ),
+    "h_raygen": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, ablate="raygen",
+        label="h_arch1024_128",
+    ),
+    "h_intersect": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, ablate="intersect",
+        label="h_arch1024_128",
+    ),
+    "h_gather": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, ablate="gather",
+        label="h_arch1024_128",
+    ),
+    "h_shade": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, ablate="shade",
+        label="h_arch1024_128",
+    ),
+    "h_legacyref": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
+        exact_ablate="legacy_refine", label="h_arch1024_128",
+    ),
+    "h_nofb": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
+        exact_ablate="no_fallback", label="h_arch1024_128",
+    ),
     "arch512": lambda: time_trace(f"{XMLS}/arch.xml", 512, 512, 16, label="arch512_16"),
     "arch512_128": lambda: time_trace(
         f"{XMLS}/arch.xml", 512, 512, 128, label="arch512_128"

@@ -52,9 +52,10 @@ def feature_caps(backend: str, size: int = 512, rpp: int = 128):
 
     Cross-renderer PSNR absorbs JPEG compression, the reference's unknown
     AA/denoise settings, window aspect and MC noise — treat it as a
-    similarity score (the reference's own lb16-vs-lb128 self-PSNR is ~31 dB;
-    anything near that is at the noise floor), and pair it with the
-    self-convergence metric for the trend."""
+    similarity score (the reference's own lb16-vs-lb128 screencap self-PSNR,
+    computed below as the calibration row, is 44.1 dB — the attainable
+    cross-image ceiling), and pair it with the self-convergence metric for
+    the trend."""
     import json as _json
 
     from PIL import Image
@@ -79,7 +80,7 @@ def feature_caps(backend: str, size: int = 512, rpp: int = 128):
         if "zoom" not in rec:
             continue
         scene = rtdc.load_scene(os.path.join(XMLS, rec["scene"]))
-        scene.__dict__["width"] = scene.__dict__["height"] = size
+        scene = scene.with_size(size, size)
         dev = rtdc.build_device_scene(scene)
         cfg = rtdc.RenderConfig(
             rays_per_pixel=rpp, use_blur=rec.get("blur", False),
@@ -122,8 +123,7 @@ def main():
         return
 
     scene = rtdc.load_scene(LADY)
-    scene.__dict__["width"] = args.size
-    scene.__dict__["height"] = args.size
+    scene = scene.with_size(args.size, args.size)
     dev = rtdc.build_device_scene(scene)
 
     gt = render(dev, args.gt_rpp, backend=args.backend)

@@ -46,7 +46,7 @@ TARGETS = {
 
 def _scene(path, size):
     scene = rtdc.load_scene(os.path.join(XMLS, path))
-    scene.__dict__["width"] = scene.__dict__["height"] = size
+    scene = scene.with_size(size, size)
     return rtdc.build_device_scene(scene), scene
 
 

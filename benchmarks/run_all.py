@@ -30,8 +30,7 @@ LADY = "/root/reference/optixHello/xmls/DiffusionCurvePack/lady_bug.xml"
 
 def _scene(path, w, h, k=16):
     scene = rtdc.load_scene(path)
-    scene.__dict__["width"] = w
-    scene.__dict__["height"] = h
+    scene = scene.with_size(w, h)
     return rtdc.build_device_scene(scene, flatten_subdivisions=k)
 
 

@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume temporal state + camera from a session checkpoint")
     p.add_argument("--save-session", default=None, metavar="CKPT",
                    help="write the session checkpoint on exit")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-phase timing + metrics JSON lines on exit")
     return p
 
 
@@ -66,13 +68,22 @@ def main(argv=None) -> int:
         render_frame,
         save_image,
     )
+    from .utils.timing import Metrics, PhaseTimer
+
+    timer = PhaseTimer()
+    metrics = Metrics()
 
     setup_start = time.perf_counter()
-    scene = load_scene(args.scene, diffusion_curve_save=not args.no_diffusion_save)
-    if args.width or args.height:
-        scene.__dict__["width"] = args.width or scene.width
-        scene.__dict__["height"] = args.height or scene.height
-    dev = build_device_scene(scene, flatten_subdivisions=args.flatten_k)
+    with timer.phase("scene_load"):
+        scene = load_scene(args.scene, diffusion_curve_save=not args.no_diffusion_save)
+        if args.width or args.height:
+            scene = scene.with_size(args.width or scene.width,
+                                    args.height or scene.height)
+    with timer.phase("device_build"):
+        dev = build_device_scene(scene, flatten_subdivisions=args.flatten_k)
+    metrics.set("n_segments", dev.s_pad)
+    metrics.set("width", scene.width)
+    metrics.set("height", scene.height)
     config = RenderConfig(
         rays_per_pixel=args.rays,
         diffusion_curve_save=not args.no_diffusion_save,
@@ -95,21 +106,44 @@ def main(argv=None) -> int:
 
         denoiser_params = dn.load_params(args.denoiser_weights)
 
+    # Hoist the camera-dependent acceleration tables (the one-time accel
+    # build, optixHello.cpp:764-830): the CLI renders a static camera, so
+    # every frame past the first skips the prepass.  Pallas backend only.
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     if args.devices > 1:
         from .parallel import sharded
 
         mesh = sharded.make_mesh(args.devices)
-        run = lambda cam, st: sharded.render_frame_sharded(mesh, dev, cam, st, config)
+        with timer.phase("accel_build"):
+            tables = (
+                sharded.build_cand_tables_sharded(mesh, dev, camera, config)
+                if backend == "pallas"
+                else None
+            )
+        run = lambda cam, st: sharded.render_frame_sharded(
+            mesh, dev, cam, st, config, backend=backend,
+            denoiser_params=denoiser_params, cand_tables=tables,
+        )
     else:
+        if backend == "pallas":
+            from .ops import trace_pallas
+
+            with timer.phase("accel_build"):
+                tables = trace_pallas.build_cand_tables(dev, camera, config)
+        else:
+            tables = None
         run = lambda cam, st: render_frame(
-            dev, cam, st, config, backend=args.backend,
-            denoiser_params=denoiser_params,
+            dev, cam, st, config, backend=backend,
+            denoiser_params=denoiser_params, cand_tables=tables,
         )
 
     # Warmup/compile counts as setup, matching the reference whose OptiX
     # pipeline compilation happens before the timer print (optixHello.cpp:1156).
-    image, state = run(camera, state)
-    image.block_until_ready()
+    with timer.phase("compile_first_frame"):
+        image, state = run(camera, state)
+        image.block_until_ready()
     setup_time = time.perf_counter() - setup_start
     print(f"Setup took : {setup_time * 1000:.1f}ms")
 
@@ -127,17 +161,25 @@ def main(argv=None) -> int:
 
         profile_cm = trace_to(args.profile)
 
-    frame_times = []
     with profile_cm:
         for f in range(args.frames - 1):
-            t0 = time.perf_counter()
-            image, state = run(camera, state)
-            image.block_until_ready()
-            frame_times.append(time.perf_counter() - t0)
+            with timer.phase("frame"):
+                image, state = run(camera, state)
+                image.block_until_ready()
+            metrics.inc("frames")
+            metrics.inc("rays", scene.width * scene.height * args.rays)
             print(f"\rframe : {f + 1}", end="", flush=True)
-    if frame_times:
-        mean_ms = 1000.0 * sum(frame_times) / len(frame_times)
+    if timer.phases.get("frame"):
+        mean_ms = timer.mean_ms("frame")
         print(f"\nAverage frame time : {mean_ms:.2f}ms")
+        metrics.set("mean_frame_ms", round(mean_ms, 3))
+        metrics.set(
+            "rays_per_sec",
+            round(scene.width * scene.height * args.rays / (mean_ms / 1000.0)),
+        )
+    if args.stats:
+        print(timer.report())
+        print(metrics.dump())
 
     if args.save_session:
         from .utils.checkpoint import save_session

@@ -90,7 +90,7 @@ def generate(scene_names, out_path, size=192, cams_per_scene=6, seed=0,
     for name in scene_names:
         path = os.path.join(XMLS, name)
         scene = load_scene(path)
-        scene.__dict__["width"] = scene.__dict__["height"] = size
+        scene = scene.with_size(size, size)
         dev = build_device_scene(scene, flatten_subdivisions=8)
         for c in range(cams_per_scene):
             rpp = int(rpp_levels[c % len(rpp_levels)])

@@ -65,6 +65,16 @@ class SceneTables:
 
     diffusion_curve_save: bool = True
 
+    def with_size(self, width: int, height: int) -> "SceneTables":
+        """A copy of this scene rendered at ``width`` x ``height`` pixels.
+
+        The scene geometry lives in scene-centered world units (the camera
+        maps pixels to world, DeviceCode.cu:103-107), so overriding the
+        canvas size is purely a viewport change — the table arrays are
+        shared, not copied.
+        """
+        return dataclasses.replace(self, width=int(width), height=int(height))
+
     @property
     def n_segments(self) -> int:
         return self.vertices.shape[0]

@@ -30,7 +30,7 @@ SCENES = {
 
 def render(path):
     scene = rtdc.load_scene(path)
-    scene.__dict__["width"] = scene.__dict__["height"] = 48
+    scene = scene.with_size(48, 48)
     dev = rtdc.build_device_scene(scene, flatten_subdivisions=6)
     cfg = rtdc.RenderConfig(rays_per_pixel=16, use_blur=True, use_denoiser=True)
     state = rtdc.init_frame_state(48, 48)

@@ -94,8 +94,7 @@ def test_parity_multichunk_culling(ref_xml_dir):
     """lady_bug has ~2.6k sub-segments (41 chunks): exercises the chunk-
     culling accelerator against the brute-force JAX path."""
     scene = rtdc.load_scene(str(ref_xml_dir / "DiffusionCurvePack" / "lady_bug.xml"))
-    scene.__dict__["width"] = 48
-    scene.__dict__["height"] = 48
+    scene = scene.with_size(48, 48)
     dev = rtdc.build_device_scene(scene, flatten_subdivisions=4)
     assert dev.s_pad > 64  # multiple chunks
     cfg = rtdc.RenderConfig(rays_per_pixel=4, use_blur=False, use_denoiser=False)
@@ -111,8 +110,7 @@ def test_parity_multichunk_wedge_culling(ref_xml_dir, rpp):
     genuinely active cone); must stay exact vs the brute-force JAX path.
     Caught the arcsin-saturation overlap bug."""
     scene = rtdc.load_scene(str(ref_xml_dir / "DiffusionCurvePack" / "lady_bug.xml"))
-    scene.__dict__["width"] = 32
-    scene.__dict__["height"] = 32
+    scene = scene.with_size(32, 32)
     dev = rtdc.build_device_scene(scene, flatten_subdivisions=4)
     cfg = rtdc.RenderConfig(rays_per_pixel=rpp, use_blur=False, use_denoiser=False)
     img_j, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")
@@ -197,7 +195,7 @@ def test_hoisted_cand_tables_match_inline(ref_xml_dir):
 
     for xml, k in (("arch.xml", 16), ("DiffusionCurvePack/lady_bug.xml", 2)):
         scene = rtdc.load_scene(str(ref_xml_dir / xml))
-        scene.__dict__["width"] = scene.__dict__["height"] = 48
+        scene = scene.with_size(48, 48)
         dev = rtdc.build_device_scene(scene, flatten_subdivisions=k)
         cfg = rtdc.RenderConfig(
             rays_per_pixel=16, use_blur=False, use_denoiser=False

@@ -186,7 +186,7 @@ def test_all_reference_scenes_render_smoke(ref_xml_dir):
 
     for path in sorted(glob.glob(str(ref_xml_dir / "**" / "*.xml"), recursive=True)):
         scene = rtdc.load_scene(path)
-        scene.__dict__["width"] = scene.__dict__["height"] = 24
+        scene = scene.with_size(24, 24)
         dev = rtdc.build_device_scene(scene, flatten_subdivisions=2)
         cfg = rtdc.RenderConfig(rays_per_pixel=2, use_blur=False, use_denoiser=False)
         img, bmap = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="jax")

@@ -76,3 +76,77 @@ def test_sharded_pallas_backend(scene_dev):
     img_1, _ = rtdc.trace_image(scene_dev, rtdc.Camera(), cfg, backend="jax")
     d = np.abs(np.asarray(img_s) - np.asarray(img_1))
     assert (d > 1e-3).mean() < 3e-5
+
+
+def test_sharded_hoisted_cand_tables(ref_xml_dir):
+    """build_cand_tables_sharded hoists the per-camera accel prepass on the
+    multi-chip path: Pallas trace with per-shard tables must be bitwise
+    identical to the same sharded trace with the inline prepass."""
+    scene = rtdc.load_scene(str(ref_xml_dir / "arch.xml"))
+    scene = scene.with_size(48, 48)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=16)
+    cfg = rtdc.RenderConfig(rays_per_pixel=16, use_blur=False, use_denoiser=False)
+    mesh = sharded.make_mesh(2)
+    tables = sharded.build_cand_tables_sharded(mesh, dev, rtdc.Camera(), cfg)
+    assert tables is not None  # arch at this size uses segment lists
+    img_t, bm_t = sharded.trace_image_sharded(
+        mesh, dev, rtdc.Camera(), cfg, backend="pallas", cand_tables=tables
+    )
+    img_i, bm_i = sharded.trace_image_sharded(
+        mesh, dev, rtdc.Camera(), cfg, backend="pallas"
+    )
+    np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_i))
+    np.testing.assert_array_equal(np.asarray(bm_t), np.asarray(bm_i))
+
+
+def test_sharded_full_frame_with_cnn_denoiser(scene_dev):
+    """render_frame_sharded carries the learned CNN denoiser exactly like the
+    single-chip path (feature parity, VERDICT r2 #6)."""
+    from raytracingdiffusioncurves_tpu.models import denoiser as dn
+
+    _, tstate, _ = dn.create_train_state(jax.random.key(0), 32, 32)
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=True, use_denoiser=True)
+    mesh = sharded.make_mesh(8)
+    st_s = rtdc.init_frame_state(scene_dev.width, scene_dev.height)
+    st_1 = rtdc.init_frame_state(scene_dev.width, scene_dev.height)
+    img_s, st_s = sharded.render_frame_sharded(
+        mesh, scene_dev, rtdc.Camera(), st_s, cfg, backend="jax",
+        denoiser_params=tstate.params,
+    )
+    img_1, st_1 = rtdc.render_frame(
+        scene_dev, rtdc.Camera(), st_1, cfg, backend="jax",
+        denoiser_params=tstate.params,
+    )
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1), atol=1e-5)
+    # temporal second frame through the CNN path
+    img_s2, _ = sharded.render_frame_sharded(
+        mesh, scene_dev, rtdc.Camera(), st_s, cfg, backend="jax",
+        denoiser_params=tstate.params,
+    )
+    img_12, _ = rtdc.render_frame(
+        scene_dev, rtdc.Camera(), st_1, cfg, backend="jax",
+        denoiser_params=tstate.params,
+    )
+    np.testing.assert_allclose(np.asarray(img_s2), np.asarray(img_12), atol=1e-5)
+
+
+def test_sharded_progressive_matches_single(scene_dev):
+    """The multi-chip progressive accumulator reproduces the single-chip
+    progressive path (same RNG streams, same sums)."""
+    cfg = rtdc.RenderConfig(rays_per_pixel=4, use_blur=False, use_denoiser=False)
+    mesh = sharded.make_mesh(8)
+    h, w = scene_dev.height, scene_dev.width
+    st_s, st_1 = rtdc.init_frame_state(w, h), rtdc.init_frame_state(w, h)
+    pr_s = rtdc.init_progressive_state(w, h)
+    pr_1 = rtdc.init_progressive_state(w, h)
+    for i in range(2):
+        img_s, st_s, pr_s = sharded.render_frame_progressive_sharded(
+            mesh, scene_dev, rtdc.Camera(), st_s, pr_s, cfg, reset=i == 0,
+            backend="jax",
+        )
+        img_1, st_1, pr_1 = rtdc.render_frame_progressive(
+            scene_dev, rtdc.Camera(), st_1, pr_1, cfg, reset=i == 0,
+            backend="jax",
+        )
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1), atol=1e-5)
+    assert int(pr_s.passes) == int(pr_1.passes) == 2
