@@ -45,13 +45,20 @@ def main():
     # static-camera frames — the reference's BVH does zero per-frame work
     # either (optixAccelBuild runs once, optixHello.cpp:764-830).
     cand_tables = None
+    gather_len = None
     if backend == "pallas":
         from raytracingdiffusioncurves_tpu.ops import trace_pallas
 
         cand_tables = trace_pallas.build_cand_tables(dev, cam, config)
+        # Certified max cell count -> the kernel's winner one-hot shrinks
+        # to it (slot-mode scenes); one host sync, part of the accel build.
+        gather_len = trace_pallas.seg_max_count(dev, cand_tables)
+        if gather_len is not None:
+            cand_tables = trace_pallas.narrow_cand_tables(cand_tables, gather_len)
 
     image, state = rtdc.render_frame(
-        dev, cam, state, config, backend=backend, cand_tables=cand_tables
+        dev, cam, state, config, backend=backend, cand_tables=cand_tables,
+        gather_len=gather_len,
     )
     # Force a host read: on tunneled backends block_until_ready can return
     # before execution completes, which would fake sub-ms frame times.
@@ -73,7 +80,8 @@ def main():
         def body(i, carry):
             img, st = carry
             return rtdc.render_frame(
-                dev, cam, st, config, backend=backend, cand_tables=tables
+                dev, cam, st, config, backend=backend, cand_tables=tables,
+                gather_len=gather_len,
             )
 
         return jax.lax.fori_loop(0, n, body, (image, st))
@@ -92,7 +100,8 @@ def main():
     for _ in range(min(frames, 10)):
         t1 = time.perf_counter()
         image, state = rtdc.render_frame(
-            dev, cam, state, config, backend=backend, cand_tables=cand_tables
+            dev, cam, state, config, backend=backend, cand_tables=cand_tables,
+            gather_len=gather_len,
         )
         float(image[0, 0, 0])
         per_frame.append(1000.0 * (time.perf_counter() - t1))

@@ -46,20 +46,27 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         # production static-camera protocol, bench.py) so ablations measure
         # the kernel alone, not the fused per-frame prepass.
         tables = None
+        gl = None
         if hoist:
             tables = trace_pallas.build_cand_tables(
                 dev, rtdc.Camera(1.0, 0.0, 0.0), config
             )
+            gl = trace_pallas.seg_max_count(dev, tables)
+            if gl is not None:
+                tables = trace_pallas.narrow_cand_tables(tables, gl)
 
         # The tunneled TPU costs ~40-50 ms per dispatched call, so K frames
         # run inside ONE jit (sequential via the loop carry) — per-frame
         # time then reflects device execution, not tunnel round-trips.
+        # tables ride as jit ARGUMENTS: closure-captured device arrays are
+        # baked into the HLO as constants, and the round-3 slot tables are
+        # large enough to blow the remote-compile request limit (HTTP 413).
         @jax.jit
-        def run_n(off, n):
+        def run_n(off, n, tabs):
             def body(i, s):
                 c, ws, b = inner(
                     dev, rtdc.Camera(1.0, off + s * 0.0, 0.0), config, i, 0, w * h,
-                    cand_tables=tables,
+                    cand_tables=tabs, gather_len=gl,
                 )
                 return jnp.sum(c) + jnp.sum(ws) + jnp.sum(b)
 
@@ -67,13 +74,13 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         t0 = time.perf_counter()
-        float(run_n(jnp.float32(0.0), 1))
+        float(run_n(jnp.float32(0.0), 1, tables))
         comp = time.perf_counter() - t0
         t1 = time.perf_counter()
-        float(run_n(jnp.float32(0.0), 1))
+        float(run_n(jnp.float32(0.0), 1, tables))
         sync_ms = (time.perf_counter() - t1) * 1000  # 1 frame + 1 dispatch
         t0 = time.perf_counter()
-        float(run_n(jnp.float32(0.0), frames))
+        float(run_n(jnp.float32(0.0), frames, tables))
         total = time.perf_counter() - t0  # 1 dispatch + `frames` frames
         ms = total * 1000 / frames
         print(

@@ -127,16 +127,19 @@ def main(argv=None) -> int:
             denoiser_params=denoiser_params, cand_tables=tables,
         )
     else:
+        gather_len = None
         if backend == "pallas":
             from .ops import trace_pallas
 
             with timer.phase("accel_build"):
                 tables = trace_pallas.build_cand_tables(dev, camera, config)
+                gather_len = trace_pallas.seg_max_count(dev, tables)
         else:
             tables = None
         run = lambda cam, st: render_frame(
             dev, cam, st, config, backend=backend,
             denoiser_params=denoiser_params, cand_tables=tables,
+            gather_len=gather_len,
         )
 
     # Warmup/compile counts as setup, matching the reference whose OptiX

@@ -60,6 +60,7 @@ def trace_image(
     frame: jax.Array | int = 0,
     backend: str = "auto",
     cand_tables=None,
+    gather_len: int | None = None,
 ):
     """Render the raw (pre-postprocessing) image and blur map.
 
@@ -72,7 +73,8 @@ def trace_image(
     """
     h, w = scene.height, scene.width
     csum, wsum, bsum = trace_sums_flat(
-        scene, camera, config, frame, 0, h * w, backend, cand_tables
+        scene, camera, config, frame, 0, h * w, backend, cand_tables,
+        gather_len,
     )
     return normalize_sums(
         csum.reshape(h, w, 3), wsum.reshape(h, w), bsum.reshape(h, w), config
@@ -103,6 +105,7 @@ def trace_sums_flat(
     n_px: int,
     backend: str = "auto",
     cand_tables=None,
+    gather_len: int | None = None,
 ):
     """Trace pixels [px_start, px_start + n_px) of the scene's pixel grid.
     Returns flat (color_sum (n_px, 3), weight_sum (n_px,), blur_sum (n_px,)).
@@ -117,7 +120,7 @@ def trace_sums_flat(
 
         return trace_pallas.trace_sums_flat(
             scene, camera, config, frame, px_start, n_px,
-            cand_tables=cand_tables,
+            cand_tables=cand_tables, gather_len=gather_len,
         )
     return _trace_sums_jax_flat(scene, camera, config, frame, px_start, n_px)
 
@@ -199,12 +202,26 @@ def _postprocess(
         if radius is None:
             radius = int(np.ceil(3.0 * scene.max_blur))
         if radius > 0:
-            image = blur_ops.variable_gaussian_blur(image, blur_map, radius)
+            # Dynamic skip: an all-zero blur map is EXACTLY the identity
+            # (sigma -> k_size 1, helperKernels.cu:65), and scenes like arch
+            # render one every frame despite a nonzero table max — the cond
+            # saves the whole separable pass at interactive rates.
+            image = jax.lax.cond(
+                jnp.any(blur_map > 0.0),
+                lambda im: blur_ops.variable_gaussian_blur(
+                    im, blur_map, radius
+                ),
+                lambda im: im,
+                image,
+            )
 
     return image, next_prev
 
 
-@partial(jax.jit, static_argnames=("config", "backend", "max_blur_radius"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "backend", "max_blur_radius", "gather_len"),
+)
 def render_frame(
     scene: DeviceScene,
     camera: Camera,
@@ -214,6 +231,7 @@ def render_frame(
     max_blur_radius: int | None = None,
     denoiser_params=None,
     cand_tables=None,
+    gather_len: int | None = None,
 ) -> tuple[jax.Array, FrameState]:
     """One full frame: trace -> temporal denoise -> variable blur.
 
@@ -224,7 +242,7 @@ def render_frame(
     is zeroed after each denoise (:1234).
     """
     image, blur_map = trace_image(
-        scene, camera, config, state.frame, backend, cand_tables
+        scene, camera, config, state.frame, backend, cand_tables, gather_len
     )
     image, next_prev = _postprocess(
         image, blur_map, state, config, scene, max_blur_radius, denoiser_params
@@ -260,7 +278,10 @@ def init_progressive_state(width: int, height: int) -> ProgressiveState:
     )
 
 
-@partial(jax.jit, static_argnames=("config", "backend", "max_blur_radius"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "backend", "max_blur_radius", "gather_len"),
+)
 def render_frame_progressive(
     scene: DeviceScene,
     camera: Camera,
@@ -272,6 +293,7 @@ def render_frame_progressive(
     max_blur_radius: int | None = None,
     denoiser_params=None,
     cand_tables=None,
+    gather_len: int | None = None,
 ) -> tuple[jax.Array, FrameState, ProgressiveState]:
     """One progressive pass: trace config.rays_per_pixel fresh rays per pixel
     (the RNG folds the frame counter in, ops/rng.py, so each pass draws a new
@@ -286,7 +308,8 @@ def render_frame_progressive(
     """
     h, w = scene.height, scene.width
     csum, wsum, bsum = trace_sums_flat(
-        scene, camera, config, state.frame, 0, h * w, backend, cand_tables
+        scene, camera, config, state.frame, 0, h * w, backend, cand_tables,
+        gather_len,
     )
     keep = 1.0 - jnp.asarray(reset, jnp.float32)
     csum = csum.reshape(h, w, 3) + prog.color_sum * keep

@@ -44,6 +44,19 @@ CAND_LEN = 32
 # operand.
 COL_ID = 8
 
+# Transposed-consts row order (segment_candidates_t): the 7 intersection
+# constants the sweep reads + the global segment id (f32, exact < 2^24) in
+# row TC_ID — one 8-sublane tile.  The minor dim is the 128-slot lane axis,
+# so XLA stores the table with ZERO padding — the (T, W, L, 9) layout of
+# round 2 padded its minor dims to (128, 128), a 14x HBM blow-up that
+# capped which scenes could use segment lists.
+TC_ROWS = 8
+TC_ORDER = (
+    dev.CONST_EX, dev.CONST_EY, dev.CONST_C1, dev.CONST_P0X, dev.CONST_P0Y,
+    dev.CONST_QUAD, dev.CONST_BAND,
+)
+TC_ID = 7
+
 
 # Largest scene (padded sub-segments) that gets per-(tile, wedge) SEGMENT
 # candidate lists.  Beyond this, the prepass (T x W x S cone tests + sort)
@@ -127,8 +140,8 @@ def _wedge_dirs(rpp: int, sw: int):
     )
 
 
-def segment_candidates(
-    consts: jax.Array,  # (S_pad, CONST_COLS) f32
+def _segment_ids(
+    consts: jax.Array,
     width: int,
     height: int,
     zoom,
@@ -142,17 +155,12 @@ def segment_candidates(
     tile_h: int,
     px_start,
     diffusion_save: bool,
-    cand_len: int = CAND_LEN,
-) -> jax.Array:
-    """Build (tiles, wedges, cand_len, CONST_COLS) candidate tables.
+    cand_len: int,
+):
+    """Shared compaction core: per-(tile, wedge) passing segment ids.
 
-    Returns (cand (T, W, L, C), counts (T, W, 1) int32).
-
-    Slot layout per (tile, wedge): gathered seg_consts rows of the passing
-    segments in ascending id order; unused slots are zero rows (e = 0 rows
-    can never pass the kernel's validity product).  COL_ID carries the
-    original id; counts > cand_len signals overflow.
-    """
+    Returns (ids (W, T, L) int32 ascending, real ids < s_pad and s_pad in
+    unused slots; counts (W, T) int32 capped at cand_len + 1)."""
     f32 = jnp.float32
     s_pad = consts.shape[0]
     bcx, bcy, br = _tile_circles(
@@ -189,11 +197,10 @@ def segment_candidates(
     dnx = dcx * inv_dist
     dny = dcy * inv_dist
     iota = jnp.arange(s_pad, dtype=jnp.int32)
-    consts_ext = jnp.concatenate([consts, jnp.zeros((1, consts.shape[1]), f32)], 0)
 
     def one_wedge(wc):
-        """Candidates of every tile for ONE wedge direction — the W axis is
-        lax.map'ed so peak HBM stays at the (T, S) working set (the dense
+        """Candidate ids of every tile for ONE wedge direction — the W axis
+        is lax.map'ed so peak HBM stays at the (T, S) working set (the dense
         (W, T, S) mask + sort of big scenes OOMed 16 GB at 1080p x 2624)."""
         wx, wy = wc
         cos_d = dnx * wx + dny * wy  # (T, S)
@@ -207,17 +214,126 @@ def segment_candidates(
         count = jnp.minimum(jnp.sum(mask, axis=-1), cand_len + 1).astype(
             jnp.int32
         )
-        # gather; slot >= count hits the appended zero row
-        cand = consts_ext[ids]  # (T, L, C)
-        slot_used = ids < s_pad
-        cand = cand.at[..., COL_ID].set(
-            jnp.where(slot_used, ids, 0).astype(f32)
-        )
-        return cand, count
+        return ids, count
 
-    cand, count = jax.lax.map(one_wedge, (ccx, ccy))  # (W, T, L, C), (W, T)
+    return jax.lax.map(one_wedge, (ccx, ccy))  # (W, T, L), (W, T)
+
+
+def segment_candidates(
+    consts: jax.Array,  # (S_pad, CONST_COLS) f32
+    width: int,
+    height: int,
+    zoom,
+    off_x,
+    off_y,
+    rpp: int,
+    sw: int,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    px_start,
+    diffusion_save: bool,
+    cand_len: int = CAND_LEN,
+) -> jax.Array:
+    """Build (tiles, wedges, cand_len, CONST_COLS) candidate tables.
+
+    Returns (cand (T, W, L, C), counts (T, W, 1) int32).
+
+    Slot layout per (tile, wedge): gathered seg_consts rows of the passing
+    segments in ascending id order; unused slots are zero rows (e = 0 rows
+    can never pass the kernel's validity product).  COL_ID carries the
+    original id; counts > cand_len signals overflow.
+    """
+    f32 = jnp.float32
+    s_pad = consts.shape[0]
+    ids, count = _segment_ids(
+        consts, width, height, zoom, off_x, off_y, rpp, sw, tiles_x, tiles_y,
+        tile_w, tile_h, px_start, diffusion_save, cand_len,
+    )
+    consts_ext = jnp.concatenate([consts, jnp.zeros((1, consts.shape[1]), f32)], 0)
+    cand = consts_ext[ids]  # (W, T, L, C)
+    slot_used = ids < s_pad
+    cand = cand.at[..., COL_ID].set(jnp.where(slot_used, ids, 0).astype(f32))
     return (
         jnp.swapaxes(cand, 0, 1),  # (T, W, L, C)
+        jnp.swapaxes(count, 0, 1)[..., None],  # (T, W, 1) i32
+    )
+
+
+def segment_candidates_t(
+    consts: jax.Array,  # (S_pad, CONST_COLS) f32
+    shade_all_t: jax.Array,  # (ALLT_ROWS, S_pad) f32
+    used_rows: tuple[int, ...],  # shade_all_t rows this scene's shading reads
+    width: int,
+    height: int,
+    zoom,
+    off_x,
+    off_y,
+    rpp: int,
+    sw: int,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    px_start,
+    diffusion_save: bool,
+    cand_len: int = 128,
+    with_shade: bool = True,
+):
+    """Transposed candidate tables — slots on the LANE axis (round 3).
+
+    Returns (consts_t (T, W, TC_ROWS, L) f32,
+             shade_hl (T, W, 2*G8, L) bf16   [None if not with_shade],
+             counts (T, W, 1) int32)
+    where G8 = len(used_rows) padded to a multiple of 8 and shade_hl stacks
+    bf16 high halves over bf16 f32-residuals (the same hi/lo one-hot-matmul
+    gather precision as the global shade table, ~2^-17 relative).
+
+    vs round 2's (T, W, L, C): the minor dims are now (rows, 128 lanes), so
+    XLA stores them unpadded — 14x less HBM — and the kernel can gather the
+    winner's shade row from the LIST SLOT space with a cand_len-row one-hot
+    instead of a 128-row one over global ids.  Slots stay in ascending
+    global-id order (slot-order ties == global-id-order ties == the JAX
+    path's argmin).  Unused slots are zero rows (e = 0 never passes the
+    validity product).
+    """
+    f32 = jnp.float32
+    s_pad = consts.shape[0]
+    ids, count = _segment_ids(
+        consts, width, height, zoom, off_x, off_y, rpp, sw, tiles_x, tiles_y,
+        tile_w, tile_h, px_start, diffusion_save, cand_len,
+    )
+    # consts rows in TC_ORDER + global id row, zero column for unused slots
+    csel = jnp.concatenate(
+        [
+            consts[:, list(TC_ORDER)],
+            jnp.arange(s_pad, dtype=f32)[:, None],  # TC_ID row
+        ],
+        axis=1,
+    )  # (S, 8)
+    csel = jnp.concatenate([csel, jnp.zeros((1, TC_ROWS), f32)], 0)
+    consts_t = jnp.swapaxes(csel[ids], -1, -2)  # (W, T, 8, L)
+
+    shade_hl = None
+    if with_shade:
+        g8 = -(-len(used_rows) // 8) * 8
+        sel = shade_all_t[jnp.asarray(used_rows, jnp.int32)]  # (G, S)
+        sel = jnp.concatenate([sel, jnp.zeros((sel.shape[0], 1), f32)], 1)
+        shade = sel[:, ids]  # (G, W, T, L)
+        shade = jnp.moveaxis(shade, 0, 2)  # (W, T, G, L)
+        if g8 != len(used_rows):
+            shade = jnp.pad(
+                shade, ((0, 0), (0, 0), (0, g8 - len(used_rows)), (0, 0))
+            )
+        hi = shade.astype(jnp.bfloat16)
+        lo = (shade - hi.astype(f32)).astype(jnp.bfloat16)
+        shade_hl = jnp.swapaxes(
+            jnp.concatenate([hi, lo], axis=2), 0, 1
+        )  # (T, W, 2*G8, L)
+    return (
+        jnp.swapaxes(consts_t, 0, 1),  # (T, W, TC_ROWS, L)
+        shade_hl,
         jnp.swapaxes(count, 0, 1)[..., None],  # (T, W, 1) i32
     )
 

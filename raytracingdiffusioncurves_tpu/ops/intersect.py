@@ -267,7 +267,15 @@ def trace_and_shade(scene, origins, dirs, config: RenderConfig) -> Hit:
     # kernel's fb=True fallback evaluation).
     hs = shade(scene, origins, dirs, best_s, t_s, s_s, hit_s, config,
                refine_exact=False)
-    use_s = hit_b & ~hb.hit & hit_s
+    # Per-ray CLEAN rule: when the band winner IS the strict winner (the
+    # overwhelmingly common case away from silhouettes) the hit is a
+    # guaranteed crossing and the cheap Newton refine is the decision — no
+    # root isolation.  Isolation is reserved for band-only winners (grazes),
+    # where multiple in-window crossings are live.  The Pallas kernel
+    # applies the identical per-ray rule (and skips isolation entirely for
+    # wedge blocks with no band-only winner).
+    clean = hit_b & hit_s & (best_b == best_s)
+    use_s = (hit_b & ~hb.hit & hit_s) | clean
 
     def pick(a, b):
         m = use_s[:, None] if a.ndim == 2 else use_s

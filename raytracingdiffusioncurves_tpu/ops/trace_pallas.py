@@ -77,6 +77,34 @@ TILE_W = 16
 # "intersect", "gather", "shade") to attribute frame time; None = full
 # kernel. Not a user API — flip from perf scripts only.
 _ABLATE_STAGE = None
+# How the kernel transposes the per-wedge (TC_ROWS, L) transposed-consts
+# block back to the (L, TC_ROWS) slot-major view the sweep reads: "native"
+# uses jnp.transpose (Mosaic's own transpose); "mxu3" multiplies by a 0/1
+# identity with a 3-way bf16 split of the operand (exact: the split pieces
+# occupy disjoint mantissa windows, each bf16 product against 0/1 is exact,
+# and the f32 accumulations reassemble the original bits).  Exactness is
+# REQUIRED: these are the sweep's sign-test inputs.
+_TRANSPOSE_MODE = "native"
+
+
+def _transpose_block(block):
+    """(r, L) -> (L, r) f32, bit-exact (see _TRANSPOSE_MODE)."""
+    if _TRANSPOSE_MODE == "native":
+        return jnp.transpose(block, (1, 0))
+    r, L = block.shape
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    ).astype(jnp.bfloat16)
+    hi = block.astype(jnp.bfloat16)
+    r1 = block - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(eye, hi, dims, preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(eye, mid, dims, preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(eye, lo, dims, preferred_element_type=jnp.float32)
+    return acc
 # Perf-debug knob: force the full sweep even when candidate lists apply.
 _DISABLE_CAND = False
 # Perf-debug knob for exact-silhouette mode: "legacy_refine" keeps the dual-
@@ -145,20 +173,28 @@ def _trace_kernel(
     uniform_wm: float | None = None,
     rmap: dict | None = None,  # original shade_all_t row -> compact gather row
     gather_rows: int = dev.ALLT_ROWS,  # compact row count (hi half)
+    slot_mode: bool = False,  # winner gather from the candidate SLOT space
+    gather_len: int = 128,  # slot one-hot length (>= every cell's count)
 ):
-    # cand_ref (1, W, L, C) VMEM; ccand_ref (1, W, 1) SMEM counts.
+    # Candidate tables (transposed layout, ops/candidates.py):
+    # tconsts_ref (1, W, TC_ROWS, L) f32 sweep consts + global-id row;
+    # tshade_ref (1, W, 2*G8, L) bf16 hi/lo per-slot shade rows (slot_mode
+    # only — bigger scenes gather from the global table);
+    # ccand_ref (1, W, 1) SMEM counts.
     # Chunk lists (SMEM): ids (1, W, C) i32 sorted by lower-bound distance,
     # lbs (1, W, C) f32, count (1, W, 1) i32.  Both sets ride together for
     # big candidate-list scenes: overflowed cells then fall back to the
     # sorted chunk walk instead of sweeping every chunk.
-    if use_cand and use_chunk_lists:
-        cand_ref, ccand_ref, cids_ref, clbs_ref, ccnt_ref, out_ref = refs
-    elif use_cand:
-        cand_ref, ccand_ref, out_ref = refs
-    elif use_chunk_lists:
-        cids_ref, clbs_ref, ccnt_ref, out_ref = refs
-    else:
-        (out_ref,) = refs
+    refs = list(refs)
+    if use_cand:
+        tc_scratch = refs.pop()  # (L, TC_ROWS) f32 VMEM scratch (trailing)
+        tconsts_ref = refs.pop(0)
+        tshade_ref = refs.pop(0) if slot_mode else None
+        ccand_ref = refs.pop(0)
+    if use_chunk_lists:
+        cids_ref, clbs_ref, ccnt_ref = refs[:3]
+        refs = refs[3:]
+    (out_ref,) = refs
     R = rays_per_program
     PXB = px_per_program
     SW = samples_per_wedge
@@ -236,7 +272,26 @@ def _trace_kernel(
     def wedge_partial(pid_w):
         """Trace this block's rays in sample wedge ``pid_w``; returns the
         (8, R) weighted ray rows [r*w, g*w, b*w, w, blur*w, 0, 0, 0] that
-        the per-program reduction matmul folds into per-pixel sums."""
+        the per-program reduction matmul folds into per-pixel sums.
+
+        Empty-wedge early-out: the prepass counts are exact, so a zero
+        count means every primary ray of this wedge misses (and with no
+        primary hits the portal bounces are dead too) — the whole body
+        (raygen, sweep, gather, isolation, shade) is skipped.  On arch
+        1024^2 HALF the (tile, wedge) cells are empty (p50 count = 0): the
+        one cond per wedge buys back most of that half's frame time."""
+        if _ABLATE_STAGE is None and (use_cand or use_chunk_lists):
+            cnt0 = (
+                ccand_ref[0, pid_w, 0] if use_cand else ccnt_ref[0, pid_w, 0]
+            )
+            return jax.lax.cond(
+                cnt0 == 0,
+                lambda: jnp.zeros((8, R), f32),
+                lambda: _wedge_body(pid_w),
+            )
+        return _wedge_body(pid_w)
+
+    def _wedge_body(pid_w):
         sample = pid_w * SW + (ridx & (SW - 1))
         # RNG stream keyed on the GLOBAL ray id so tile-sharded rendering is
         # bitwise identical to single-chip (tests/test_sharding.py).
@@ -437,49 +492,37 @@ def _trace_kernel(
             if use_cand and _bounce == 0:
                 # --- candidate-list closest hit (ops/candidates.py) ---
                 # The per-frame prepass compacted this (tile, wedge) block's
-                # possible segments into CAND_LEN gathered rows; the sweep walks
-                # only ceil(count/8) 8-row groups, so typical cost tracks the
-                # mean candidate count (~6 on arch vs 56 total rows).
-                # Overflowed cells take the exact full sweep instead.
-                cnd = cand_ref[0, pid_w]  # (L, C)
-                cand_len = cnd.shape[0]
+                # possible segments into cand_len gathered SLOTS; the sweep
+                # walks only ceil(count/8) 8-row groups, so typical cost
+                # tracks the mean candidate count (~5 on arch).  The tables
+                # arrive transposed (rows, L): one exact per-wedge transpose
+                # recovers the slot-major view; slots ride the packed key
+                # (slot order == ascending global id == the JAX argmin's
+                # tie-break).  slot_mode: the winner's shade row is gathered
+                # from the per-wedge slot table with a gather_len-row
+                # one-hot; otherwise slots remap to global ids post-sweep.
+                cand_len = tconsts_ref.shape[3]
                 cnt = ccand_ref[0, pid_w, 0]
-
-                # When global ids fit the packed key's ID_BITS (s_pad <=
-                # SEG_CHUNK), they ride it directly; otherwise the SLOT index
-                # rides the key (cand_len <= 2^ID_BITS always) and one
-                # slot->id remap pass over the list follows the sweep.  Lists
-                # are id-sorted, so slot-order ties break exactly like global
-                # id order / the JAX path's argmin.
-                ids_fit = s_pad <= (1 << ID_BITS)
+                # Slot-major consts staged through a VMEM scratch: Mosaic
+                # supports dynamic sublane slices on REFS, not on values.
+                tc_scratch[...] = _transpose_block(
+                    tconsts_ref[0, pid_w]
+                )  # (L, TC_ROWS)
 
                 def _cand_branch():
                     ids_8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
 
                     def group(i, pks):
                         sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
-                        if ids_fit:
-                            ids = cand_ref[
-                                0, pid_w, sl,
-                                cand_mod.COL_ID : cand_mod.COL_ID + 1,
-                            ].astype(jnp.int32)
-                        else:
-                            ids = ids_8 + i * 8
                         g_b, g_s = packed_min(
-                            cand_ref[0, pid_w, sl, dev.CONST_EX : dev.CONST_EX + 1],
-                            cand_ref[0, pid_w, sl, dev.CONST_EY : dev.CONST_EY + 1],
-                            cand_ref[0, pid_w, sl, dev.CONST_C1 : dev.CONST_C1 + 1],
-                            cand_ref[0, pid_w, sl, dev.CONST_P0X : dev.CONST_P0X + 1],
-                            cand_ref[0, pid_w, sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
-                            cand_ref[
-                                0, pid_w, sl, dev.CONST_QUAD : dev.CONST_QUAD + 1
-                            ],
-                            ids,
-                            band=cand_ref[
-                                0, pid_w, sl, dev.CONST_BAND : dev.CONST_BAND + 1
-                            ]
-                            if exact
-                            else None,
+                            tc_scratch[sl, 0:1],  # EX (cand_mod.TC_ORDER)
+                            tc_scratch[sl, 1:2],  # EY
+                            tc_scratch[sl, 2:3],  # C1
+                            tc_scratch[sl, 3:4],  # P0X
+                            tc_scratch[sl, 4:5],  # P0Y
+                            tc_scratch[sl, 5:6],  # QUAD
+                            ids_8 + i * 8,
+                            band=tc_scratch[sl, 6:7] if exact else None,
                             reduce_rows=False,
                         )
                         # full-sublane-rate (8, R) running minima; ONE
@@ -493,12 +536,13 @@ def _trace_kernel(
                     pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
                     pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
                     zero = jnp.zeros((1, R), jnp.int32)
-                    if ids_fit:
+                    if slot_mode:
+                        # keys keep the SLOT: the gather is slot-space
                         return (pk_b, zero, pk_s, zero)
-                    # slot -> global id: one masked sum over the list's id
-                    # column, then split the id into (low ID_BITS, chunk) so
-                    # the common unpack best_i = (pk & mask) + ch * sc holds.
-                    idcol = cnd[:, cand_mod.COL_ID : cand_mod.COL_ID + 1]
+                    # slot -> global id: one masked sum over the TC_ID row,
+                    # then split the id into (low ID_BITS, chunk) so the
+                    # common unpack best_i = (pk & mask) + ch * sc holds.
+                    idcol = tc_scratch[:, cand_mod.TC_ID : cand_mod.TC_ID + 1]
                     ids_l = jax.lax.broadcasted_iota(
                         jnp.int32, (cand_len, R), 0
                     )
@@ -548,10 +592,11 @@ def _trace_kernel(
                     zero = jnp.zeros((1, R), jnp.int32)
                     return (g_b, zero, g_s, zero)
 
-                if cand_len >= s_pad:
-                    # Lists can hold every segment: overflow is impossible,
-                    # no cond (a traced lax.cond costs real time per wedge
-                    # even on the untaken side).
+                if cand_len >= s_pad or slot_mode:
+                    # Overflow impossible — lists hold every segment, or the
+                    # caller certified max count <= cand_len (slot_mode) —
+                    # so no cond (a traced lax.cond costs real time per
+                    # wedge even on the untaken side).
                     sweep_st = _cand_branch()
                 else:
                     overflowed = cnt > cand_len
@@ -654,6 +699,12 @@ def _trace_kernel(
             hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
             best_i_s = (pk_s & _ID_MASK) + ch_s * sc
             hit32_s = (pk_s < _FAR_PACKED).astype(jnp.int32)
+            if exact:
+                # CLEAN rays: identical packed key in both chains — same
+                # winner (and same quantized t), or both FAR misses.  The
+                # id rides the key, so key equality == winner equality.
+                clean_ray = unflat((pk_b == pk_s).astype(jnp.int32)) > 0
+                any_graze = jnp.any(pk_b != pk_s)
 
             # --- gather the winner's shade row + geometry consts (MXU) ---
             # Near-exact f32 gather from ONE 128-row bf16 matmul: the table
@@ -672,7 +723,7 @@ def _trace_kernel(
             gsc = 128  # gather chunk width (bf16 lane tile); tables are 3-D
             n_gchunks = allt_hl_ref.shape[0]
 
-            def gather(bi):
+            def gather_global(bi):
                 """One-hot MXU gather of the winners' compact table rows."""
                 # (bf16 compares for the one-hot build were tried — 2-packed
                 # VREGs would halve the build — but this Mosaic rejects them;
@@ -697,6 +748,28 @@ def _trace_kernel(
                     i_hi = jnp.max(bi) // gsc
                     acc2 = jax.lax.fori_loop(i_lo, i_hi + 1, gather_chunk, acc2)
                 return acc2[:gather_rows] + acc2[gather_rows:]
+
+            if use_cand and slot_mode and _bounce == 0:
+                # Slot-space gather: the winner's compact shade rows come
+                # from THIS wedge's candidate slot table, so the one-hot is
+                # gather_len rows (the certified max cell count, rounded to
+                # 16) instead of 128 global ids — the one-hot build was the
+                # single largest cost of the round-2 frame.  The BlockSpec
+                # already narrowed the table's lane dim to gather_len (an
+                # in-kernel sub-128 lane slice miscompiles on this Mosaic).
+                tsh = tshade_ref[0, pid_w]  # (2*G8, gather_len) bf16
+
+                def gather(bi):
+                    ids_local = jax.lax.broadcasted_iota(
+                        jnp.int32, (gather_len, R), 0
+                    )
+                    onehot = (ids_local == bi).astype(jnp.bfloat16)
+                    acc2 = jax.lax.dot_general(
+                        tsh, onehot, dims, preferred_element_type=f32
+                    )
+                    return acc2[:gather_rows] + acc2[gather_rows:]
+            else:
+                gather = gather_global
 
             def eval_winner(bi, hitv, fb=False):
                 """Gather + exact chord recompute + Newton for one winner
@@ -741,10 +814,24 @@ def _trace_kernel(
                     ones_b = jnp.ones(RSHP, jnp.bool_)
                     conv = strict = ones_b
                 elif exact:
-                    # Window margin = the parameter reach of the capsule band
-                    # around this chord (see refine_hit_exact): adjacent-
-                    # window ordering ties then resolve to the same crossing
-                    # in both backends.  Same formula as the JAX path.
+                    # Per-ray CLEAN rule (mirrors ops/intersect.py): a ray
+                    # whose band winner IS the strict winner holds a
+                    # guaranteed crossing — the cheap Newton refine decides
+                    # it; root isolation is reserved for band-only winners
+                    # (grazes).  Wedge blocks with NO band-only winner skip
+                    # isolation entirely (one cond per wedge; on arch the
+                    # large majority of non-empty wedges are all-clean).
+                    # The cheap refine, the margin and every gather/relayout
+                    # are hoisted OUT of the cond: its branches are pure
+                    # refine arithmetic (gathers/relayouts inside a traced
+                    # branch crash this Mosaic).
+                    tau_n, t_n, _, _, dbx_n, dby_n = refine.refine_hit(
+                        cx, cy, tau0, ox, oy, dx, dy, t_chord, min_hit
+                    )
+                    # Window margin = the parameter reach of the capsule
+                    # band around this chord (see refine_hit_exact):
+                    # adjacent-window ordering ties then resolve to the
+                    # same crossing in both backends.
                     band = ga(dev.ALLT_BAND)
                     chord = jnp.sqrt(gex * gex + gey * gey)
                     margin = jnp.clip(
@@ -753,10 +840,32 @@ def _trace_kernel(
                         0.0,
                         1.0,
                     )
-                    tau, t_ref, _, _, dbx, dby, conv = refine.refine_hit_exact(
-                        cx, cy, tau0, gt0, gdt, ox, oy, dx, dy, t_chord,
-                        min_hit, margin=margin,
+
+                    def _iso():
+                        tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                            refine.refine_hit_exact(
+                                cx, cy, tau0, gt0, gdt, ox, oy, dx, dy,
+                                t_chord, min_hit, margin=margin,
+                            )
+                        )
+                        return (
+                            jnp.where(clean_ray, tau_n, tau_i),
+                            jnp.where(clean_ray, t_n, t_i),
+                            jnp.where(clean_ray, dbx_n, dbx_i),
+                            jnp.where(clean_ray, dby_n, dby_i),
+                            (clean_ray | conv_i).astype(jnp.int32),
+                        )
+
+                    def _cheap():
+                        return (
+                            tau_n, t_n, dbx_n, dby_n,
+                            jnp.ones(RSHP, jnp.int32),
+                        )
+
+                    tau, t_ref, dbx, dby, conv32 = jax.lax.cond(
+                        any_graze, _iso, _cheap
                     )
+                    conv = conv32 > 0
                     strict = (gnum_s * (gdenom - gnum_s) >= 0.0) & (
                         (gnum_t - min_hit * gdenom) * gdenom > 0.0
                     )
@@ -986,6 +1095,35 @@ def _trace_kernel(
     out_ref[0] = both[:8] + both[8:]
 
 
+def _gather_rows_for(scene: dev.DeviceScene, config: RenderConfig, n_traces: int):
+    """Compact gather-table row set: the MXU gather costs ~rows x K x R per
+    block, so only the shade_all_t rows THIS scene's shading actually reads
+    are shipped.  Shared by trace_sums_flat and the candidate prepass (the
+    slot tables must carry the identical row order)."""
+    used = list(range(dev.COL_CL0, dev.COL_CR1 + 3))  # 12 color rows
+    used += [dev.COL_BLUR0, dev.COL_BLUR1]
+    if scene.uniform_wm is None:
+        used += [dev.COL_WM0, dev.COL_WM1]
+    if scene.uniform_wd is None:
+        used += [dev.COL_WD0, dev.COL_WD1]
+    if n_traces > 1:
+        used.append(dev.COL_PORTAL)
+    used += [dev.ALLT_CONSTS + i for i in range(5)]  # EX, EY, C1, P0X, P0Y
+    used += list(range(dev.ALLT_SRC_CTRL, dev.ALLT_SRC_CTRL + 8))
+    if n_traces > 1:
+        used += list(range(dev.ALLT_TGT_CTRL, dev.ALLT_TGT_CTRL + 8))
+    used += [dev.ALLT_T0, dev.ALLT_DT]
+    if config.exact_silhouettes:
+        used.append(dev.ALLT_BAND)
+    gather_rows = -(-len(used) // 8) * 8  # sublane multiple
+    rmap = {r: i for i, r in enumerate(used)}
+    return used, gather_rows, rmap
+
+
+def _n_traces(scene: dev.DeviceScene, config: RenderConfig) -> int:
+    return (config.max_trace_depth + 1) if scene.has_portals else 1
+
+
 def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
     """Static block/tile geometry shared by trace_sums_flat and
     build_cand_tables (they MUST agree: the tables are laid out per
@@ -1005,24 +1143,34 @@ def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
     return R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, tiles_x * tiles_y
 
 
-# XLA stores the (T, W, L, C) candidate table with its (128, 9) minor dims
-# padded to (128, 128) — a 14x HBM blow-up (measured: lady_bug 1080p x 64
-# wedges wanted 16.7 GB).  Cap the PADDED footprint; configs beyond it use
-# chunk-granularity lists.
-_CAND_TABLE_HBM_CAP = 3 << 30
+# Candidate-table HBM cap.  The round-3 transposed layout (T, W, rows, L)
+# keeps the minor dims at (rows, 128) — stored UNPADDED by XLA (round 2's
+# (T, W, L, 9) layout padded to (128, 128), 14x, and capped lady_bug-class
+# scenes out of segment lists).  The cap now only guards genuinely huge
+# (blocks x wedges) products.
+_CAND_TABLE_HBM_CAP = 6 << 30
 
 
-def _accel_kind(scene: dev.DeviceScene, n_wedges: int, n_blocks: int):
+def _seg_table_bytes(n_blocks: int, n_wedges: int, g8: int, slot: bool) -> int:
+    per_cell = cand_mod.TC_ROWS * 128 * 4
+    if slot:
+        per_cell += 2 * g8 * 128 * 2  # bf16 hi/lo shade rows
+    return n_blocks * n_wedges * per_cell
+
+
+def _accel_kind(
+    scene: dev.DeviceScene, n_wedges: int, n_blocks: int, g8: int = dev.ALLT_ROWS
+):
     """Which camera-dependent acceleration tables this scene uses:
     'seg' (segment candidate lists), 'chunk' (chunk candidate lists) or
     None (plain chunk sweep)."""
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
     if _DISABLE_CAND:
         return None
-    padded = n_blocks * n_wedges * 128 * 128 * 4
+    slot = min(scene.s_pad, 1 << ID_BITS) >= scene.s_pad
     if (
         cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
-        and padded <= _CAND_TABLE_HBM_CAP
+        and _seg_table_bytes(n_blocks, n_wedges, g8, slot) <= _CAND_TABLE_HBM_CAP
     ):
         return "seg"
     if n_chunks > 1:
@@ -1053,16 +1201,23 @@ def build_cand_tables(
     (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
         scene, config, w, n_px
     )
-    kind = _accel_kind(scene, n_wedges, n_blocks)
+    used, gather_rows, _ = _gather_rows_for(scene, config, _n_traces(scene, config))
+    kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows)
     out = ()
     if kind == "seg":
-        out = cand_mod.segment_candidates(
-            scene.seg_consts, w, h, camera.zoom_factor, camera.offset_x,
-            camera.offset_y, config.rays_per_pixel, sw, tiles_x, tiles_y,
+        cand_len = min(scene.s_pad, 1 << ID_BITS)
+        slot = cand_len >= scene.s_pad
+        consts_t, shade_hl, counts = cand_mod.segment_candidates_t(
+            scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
+            camera.zoom_factor, camera.offset_x, camera.offset_y,
+            config.rays_per_pixel, sw, tiles_x, tiles_y,
             TILE_W, tile_h, px_start, config.diffusion_curve_save,
-            cand_len=min(scene.s_pad, 1 << ID_BITS),
+            cand_len=cand_len, with_shade=slot,
         )
-        if scene.s_pad <= (1 << ID_BITS):
+        # the slot-space gather table only rides when overflow is impossible
+        # (slot mode); bigger scenes gather globally and skip its HBM
+        out = (consts_t, shade_hl, counts) if slot else (consts_t, counts)
+        if slot:
             return out
         # big scenes also ship chunk lists: the overflow fallback walks them
     if kind in ("seg", "chunk"):
@@ -1073,6 +1228,30 @@ def build_cand_tables(
         )
         return out
     return None
+
+
+def narrow_cand_tables(cand_tables, gather_len: int):
+    """Pre-narrow slot-mode tables' shade lane dim to the gather_len that
+    trace_sums_flat will use (rounded to 16), so the per-frame narrowing
+    inside the jit is a no-op.  Call with seg_max_count's value."""
+    gl = -(-max(gather_len, 1) // 16) * 16
+    consts_t, tshade, counts = cand_tables[:3]
+    if tshade.shape[-1] > gl:
+        tshade = tshade[..., :gl]
+    return (consts_t, tshade, counts) + tuple(cand_tables[3:])
+
+
+def seg_max_count(scene: dev.DeviceScene, cand_tables) -> int | None:
+    """Max per-(tile, wedge) candidate count of hoisted slot-mode tables, or
+    None when the tables aren't slot-mode segment lists.  The caller passes
+    it to trace_sums_flat as ``gather_len`` — a host sync, done once per
+    camera alongside the table build (the accel-build phase)."""
+    if cand_tables is None or scene.s_pad > (1 << ID_BITS):
+        return None
+    counts = cand_tables[2]
+    if counts.ndim != 3 or counts.shape[-1] != 1:
+        return None
+    return int(counts.max())
 
 
 def trace_sums(
@@ -1091,7 +1270,9 @@ def trace_sums(
     return csum.reshape(h, w, 3), wsum.reshape(h, w), bsum.reshape(h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_px", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_px", "interpret", "gather_len")
+)
 def trace_sums_flat(
     scene: dev.DeviceScene,
     camera: Camera,
@@ -1101,12 +1282,18 @@ def trace_sums_flat(
     n_px: int,
     interpret: bool | None = None,
     cand_tables=None,
+    gather_len: int | None = None,
 ):
     """Trace pixels [px_start, px_start + n_px) of the scene's pixel grid;
     returns flat (color_sum (n_px, 3), weight_sum (n_px,), blur_sum (n_px,)).
     ``px_start`` is traced — tile offsets never recompile.  ``cand_tables``:
     precomputed build_cand_tables output for THIS (camera, px_start) —
-    camera-static callers hoist the per-frame prepass with it."""
+    camera-static callers hoist the per-frame prepass with it.
+    ``gather_len``: static certification that no (tile, wedge) cell's
+    candidate count exceeds it (slot-mode scenes only; read it off the
+    tables' counts via ``seg_max_count``) — the winner one-hot then shrinks
+    from the full slot capacity to gather_len rows.  An UNDER-certified
+    value silently mis-shades; callers own the guarantee."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -1134,38 +1321,29 @@ def trace_sums_flat(
     )
 
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
-    kind = _accel_kind(scene, n_wedges, n_blocks)
-    use_cand = kind == "seg"
-    # List length: everything fits for scenes up to 2^ID_BITS sub-segments
-    # (no overflow cond in the kernel at all); larger scenes cap at
-    # 2^ID_BITS slots (the slot must fit the packed key), with overflowed
-    # cells falling back to the sorted chunk walk — so those scenes ship
-    # chunk lists alongside the segment lists.
-    cand_len = min(scene.s_pad, 1 << ID_BITS)
-    use_chunk_lists = n_chunks > 1 and (not use_cand or cand_len < scene.s_pad)
-    if _DISABLE_CAND:
-        use_cand = use_chunk_lists = False
-
     # Compact gather-table row set: the MXU gather costs ~rows x K x R per
     # block, so only the rows THIS scene's shading reads are shipped.  The
     # kernel addresses rows through ``rmap``.
-    used = list(range(dev.COL_CL0, dev.COL_CR1 + 3))  # 12 color rows
-    used += [dev.COL_BLUR0, dev.COL_BLUR1]
-    if scene.uniform_wm is None:
-        used += [dev.COL_WM0, dev.COL_WM1]
-    if scene.uniform_wd is None:
-        used += [dev.COL_WD0, dev.COL_WD1]
-    if n_traces > 1:
-        used.append(dev.COL_PORTAL)
-    used += [dev.ALLT_CONSTS + i for i in range(5)]  # EX, EY, C1, P0X, P0Y
-    used += list(range(dev.ALLT_SRC_CTRL, dev.ALLT_SRC_CTRL + 8))
-    if n_traces > 1:
-        used += list(range(dev.ALLT_TGT_CTRL, dev.ALLT_TGT_CTRL + 8))
-    used += [dev.ALLT_T0, dev.ALLT_DT]
-    if config.exact_silhouettes:
-        used.append(dev.ALLT_BAND)
-    gather_rows = -(-len(used) // 8) * 8  # sublane multiple
-    rmap = {r: i for i, r in enumerate(used)}
+    used, gather_rows, rmap = _gather_rows_for(scene, config, n_traces)
+    kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows)
+    use_cand = kind == "seg"
+    # List length: everything fits for scenes up to 2^ID_BITS sub-segments
+    # (no overflow cond in the kernel at all, and the winner gather runs in
+    # SLOT space — slot_mode); larger scenes cap at 2^ID_BITS slots (the
+    # slot must fit the packed key), remap slots to global ids post-sweep,
+    # and fall back to the sorted chunk walk on overflowed cells — so those
+    # scenes ship chunk lists alongside the segment lists.
+    cand_len = min(scene.s_pad, 1 << ID_BITS)
+    slot_mode = use_cand and cand_len >= scene.s_pad
+    use_chunk_lists = n_chunks > 1 and (not use_cand or cand_len < scene.s_pad)
+    if _DISABLE_CAND:
+        use_cand = use_chunk_lists = slot_mode = False
+    # gather_len rounds to a bf16 sublane multiple (16): it sizes both the
+    # slot one-hot and the tshade DMA block's lane dim.
+    if slot_mode and gather_len is not None:
+        gl = min(cand_len, -(-max(gather_len, 1) // 16) * 16)
+    else:
+        gl = cand_len
 
     kernel = functools.partial(
         _trace_kernel,
@@ -1184,6 +1362,8 @@ def trace_sums_flat(
         uniform_wm=scene.uniform_wm,
         rmap=rmap,
         gather_rows=gather_rows,
+        slot_mode=slot_mode,
+        gather_len=gl,
     )
 
     # bf16 hi/lo split of the compact rows, chunked 3-D for aligned dynamic
@@ -1219,12 +1399,18 @@ def trace_sums_flat(
     if use_cand:
         # Candidate prepass (ops/candidates.py): precomputed per camera via
         # build_cand_tables when the caller hoists it, else fused under the
-        # frame jit; each program DMAs only its (tile, wedge) list.
+        # frame jit; each program DMAs only its (tile, wedge) block.
         if cand_tables is not None:
-            cand, ccand = cand_tables[:2]
+            if slot_mode:
+                tconsts, tshade, ccand = cand_tables[:3]
+            else:
+                tconsts, ccand = cand_tables[:2]
+                tshade = None
         else:
-            cand, ccand = cand_mod.segment_candidates(
+            tconsts, tshade, ccand = cand_mod.segment_candidates_t(
                 scene.seg_consts,
+                scene.shade_all_t,
+                tuple(used),
                 w,
                 h,
                 camera.zoom_factor,
@@ -1239,20 +1425,34 @@ def trace_sums_flat(
                 px_start,
                 config.diffusion_curve_save,
                 cand_len=cand_len,
+                with_shade=slot_mode,
             )
-        operands.extend([cand, ccand])
-        in_specs.extend(
-            [
+        if slot_mode and tshade.shape[-1] != gl:
+            # narrow the slot-gather table to the certified width (callers
+            # can pre-narrow with narrow_cand_tables to keep this a no-op)
+            tshade = tshade[..., :gl]
+        fold4 = lambda g: (g, 0, 0, 0)
+        operands.append(tconsts)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, n_wedges, cand_mod.TC_ROWS, cand_len), fold4,
+                memory_space=pltpu.VMEM,
+            )
+        )
+        if slot_mode:
+            operands.append(tshade)
+            in_specs.append(
                 pl.BlockSpec(
-                    (1, n_wedges, cand_len, dev.CONST_COLS),
-                    lambda g: (g, 0, 0, 0),
+                    (1, n_wedges, 2 * gather_rows, gl), fold4,
                     memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, n_wedges, 1), lambda g: (g, 0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-            ]
+                )
+            )
+        operands.append(ccand)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, n_wedges, 1), lambda g: (g, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
         )
     if use_chunk_lists:
         if cand_tables is not None:
@@ -1286,6 +1486,11 @@ def trace_sums_flat(
             ]
         )
 
+    scratch_shapes = (
+        [pltpu.VMEM((cand_len, cand_mod.TC_ROWS), jnp.float32)]
+        if use_cand
+        else []
+    )
     sums = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -1294,6 +1499,7 @@ def trace_sums_flat(
             (1, 8, pxb), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 8, pxb), jnp.float32),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

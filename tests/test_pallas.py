@@ -207,3 +207,12 @@ def test_hoisted_cand_tables_match_inline(ref_xml_dir):
             dev, rtdc.Camera(), cfg, backend="pallas", cand_tables=tables
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=xml)
+        # certified gather_len (slot-mode narrow one-hot) is bit-identical
+        mx = tp.seg_max_count(dev, tables)
+        if mx is not None:
+            narrowed = tp.narrow_cand_tables(tables, mx)
+            c, _ = rtdc.trace_image(
+                dev, rtdc.Camera(), cfg, backend="pallas",
+                cand_tables=narrowed, gather_len=mx,
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c), err_msg=xml)
