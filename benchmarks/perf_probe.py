@@ -25,10 +25,14 @@ XMLS = "/root/reference/optixHello/xmls"
 
 
 def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
-               rays_per_block=None, exact_ablate=None, hoist=False):
+               rays_per_block=None, exact_ablate=None, hoist=False,
+               wedge_samples=None):
     trace_pallas._ABLATE_STAGE = ablate
     trace_pallas._DISABLE_CAND = no_cand
     trace_pallas._EXACT_ABLATE = exact_ablate
+    ws_saved = trace_pallas.WEDGE_SAMPLES_MULTICHUNK
+    if wedge_samples is not None:
+        trace_pallas.WEDGE_SAMPLES_MULTICHUNK = wedge_samples
     try:
         scene = rtdc.load_scene(path)
         scene = scene.with_size(w, h)
@@ -106,6 +110,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_STAGE = None
         trace_pallas._DISABLE_CAND = False
         trace_pallas._EXACT_ABLATE = None
+        trace_pallas.WEDGE_SAMPLES_MULTICHUNK = ws_saved
 
 
 def time_prepass(path, w, h, rpp, frames=50, label=""):
@@ -241,11 +246,64 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=1, label="dolphin1080_64",
     ),
+    # --- dense-scene accel experiments (VERDICT r2 #2) ---
+    # lady_bug now fits segment lists (transposed tables); dolphin stays on
+    # chunk lists — the rays_per_block sweep probes whether tighter origin
+    # circles (better lb culling + tighter worst-t early exit) beat the
+    # extra program-entry cost on dense scenes.
+    "lb1080_h": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, label="lb1080_256_h",
+    ),
+    "lb1080_h_rb1k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, rays_per_block=1024, label="lb1080_256_h_rb1k",
+    ),
+    "dol1080_h": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, label="dol1080_64_h",
+    ),
+    "dol1080_h_rb2k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, rays_per_block=2048, label="dol1080_64_h_rb2k",
+    ),
+    "dol1080_h_rb1k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, rays_per_block=1024, label="dol1080_64_h_rb1k",
+    ),
+    "dol1080_h_rb512": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, rays_per_block=512, label="dol1080_64_h_rb512",
+    ),
+    # Wedge-width sweep on the headline config (arch is multi-chunk at
+    # s_pad=128: sw=4 gives 32 wedges/pixel — per-wedge fixed costs x32;
+    # wider wedges halve them against more candidates per cell).
+    "h_sw8": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, wedge_samples=8,
+        label="h_arch1024_128_sw8",
+    ),
+    "h_sw16": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, wedge_samples=16,
+        label="h_arch1024_128_sw16",
+    ),
 }
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["arch512", "arch1024", "arch1024_raygen", "arch1024_intersect"]
+    args = sys.argv[1:]
+    # --isolate: one subprocess per probe — a fatal kernel error (Mosaic
+    # crash, OOM) poisons the process's TPU client and every later probe in
+    # the batch would report a bogus Internal error.
+    if args and args[0] == "--isolate":
+        import subprocess
+
+        for n in args[1:]:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), n],
+                cwd="/root/repo", timeout=3600,
+            )
+        sys.exit(0)
+    names = args or ["arch512", "arch1024", "arch1024_raygen", "arch1024_intersect"]
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
     for n in names:
         PROBES[n]()

@@ -1249,7 +1249,9 @@ def seg_max_count(scene: dev.DeviceScene, cand_tables) -> int | None:
     if cand_tables is None or scene.s_pad > (1 << ID_BITS):
         return None
     counts = cand_tables[2]
-    if counts.ndim != 3 or counts.shape[-1] != 1:
+    # (T, W, 1) hoisted single-chip tables, or (n_shards, T, W, 1) stacked
+    # sharded tables (parallel/sharded.py) — the max certifies every shard.
+    if counts.ndim not in (3, 4) or counts.shape[-1] != 1:
         return None
     return int(counts.max())
 

@@ -97,6 +97,7 @@ def trace_sums_sharded(
     frame=0,
     backend: str = "auto",
     cand_tables=None,
+    gather_len: int | None = None,
 ):
     """Raw per-pixel trace sums with the pixel grid row-sharded over the
     mesh.  Returns (color_sum (H, W, 3), weight_sum (H, W), blur_sum (H, W))
@@ -106,6 +107,9 @@ def trace_sums_sharded(
     Bitwise identical to the single-chip sums: the RNG is keyed on global
     ray ids and each chip traces a disjoint pixel range.
     ``cand_tables``: ``build_cand_tables_sharded`` output for THIS camera.
+    ``gather_len``: static certification that no shard's (tile, wedge) cell
+    exceeds it (``trace_pallas.seg_max_count`` accepts the stacked sharded
+    counts — its max covers every shard).
     """
     h, w = scene.height, scene.width
     (axis_name,) = mesh.axis_names
@@ -134,7 +138,7 @@ def trace_sums_sharded(
         local_tables = tuple(t[0] for t in tables) if have_tables else None
         csum, wsum, bsum = renderer.trace_sums_flat(
             scene_rep, cam, config, frame, px_start, n_px_local, backend,
-            cand_tables=local_tables,
+            cand_tables=local_tables, gather_len=gather_len,
         )
         return (
             csum.reshape(rows_local, w, 3),
@@ -153,20 +157,23 @@ def trace_image_sharded(
     frame=0,
     backend: str = "auto",
     cand_tables=None,
+    gather_len: int | None = None,
 ):
     """Trace the frame with the pixel grid row-sharded over the mesh.
 
     Returns (image (H, W, 4), blur_map (H, W)) as row-sharded jax.Arrays.
     """
     csum, wsum, bsum = trace_sums_sharded(
-        mesh, scene, camera, config, frame, backend, cand_tables
+        mesh, scene, camera, config, frame, backend, cand_tables, gather_len
     )
     return renderer.normalize_sums(csum, wsum, bsum, config)
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "config", "backend", "max_blur_radius"),
+    static_argnames=(
+        "mesh", "config", "backend", "max_blur_radius", "gather_len"
+    ),
 )
 def render_frame_sharded(
     mesh: Mesh,
@@ -178,6 +185,7 @@ def render_frame_sharded(
     max_blur_radius: int | None = None,
     denoiser_params=None,
     cand_tables=None,
+    gather_len: int | None = None,
 ):
     """Full multi-chip frame: sharded trace + sharded post-processing.
 
@@ -192,7 +200,8 @@ def render_frame_sharded(
     """
     (axis_name,) = mesh.axis_names
     image, blur_map = trace_image_sharded(
-        mesh, scene, camera, config, state.frame, backend, cand_tables
+        mesh, scene, camera, config, state.frame, backend, cand_tables,
+        gather_len,
     )
     row_sharding = NamedSharding(mesh, P(axis_name, None, None))
     image = jax.lax.with_sharding_constraint(image, row_sharding)
@@ -212,7 +221,9 @@ def render_frame_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "config", "backend", "max_blur_radius"),
+    static_argnames=(
+        "mesh", "config", "backend", "max_blur_radius", "gather_len"
+    ),
 )
 def render_frame_progressive_sharded(
     mesh: Mesh,
@@ -226,6 +237,7 @@ def render_frame_progressive_sharded(
     max_blur_radius: int | None = None,
     denoiser_params=None,
     cand_tables=None,
+    gather_len: int | None = None,
 ):
     """Multi-chip progressive pass: the sharded analogue of
     renderer.render_frame_progressive — each pass adds rays_per_pixel fresh
@@ -238,7 +250,8 @@ def render_frame_progressive_sharded(
     (axis_name,) = mesh.axis_names
     row3 = NamedSharding(mesh, P(axis_name, None, None))
     csum, wsum, bsum = trace_sums_sharded(
-        mesh, scene, camera, config, state.frame, backend, cand_tables
+        mesh, scene, camera, config, state.frame, backend, cand_tables,
+        gather_len,
     )
     keep = 1.0 - jnp.asarray(reset, jnp.float32)
     csum = csum + prog.color_sum * keep

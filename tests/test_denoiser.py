@@ -63,6 +63,7 @@ def test_temporal_denoise_uses_flow_history():
     assert out[8, 13, 0] > out[8, 3, 0]
 
 
+@pytest.mark.slow
 def test_training_on_renderer_output_smoke():
     from raytracingdiffusioncurves_tpu.models.train_denoiser import sample_example
     from conftest import make_scene_xml, simple_curve

@@ -41,16 +41,19 @@ def assert_parity(j, p, frac=3e-5):
     assert (db > 1e-3).mean() < frac
 
 
+@pytest.mark.slow
 def test_parity_line(ref_xml_dir):
     j, p = render_both(str(ref_xml_dir / "line.xml"), from_file=True)
     assert_parity(j, p)
 
 
+@pytest.mark.slow
 def test_parity_portals(ref_xml_dir):
     j, p = render_both(str(ref_xml_dir / "PortalDemo.xml"), from_file=True)
     assert_parity(j, p)
 
 
+@pytest.mark.slow
 def test_parity_weights_and_blur():
     xml = make_scene_xml(
         [
@@ -68,6 +71,7 @@ def test_parity_weights_and_blur():
     assert_parity(j, p)
 
 
+@pytest.mark.slow
 def test_parity_no_aa_deterministic():
     # Note: the control polygon deliberately avoids exact multiples of the
     # 45-degree no-AA fan directions — a ray exactly grazing a segment tip is
@@ -78,6 +82,7 @@ def test_parity_no_aa_deterministic():
     assert_parity(j, p)
 
 
+@pytest.mark.slow
 def test_parity_camera():
     xml = make_scene_xml([simple_curve([(10, 10), (30, 20), (40, 40), (50, 50)])])
     scene = rtdc.load_scene_from_string(xml)
@@ -90,6 +95,7 @@ def test_parity_camera():
     assert (d > 1e-3).mean() < 3e-5
 
 
+@pytest.mark.slow
 def test_parity_multichunk_culling(ref_xml_dir):
     """lady_bug has ~2.6k sub-segments (41 chunks): exercises the chunk-
     culling accelerator against the brute-force JAX path."""
@@ -103,6 +109,7 @@ def test_parity_multichunk_culling(ref_xml_dir):
     assert_parity((np.asarray(img_j), np.asarray(bm_j)), (np.asarray(img_p), np.asarray(bm_p)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rpp", [32, 64])
 def test_parity_multichunk_wedge_culling(ref_xml_dir, rpp):
     """rpp > wedge size activates the direction-wedge grid dimension and the
@@ -124,6 +131,7 @@ def test_parity_multichunk_wedge_culling(ref_xml_dir, rpp):
     assert (d > 1.0 / 255.0).mean() < 1e-4
 
 
+@pytest.mark.slow
 def test_parity_multichunk_portals():
     """Portals plus >64 sub-segments: culling must stay exact across the
     bounded re-trace loop (non-unit continuation directions scale the bound)."""
@@ -152,6 +160,7 @@ def test_parity_rpp_blocking(rpp):
     assert_parity(j, p)
 
 
+@pytest.mark.slow
 def test_parity_segment_candidates():
     """A 64-sub-segment single-chunk scene at rpp=32 activates the
     per-(tile, wedge) segment candidate lists (ops/candidates.py); parity
@@ -186,6 +195,7 @@ def test_parity_segment_candidates():
         )
 
 
+@pytest.mark.slow
 def test_hoisted_cand_tables_match_inline(ref_xml_dir):
     """build_cand_tables output passed via cand_tables must reproduce the
     inline per-frame prepass bit for bit, for both acceleration kinds

@@ -179,6 +179,7 @@ def test_ray_fan_covers_all_directions():
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_all_reference_scenes_render_smoke(ref_xml_dir):
     """Every shipped scene loads, flattens and renders finite pixels
     (SURVEY §4: demo scenes are the feature fixtures)."""

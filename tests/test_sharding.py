@@ -50,6 +50,7 @@ def test_sharded_output_is_row_sharded(scene_dev):
     assert len(img.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_full_frame_close_to_single(scene_dev):
     """Full pipeline (denoise + blur) sharded vs single chip: the image ops
     use identical math; XLA halo exchange must not change results beyond
@@ -78,6 +79,7 @@ def test_sharded_pallas_backend(scene_dev):
     assert (d > 1e-3).mean() < 3e-5
 
 
+@pytest.mark.slow
 def test_sharded_hoisted_cand_tables(ref_xml_dir):
     """build_cand_tables_sharded hoists the per-camera accel prepass on the
     multi-chip path: Pallas trace with per-shard tables must be bitwise
@@ -97,8 +99,22 @@ def test_sharded_hoisted_cand_tables(ref_xml_dir):
     )
     np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_i))
     np.testing.assert_array_equal(np.asarray(bm_t), np.asarray(bm_i))
+    # slot-mode certified gather_len (max over ALL shards' counts) narrows
+    # the winner one-hot on every shard — still bitwise identical
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    mx = tp.seg_max_count(dev, tables)
+    if mx is not None:
+        narrowed = tp.narrow_cand_tables(tables, mx)
+        img_n, bm_n = sharded.trace_image_sharded(
+            mesh, dev, rtdc.Camera(), cfg, backend="pallas",
+            cand_tables=narrowed, gather_len=mx,
+        )
+        np.testing.assert_array_equal(np.asarray(img_n), np.asarray(img_i))
+        np.testing.assert_array_equal(np.asarray(bm_n), np.asarray(bm_i))
 
 
+@pytest.mark.slow
 def test_sharded_full_frame_with_cnn_denoiser(scene_dev):
     """render_frame_sharded carries the learned CNN denoiser exactly like the
     single-chip path (feature parity, VERDICT r2 #6)."""
