@@ -182,6 +182,16 @@ PROBES = {
         f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
         exact_ablate="no_fallback", label="h_arch1024_128",
     ),
+    # EXACT-OUTPUT cond-structure variants (identical image, different
+    # control flow — candidates to become the default):
+    "h_isonc": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
+        exact_ablate="iso_nocond", label="h_arch1024_128_isonc",
+    ),
+    "h_fbnc": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
+        exact_ablate="fb_nocond", label="h_arch1024_128_fbnc",
+    ),
     "arch512": lambda: time_trace(f"{XMLS}/arch.xml", 512, 512, 16, label="arch512_16"),
     "arch512_128": lambda: time_trace(
         f"{XMLS}/arch.xml", 512, 512, 128, label="arch512_128"

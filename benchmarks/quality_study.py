@@ -1,0 +1,303 @@
+"""Quality north-star study (VERDICT r2 #4): decompose the PSNR gap vs the
+reference screencaps into measurable components and fill the missing rows.
+
+The BASELINE target is "within 1 dB PSNR of the OptiX reference", but a
+cross-renderer PSNR against a JPEG screencap of unknown camera/settings has
+a much lower attainable ceiling than 1-dB-equivalence implies.  This study
+pins that ceiling per component:
+
+  * MC floor      — PSNR between two of OUR renders at the same settings,
+                    different seeds: the best any renderer could score
+                    against a third noise realization.
+  * JPEG floor    — PSNR of our render through a JPEG round trip at the
+                    quality the screencaps appear to use.
+  * registration  — identity-camera vs sub-pixel-registered camera rows
+                    (the screencaps came from an interactive session,
+                    glfw_events.cpp:53-100; a half-pixel pan costs dB).
+  * low-pass rows — PSNR after a sigma=3 Gaussian on both sides: if the
+                    gap survives smoothing it is a systematic color/shape
+                    difference, not noise.
+
+Missing rows added: no_cap.png (line.xml rendered with caps suppressed —
+the loader's ``suppress_endcaps``, the reference's USE_ENDCAP=false; line
+is the scene whose curve carries use_endcap="true") and gradient128AA.png
+(an offset arch.xml view, previously mis-registered against line.xml).
+
+Usage: python benchmarks/quality_study.py [part ...]   (parts: lb, caps,
+blurex; default all).  Writes benchmarks/quality_study.json.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import raytracingdiffusioncurves_tpu as rtdc  # noqa: E402
+from raytracingdiffusioncurves_tpu.models import renderer  # noqa: E402
+from raytracingdiffusioncurves_tpu.utils.image import psnr, to_uint8  # noqa: E402
+
+XMLS = "/root/reference/optixHello/xmls"
+CAPS = "/root/reference/optixHello/screencaps"
+OUT_JSON = os.path.join(os.path.dirname(__file__), "quality_study.json")
+
+
+def backend():
+    return "pallas" if jax.default_backend() == "tpu" else "jax"
+
+
+def ref_img(cap, size=None):
+    from PIL import Image
+
+    im = Image.open(os.path.join(CAPS, cap)).convert("RGB")
+    if size is not None and im.size != (size, size):
+        im = im.resize((size, size))
+    return np.asarray(im, np.float64) / 255.0
+
+
+def our_render(scene_path, cam, size=512, rpp=128, blur=True, denoise=False,
+               seed=0, suppress_endcaps=False, frames=2):
+    scene = rtdc.load_scene(
+        os.path.join(XMLS, scene_path), suppress_endcaps=suppress_endcaps
+    )
+    scene = scene.with_size(size, size)
+    dev = rtdc.build_device_scene(scene)
+    cfg = rtdc.RenderConfig(
+        rays_per_pixel=rpp, use_blur=blur, use_denoiser=denoise, seed=seed
+    )
+    state = rtdc.init_frame_state(size, size)
+    img, state = rtdc.render_frame(dev, cam, state, cfg, backend=backend())
+    if denoise:
+        for _ in range(frames - 1):  # activate the temporal history
+            img, state = rtdc.render_frame(dev, cam, state, cfg, backend=backend())
+    # screenshot quantization + vertical flip (glfw_events.cpp:73-81)
+    return to_uint8(np.asarray(img), flip_vertical=True)[..., :3].astype(np.float64) / 255.0
+
+
+def jpeg_roundtrip(img01, quality=85):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((img01 * 255.0 + 0.5).astype(np.uint8)).save(
+        buf, "JPEG", quality=quality
+    )
+    buf.seek(0)
+    return np.asarray(Image.open(buf), np.float64) / 255.0
+
+
+def lowpass(img01, sigma=3.0):
+    r = int(3 * sigma)
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    out = img01
+    for ax in (0, 1):
+        out = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), ax, out
+        )
+    return out
+
+
+def register_local(scene_path, cap_img, start, size=256, rpp=16, blur=False,
+                   rounds=((0.1, 9), (0.03, 7), (0.01, 7), (0.003, 5))):
+    """Sub-pixel local camera registration by shrinking grid search around
+    ``start`` = (zoom, off_x, off_y); all renders chained on device."""
+    scene = rtdc.load_scene(os.path.join(XMLS, scene_path)).with_size(size, size)
+    dev = rtdc.build_device_scene(scene)
+    cfg = rtdc.RenderConfig(rays_per_pixel=rpp, use_blur=blur, use_denoiser=False,
+                            max_blur_radius=4)
+    if cap_img.shape[0] != size:
+        from PIL import Image
+
+        cap_img = np.asarray(
+            Image.fromarray((cap_img * 255).astype(np.uint8)).resize(
+                (size, size)
+            ),
+            np.float64,
+        ) / 255.0
+    ref = jnp.asarray(cap_img, jnp.float32)
+
+    def mse(zoom, ox, oy):
+        img, _ = renderer.trace_image(
+            dev, rtdc.Camera(zoom, ox, oy), cfg, 0, backend=backend()
+        )
+        rgb = jnp.clip(img[::-1, :, :3], 0.0, 1.0)
+        return jnp.mean((rgb - ref) ** 2)
+
+    @jax.jit
+    def grid(zs, xs, ys):
+        zg, xg, yg = jnp.meshgrid(zs, xs, ys, indexing="ij")
+        zf, xf, yf = zg.reshape(-1), xg.reshape(-1), yg.reshape(-1)
+
+        def body(i, best):
+            m = mse(zf[i], xf[i], yf[i])
+            return jax.lax.cond(
+                m < best[0], lambda: (m, zf[i], xf[i], yf[i]), lambda: best
+            )
+
+        init = (jnp.float32(1e30), zf[0], xf[0], yf[0])
+        return jax.lax.fori_loop(0, zf.shape[0], body, init)
+
+    z, x, y = (float(v) for v in start)
+    span = size * z  # world span at the start zoom
+    m = None
+    for shrink, n in rounds:
+        zs = jnp.asarray(z * np.exp(np.linspace(-shrink, shrink, n)), jnp.float32)
+        xs = jnp.asarray(x + span * np.linspace(-shrink, shrink, n), jnp.float32)
+        ys = jnp.asarray(y + span * np.linspace(-shrink, shrink, n), jnp.float32)
+        m, z, x, y = (float(v) for v in grid(zs, xs, ys))
+    return {"zoom": z, "off_x": x, "off_y": y, "mse": m}
+
+
+def part_lb(results):
+    """lady_bug decomposition vs lb16/lb128 (512x512, startup camera)."""
+    cam = rtdc.Camera()
+    rows = {}
+    # calibration: the reference's own pair
+    rows["ceiling_ref_lb16_vs_lb128"] = round(
+        psnr(ref_img("lb16.jpg"), ref_img("lb128.jpg")), 2
+    )
+    for rpp in (16, 128):
+        cap = ref_img(f"lb{rpp}.jpg")
+        a = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=rpp, seed=0)
+        b = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=rpp, seed=1)
+        d = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=rpp,
+                       denoise=True)
+        rows[f"lb{rpp}_mc_floor_seed0_vs_seed1"] = round(psnr(a, b), 2)
+        rows[f"lb{rpp}_jpeg85_floor"] = round(psnr(a, jpeg_roundtrip(a)), 2)
+        rows[f"lb{rpp}_vs_cap_raw"] = round(psnr(a, cap), 2)
+        rows[f"lb{rpp}_vs_cap_denoised"] = round(psnr(d, cap), 2)
+        rows[f"lb{rpp}_vs_cap_lowpass3"] = round(
+            psnr(lowpass(d), lowpass(cap)), 2
+        )
+        # sub-pixel registration from the identity start
+        reg = register_local("DiffusionCurvePack/lady_bug.xml", cap,
+                             (1.0 * 512 / 256, 0.0, 0.0), size=256)
+        zoom512 = reg["zoom"] * 256 / 512
+        r = our_render("DiffusionCurvePack/lady_bug.xml",
+                       rtdc.Camera(zoom512, reg["off_x"], reg["off_y"]),
+                       rpp=rpp, denoise=True)
+        rows[f"lb{rpp}_vs_cap_registered_denoised"] = round(psnr(r, cap), 2)
+        rows[f"lb{rpp}_registered_cam"] = {
+            "zoom_512": round(zoom512, 6),
+            "off_x": round(reg["off_x"], 3), "off_y": round(reg["off_y"], 3),
+        }
+        rows[f"lb{rpp}_vs_cap_registered_lowpass3"] = round(
+            psnr(lowpass(r), lowpass(cap)), 2
+        )
+    results["lady_bug"] = rows
+
+
+def part_caps(results):
+    """no_cap.png/cap.png are line.xml with endcaps off/on (the scene whose
+    curve carries use_endcap="true"); + gradient128AA (an offset arch.xml
+    view)."""
+    rows = {}
+    cam = rtdc.Camera()
+    cap = ref_img("no_cap.png")
+    ours = our_render("line.xml", cam, rpp=128, blur=False,
+                      suppress_endcaps=True)
+    rows["no_cap_vs_suppressed_render"] = round(psnr(ours, cap), 2)
+    rows["no_cap_vs_suppressed_lowpass3"] = round(
+        psnr(lowpass(ours), lowpass(cap)), 2
+    )
+    withcaps = our_render("line.xml", cam, rpp=128, blur=False)
+    rows["no_cap_vs_unsuppressed_render_control"] = round(
+        psnr(withcaps, cap), 2
+    )
+    for capname in ("cap.png", "endcap.png"):
+        if os.path.exists(os.path.join(CAPS, capname)):
+            rows[f"{capname}_vs_endcap_render"] = round(
+                psnr(withcaps, ref_img(capname)), 2
+            )
+
+    # gradient128AA: arch.xml at an offset camera (the cap shows the arch's
+    # crown in the top-left quadrant).  Coarse start: arch world span is
+    # ~512 at zoom 1 for a 512 render; the cap looks shifted right+down.
+    g = ref_img("gradient128AA.png")
+    best = None
+    for z0, x0, y0 in [(1.0, 0.0, 0.0), (1.0, 150.0, 150.0),
+                       (0.7, 120.0, 120.0), (1.4, 200.0, 200.0)]:
+        reg = register_local("arch.xml", g, (z0 * 512 / 256, x0, y0),
+                             size=256, rpp=16,
+                             rounds=((0.3, 9), (0.1, 7), (0.03, 7), (0.01, 5)))
+        if best is None or reg["mse"] < best["mse"]:
+            best = reg
+    zoom512 = best["zoom"] * 256 / 512
+    ours_g = our_render("arch.xml", rtdc.Camera(zoom512, best["off_x"],
+                                                best["off_y"]), rpp=128,
+                        blur=False)
+    rows["gradient128AA_vs_registered_arch"] = round(psnr(ours_g, g), 2)
+    rows["gradient128AA_registered_cam"] = {
+        "zoom_512": round(zoom512, 6),
+        "off_x": round(best["off_x"], 3), "off_y": round(best["off_y"], 3),
+        "mse": round(best["mse"], 6),
+    }
+    rows["gradient128AA_mc_floor"] = round(
+        psnr(ours_g, our_render("arch.xml",
+                                rtdc.Camera(zoom512, best["off_x"], best["off_y"]),
+                                rpp=128, blur=False, seed=1)), 2
+    )
+    results["caps"] = rows
+
+
+def part_blurex(results):
+    """blur-ex/no_blur_ex: multi-start registration at 256 (VERDICT weak #8:
+    the round-2 single-start 128px registration landed at ~15 dB)."""
+    rows = {}
+    cap = ref_img("blur-ex.jpg")
+    starts = [(3.186445 * 128 / 256, -150.151, -93.143)]
+    # multi-start around plausible detail views (zoomed-in, quadrant pans)
+    for z in (1.0, 2.0, 4.0):
+        for x in (-150.0, -80.0, 0.0, 80.0):
+            for y in (-90.0, 0.0, 90.0):
+                starts.append((z * 512 / 256, x, y))
+    best = None
+    for st in starts:
+        reg = register_local("DiffusionCurvePack/lady_bug.xml", cap, st,
+                             size=256, rpp=16, blur=True,
+                             rounds=((0.2, 7), (0.06, 7), (0.02, 5)))
+        if best is None or reg["mse"] < best["mse"]:
+            best = reg
+    zoom512 = best["zoom"] * 256 / 512
+    cam = rtdc.Camera(zoom512, best["off_x"], best["off_y"])
+    ours_b = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=128,
+                        blur=True, denoise=True)
+    ours_nb = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=128,
+                         blur=False, denoise=True)
+    rows["blur_ex_registered"] = round(psnr(ours_b, cap), 2)
+    rows["no_blur_ex_registered"] = round(
+        psnr(ours_nb, ref_img("no_blur_ex.jpg")), 2
+    )
+    rows["registered_cam"] = {
+        "zoom_512": round(zoom512, 6), "off_x": round(best["off_x"], 3),
+        "off_y": round(best["off_y"], 3), "mse": round(best["mse"], 6),
+    }
+    results["blurex"] = rows
+
+
+def main():
+    parts = sys.argv[1:] or ["lb", "caps", "blurex"]
+    results = {}
+    if os.path.exists(OUT_JSON):
+        results = json.load(open(OUT_JSON))
+    for p in parts:
+        {"lb": part_lb, "caps": part_caps, "blurex": part_blurex}[p](results)
+        print(json.dumps({p: results.get({"lb": "lady_bug", "caps": "caps",
+                                          "blurex": "blurex"}[p])}, indent=1),
+              flush=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {OUT_JSON}")
+
+
+if __name__ == "__main__":
+    main()

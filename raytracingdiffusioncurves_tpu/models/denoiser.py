@@ -48,10 +48,12 @@ class DenoiserNet(nn.Module):
     (optixHello.cpp:1115-1127).  ``aux`` carries the blur map plus a
     constant noise-level channel (1/sqrt(rpp)), so ONE set of weights
     serves every rays-per-pixel setting — the conditioning that fixed round
-    1's overfit-to-one-noise-level recipe."""
+    1's overfit-to-one-noise-level recipe.  Round 3 deepened the net
+    (28x3 -> 32x5, ~42k params) alongside a 3.6x bigger dataset (17 scenes
+    x 16 cameras); VERDICT r2 asked +1 dB over the analytic pass."""
 
-    features: int = 28
-    depth: int = 3
+    features: int = 32
+    depth: int = 5
 
     @nn.compact
     def __call__(

@@ -50,11 +50,16 @@ TRAIN_SCENES = (
     "line.xml",
     "PortalDemo.xml",
     "test.xml",
+    "test2.xml",
     "test3.xml",
+    "test4.xml",
+    "test5.xml",
     "DiffusionCurvePack/lady_bug.xml",
     "DiffusionCurvePack/drape.xml",
     "DiffusionCurvePack/face.xml",
     "DiffusionCurvePack/roses_spirales.xml",
+    "DiffusionCurvePack/behindthecurtain.xml",
+    "DiffusionCurvePack/fille.xml",
 )
 
 
@@ -193,7 +198,7 @@ def main(argv=None):
     g.add_argument("--out", default="denoise_data.npz")
     g.add_argument("--val-out", default=None)
     g.add_argument("--size", type=int, default=192)
-    g.add_argument("--cams", type=int, default=6)
+    g.add_argument("--cams", type=int, default=16)
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--backend", default=None, choices=("jax", "pallas"),
                    help="trace backend (default: pallas on TPU, else jax); "

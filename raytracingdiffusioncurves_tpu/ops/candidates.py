@@ -313,7 +313,14 @@ def segment_candidates_t(
         axis=1,
     )  # (S, 8)
     csel = jnp.concatenate([csel, jnp.zeros((1, TC_ROWS), f32)], 0)
-    consts_t = jnp.swapaxes(csel[ids], -1, -2)  # (W, T, 8, L)
+    # Gather ROW BY ROW from 1-D views: csel[ids] (and even csel.T[:, ids])
+    # canonicalizes to a gather producing an (W*T*L, 8) intermediate whose
+    # 8 -> 128 HBM tile padding is 16x — lady_bug 1080p OOMed 15.75 GB on
+    # exactly that transient.  Per-row gathers keep every intermediate at a
+    # 128-lane minor dim ((W, T, L) f32, ~134 MB each at 1080p).
+    consts_t = jnp.stack(
+        [csel[:, r][ids] for r in range(TC_ROWS)], axis=-2
+    )  # (W, T, 8, L)
 
     shade_hl = None
     if with_shade:

@@ -107,6 +107,9 @@ def _transpose_block(block):
     return acc
 # Perf-debug knob: force the full sweep even when candidate lists apply.
 _DISABLE_CAND = False
+# Debug knob: disable the tiled sample->pixel reduction (fall back to the
+# full (R, PXB) one-hot).
+_TILED_REDUCE = True
 # Perf-debug knob for exact-silhouette mode: "legacy_refine" keeps the dual-
 # chain sweep but swaps the root isolation for the cheap 1-iter Newton (and
 # drops the fallback); "no_fallback" keeps root isolation but never takes the
@@ -147,7 +150,11 @@ def _trace_kernel(
     meta_ref,  # (2,) i32: frame, px_start (i32 so values >= 2^24 stay exact)
     bounds_ref,  # (n_chunks, 4) f32 chunk bounding circles [cx, cy, r, 0]
     # VMEM tables
-    consts_ref,  # (S_pad, CONST_COLS)
+    consts_t3_ref,  # (n_chunks, 8, sc) f32 chunk-major transposed sweep
+    #              consts (rows = cand_mod.TC_ORDER, lanes = in-chunk id):
+    #              both minor dims tile unpadded-ish ((8, 64)->(8, 128)),
+    #              vs the (S_pad, 9) layout whose 9->128 lane padding alone
+    #              was 14.8 MB of scoped VMEM for dolphin (28.8k segs)
     allt_hl_ref,  # (G, 2*ALLT_ROWS, 128) bf16: chunked shade+consts, hi
     #              halves stacked over f32 residuals — one 128-row MXU pass
     #              gathers both (M pads to 128 regardless, so two separate
@@ -191,6 +198,7 @@ def _trace_kernel(
         tconsts_ref = refs.pop(0)
         tshade_ref = refs.pop(0) if slot_mode else None
         ccand_ref = refs.pop(0)
+    ck_scratch = refs.pop()  # (sc, 8) f32 chunk slot-major scratch
     if use_chunk_lists:
         cids_ref, clbs_ref, ccnt_ref = refs[:3]
         refs = refs[3:]
@@ -419,18 +427,18 @@ def _trace_kernel(
             # same tensor and XLA CSE collapses the duplicate updates.
             def intersect_chunk(c, st):
                 pk_b, ch_b, pk_s, ch_s = st
-                sl = pl.ds(pl.multiple_of(c * sc, sc), sc)
+                # slot-major view of this chunk's consts via the scratch
+                # (same exact transpose as the candidate tables)
+                ck_scratch[...] = _transpose_block(consts_t3_ref[c])
                 c_b, c_s = packed_min(
-                    consts_ref[sl, dev.CONST_EX : dev.CONST_EX + 1],
-                    consts_ref[sl, dev.CONST_EY : dev.CONST_EY + 1],
-                    consts_ref[sl, dev.CONST_C1 : dev.CONST_C1 + 1],
-                    consts_ref[sl, dev.CONST_P0X : dev.CONST_P0X + 1],
-                    consts_ref[sl, dev.CONST_P0Y : dev.CONST_P0Y + 1],
-                    consts_ref[sl, dev.CONST_QUAD : dev.CONST_QUAD + 1],
+                    ck_scratch[:, 0:1],  # EX (cand_mod.TC_ORDER)
+                    ck_scratch[:, 1:2],  # EY
+                    ck_scratch[:, 2:3],  # C1
+                    ck_scratch[:, 3:4],  # P0X
+                    ck_scratch[:, 4:5],  # P0Y
+                    ck_scratch[:, 5:6],  # QUAD
                     ids_sc,
-                    band=consts_ref[sl, dev.CONST_BAND : dev.CONST_BAND + 1]
-                    if exact
-                    else None,
+                    band=ck_scratch[:, 6:7] if exact else None,
                 )
                 upd_b = c_b < pk_b
                 upd_s = c_s < pk_s
@@ -577,20 +585,7 @@ def _trace_kernel(
                         return jax.lax.fori_loop(
                             0, n_chunks, intersect_chunk, far_state()
                         )
-                    g_b, g_s = packed_min(
-                        consts_ref[:, dev.CONST_EX : dev.CONST_EX + 1],
-                        consts_ref[:, dev.CONST_EY : dev.CONST_EY + 1],
-                        consts_ref[:, dev.CONST_C1 : dev.CONST_C1 + 1],
-                        consts_ref[:, dev.CONST_P0X : dev.CONST_P0X + 1],
-                        consts_ref[:, dev.CONST_P0Y : dev.CONST_P0Y + 1],
-                        consts_ref[:, dev.CONST_QUAD : dev.CONST_QUAD + 1],
-                        ids_sc,
-                        band=consts_ref[:, dev.CONST_BAND : dev.CONST_BAND + 1]
-                        if exact
-                        else None,
-                    )
-                    zero = jnp.zeros((1, R), jnp.int32)
-                    return (g_b, zero, g_s, zero)
+                    return intersect_chunk(jnp.int32(0), far_state())
 
                 if cand_len >= s_pad or slot_mode:
                     # Overflow impossible — lists hold every segment, or the
@@ -862,9 +857,16 @@ def _trace_kernel(
                             jnp.ones(RSHP, jnp.int32),
                         )
 
-                    tau, t_ref, dbx, dby, conv32 = jax.lax.cond(
-                        any_graze, _iso, _cheap
-                    )
+                    if _EXACT_ABLATE == "iso_nocond":
+                        # EXACT-OUTPUT variant: isolation always runs and
+                        # the per-ray clean selects pick the cheap result —
+                        # probes whether the per-wedge cond's fixed Mosaic
+                        # cost exceeds the always-on isolation arithmetic.
+                        tau, t_ref, dbx, dby, conv32 = _iso()
+                    else:
+                        tau, t_ref, dbx, dby, conv32 = jax.lax.cond(
+                            any_graze, _iso, _cheap
+                        )
                     conv = conv32 > 0
                     strict = (gnum_s * (gdenom - gnum_s) >= 0.0) & (
                         (gnum_t - min_hit * gdenom) * gdenom > 0.0
@@ -915,9 +917,25 @@ def _trace_kernel(
                 def _no_fallback():
                     return (ev[0],) + ev[1:5] + ev[7:]
 
-                acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = jax.lax.cond(
-                    jnp.any(use_s), _with_fallback, _no_fallback
-                )
+                # Cond structure (measured, arch 1024^2): the per-wedge
+                # fallback lax.cond costs MORE than always evaluating the
+                # strict chain when the gather is the cheap slot one-hot
+                # (36.8 vs 38.8 ms) — so slot-mode wedges always evaluate
+                # it; global-gather scenes (128-row one-hot chains) keep
+                # the cond.  Both are output-identical.
+                fb_always = (
+                    use_cand and slot_mode and _bounce == 0
+                ) or _EXACT_ABLATE == "fb_nocond"
+                if fb_always:
+                    acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
+                        _with_fallback()
+                    )
+                else:
+                    acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
+                        jax.lax.cond(
+                            jnp.any(use_s), _with_fallback, _no_fallback
+                        )
+                    )
             else:
                 acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
                     (ev[0],) + ev[1:5] + ev[7:]
@@ -1084,14 +1102,33 @@ def _trace_kernel(
     # across the grid).  Same bf16 hi/lo trick as the gather, but split at
     # runtime; the MXU accumulates in f32 so only input quantization
     # matters, and hi + lo reconstructs the f32 inputs exactly.
-    reduce_oh = red_ref[...]  # (R, PXB) bf16
+    reduce_oh = red_ref[...]  # (SW*128, 128) tiled or (R, PXB) full, bf16
     rows_hi = rows.astype(jnp.bfloat16)
     rows_lo = (rows - rows_hi.astype(f32)).astype(jnp.bfloat16)
     dims2 = (((1,), (0,)), ((), ()))
-    both = jax.lax.dot_general(
-        jnp.concatenate([rows_hi, rows_lo], axis=0), reduce_oh, dims2,
-        preferred_element_type=f32,
-    )  # (16, PXB): one MXU pass for hi and lo
+    rows2 = jnp.concatenate([rows_hi, rows_lo], axis=0)  # (16, R)
+    if reduce_oh.shape[0] != R:
+        # Tiled reduction (PXB % 128 == 0): the (R, PXB) one-hot is block
+        # diagonal with the SAME (SW*128, 128) pattern per 128-pixel column
+        # tile (ray ridx = pixel*SW + sample), so one small block + static
+        # 128-aligned lane slices replace it — at R = 4096 the full one-hot
+        # was 8 MB of the 16 MB scoped VMEM budget (dolphin at 1080p
+        # overflowed it; identical MAC count either way).
+        tile_rows = reduce_oh.shape[0]  # SW * 128
+        both = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    rows2[:, j * tile_rows : (j + 1) * tile_rows],
+                    reduce_oh, dims2, preferred_element_type=f32,
+                )
+                for j in range(PXB // 128)
+            ],
+            axis=1,
+        )  # (16, PXB)
+    else:
+        both = jax.lax.dot_general(
+            rows2, reduce_oh, dims2, preferred_element_type=f32,
+        )  # (16, PXB): one MXU pass for hi and lo
     out_ref[0] = both[:8] + both[8:]
 
 
@@ -1383,13 +1420,28 @@ def trace_sums_flat(
     allt_lo = (allt3 - allt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     allt_hl = jnp.concatenate([allt_hi, allt_lo], axis=1)
 
-    # Sample->pixel reduction one-hot, constant across the grid.
+    # Sample->pixel reduction one-hot, constant across the grid.  When PXB
+    # is a 128-multiple only the (SW*128, 128) block rides (the full one-hot
+    # is block diagonal in it — see the kernel's tiled reduction); tiny
+    # configs (tests) keep the full (R, pxb) matrix.
+    if pxb % 128 == 0 and _TILED_REDUCE:
+        red_r, red_c = 128 * sw, 128
+    else:
+        red_r, red_c = R, pxb
     reduce_oh = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, pxb), 0) // sw
-        == jax.lax.broadcasted_iota(jnp.int32, (R, pxb), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (red_r, red_c), 0) // sw
+        == jax.lax.broadcasted_iota(jnp.int32, (red_r, red_c), 1)
     ).astype(jnp.bfloat16)
 
-    operands = [cam, meta, scene.chunk_bounds, scene.seg_consts, allt_hl, reduce_oh]
+    # Chunk-major transposed sweep consts (see _trace_kernel): rows in
+    # cand_mod.TC_ORDER, lanes = in-chunk segment id.
+    n_ck = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
+    sc_ = min(SEG_CHUNK, scene.s_pad)
+    csel = scene.seg_consts[:, list(cand_mod.TC_ORDER)]  # (S_pad, 7)
+    csel = jnp.pad(csel, ((0, 0), (0, 8 - csel.shape[1])))
+    consts_t3 = jnp.transpose(csel.reshape(n_ck, sc_, 8), (0, 2, 1))
+
+    operands = [cam, meta, scene.chunk_bounds, consts_t3, allt_hl, reduce_oh]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1488,11 +1540,11 @@ def trace_sums_flat(
             ]
         )
 
-    scratch_shapes = (
-        [pltpu.VMEM((cand_len, cand_mod.TC_ROWS), jnp.float32)]
-        if use_cand
-        else []
-    )
+    scratch_shapes = [pltpu.VMEM((sc_, 8), jnp.float32)]  # ck_scratch
+    if use_cand:
+        scratch_shapes.append(
+            pltpu.VMEM((cand_len, cand_mod.TC_ROWS), jnp.float32)
+        )
     sums = pl.pallas_call(
         kernel,
         grid=(n_blocks,),

@@ -220,7 +220,8 @@ static void push_bezier4(Scene& sc, const V2 pts[4]) {
 }
 
 static bool build_scene(const XmlNode& root, bool save, double endcap_size,
-                        double default_weight_degree, Scene& sc) {
+                        double default_weight_degree, bool suppress_endcaps,
+                        Scene& sc) {
   sc.width = (int)root.attr("image_width", 0);
   sc.height = (int)root.attr("image_height", 0);
   int n_segments_total = 0;
@@ -233,7 +234,10 @@ static bool build_scene(const XmlNode& root, bool save, double endcap_size,
       sc.error = "curve missing control_points_set";
       return false;
     }
-    bool use_endcap = curve.attrs.count("use_endcap") && curve.attrs.at("use_endcap") == "true";
+    // suppress_endcaps: the reference's USE_ENDCAP=false define — no cap
+    // geometry and no +1 knot shift (screencaps/no_cap.png).
+    bool use_endcap = !suppress_endcaps && curve.attrs.count("use_endcap") &&
+                      curve.attrs.at("use_endcap") == "true";
     sc.curve_connect.push_back(curve.has("connects")
                                    ? (int32_t)strtol(curve.attrs.at("connects").c_str(), nullptr, 10)
                                    : -1);
@@ -440,7 +444,7 @@ static void fill_attr(RtdcAttr* out, AttrBuilder& b) {
 }
 
 RtdcScene* rtdc_load_scene(const char* xml_text, int save, double endcap_size,
-                           double default_weight_degree) {
+                           double default_weight_degree, int suppress_endcaps) {
   auto* holder = new Scene();
   auto* out = new RtdcScene();
   memset(out, 0, sizeof(*out));
@@ -454,7 +458,8 @@ RtdcScene* rtdc_load_scene(const char* xml_text, int save, double endcap_size,
     out->error = holder->error.c_str();
     return out;
   }
-  if (!build_scene(root, save != 0, endcap_size, default_weight_degree, *holder)) {
+  if (!build_scene(root, save != 0, endcap_size, default_weight_degree,
+                   suppress_endcaps != 0, *holder)) {
     out->error = holder->error.c_str();
     return out;
   }

@@ -80,6 +80,7 @@ def _load_lib():
         ctypes.c_int,
         ctypes.c_double,
         ctypes.c_double,
+        ctypes.c_int,
     ]
     lib.rtdc_free_scene.argtypes = [ctypes.POINTER(_RtdcScene)]
     _lib = lib
@@ -109,13 +110,15 @@ def load_scene_native(
     endcap_size: float = 8.0,
     default_weight_degree: float = 0.5,
     is_text: bool = False,
+    suppress_endcaps: bool = False,
 ) -> SceneTables:
     lib = _load_lib()
     if lib is None:
         raise RuntimeError("native loader unavailable (build failed)")
     text = path_or_text if is_text else open(path_or_text, "r").read()
     ptr = lib.rtdc_load_scene(
-        text.encode(), int(diffusion_curve_save), endcap_size, default_weight_degree
+        text.encode(), int(diffusion_curve_save), endcap_size,
+        default_weight_degree, int(suppress_endcaps),
     )
     try:
         sc = ptr.contents

@@ -149,6 +149,7 @@ def load_scene(
     endcap_size: float = 8.0,
     default_weight_degree: float = 0.5,
     native: bool | str = "auto",
+    suppress_endcaps: bool = False,
 ) -> SceneTables:
     """Parse an Orzan-format diffusion-curve XML into ``SceneTables``.
 
@@ -156,6 +157,10 @@ def load_scene(
     C++ loader (scene/native/loader.cpp): True = require it, False = pure
     Python, "auto" = use it when the shared library is available.  Both
     produce identical tables (tests/test_native_loader.py).
+    ``suppress_endcaps`` ignores every curve's ``use_endcap`` (the
+    reference's USE_ENDCAP compile-time define set to false, params.hpp —
+    how ``screencaps/no_cap.png`` was produced): no cap geometry AND no
+    +1 knot shift.
     """
     if native:
         from . import native_loader
@@ -166,6 +171,7 @@ def load_scene(
                 diffusion_curve_save=diffusion_curve_save,
                 endcap_size=endcap_size,
                 default_weight_degree=default_weight_degree,
+                suppress_endcaps=suppress_endcaps,
             )
     root = ET.parse(path).getroot()
     return build_scene(
@@ -173,6 +179,7 @@ def load_scene(
         diffusion_curve_save=diffusion_curve_save,
         endcap_size=endcap_size,
         default_weight_degree=default_weight_degree,
+        suppress_endcaps=suppress_endcaps,
     )
 
 
@@ -185,6 +192,7 @@ def build_scene(
     diffusion_curve_save: bool = True,
     endcap_size: float = 8.0,
     default_weight_degree: float = 0.5,
+    suppress_endcaps: bool = False,
 ) -> SceneTables:
     save = diffusion_curve_save
     width = int(curve_set.get("image_width"))
@@ -207,7 +215,10 @@ def build_scene(
 
     for curve_id, curve in enumerate(curve_set):
         ctrl_nodes = list(curve.find("control_points_set"))
-        use_endcap = (curve.get("use_endcap") or "") == "true"
+        use_endcap = (
+            not suppress_endcaps
+            and (curve.get("use_endcap") or "") == "true"
+        )
         curve_connect.append(int(curve.get("connects", "-1")))
         curve_first_segment.append(n_segments_total)
 

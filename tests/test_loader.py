@@ -175,3 +175,29 @@ def test_all_reference_scenes_load(ref_xml_dir):
                 for c in range(scene.n_curves)
             )
             assert short <= max(1, scene.n_curves // 50)
+
+
+def test_suppress_endcaps(ref_xml_dir):
+    """suppress_endcaps (the reference's USE_ENDCAP=false define, how
+    screencaps/no_cap.png was produced): no cap geometry, no +1 knot shift.
+    Both loaders implement it identically."""
+    from raytracingdiffusioncurves_tpu.scene.xml_loader import load_scene
+
+    path = str(ref_xml_dir / "line.xml")
+    on = load_scene(path)
+    off = load_scene(path, suppress_endcaps=True)
+    # line.xml's curve uses endcaps: suppression drops 2 segments per curve
+    assert off.n_segments < on.n_segments
+    assert off.n_curves == on.n_curves
+    dropped = sum(2 for c in range(on.n_curves)
+                  if on.curve_segment_count[c] - 2
+                  == off.curve_segment_count[c])
+    assert off.n_segments == on.n_segments - dropped
+    # knots lose the +1 endcap shift: the first color knot starts at 0
+    assert float(off.color_left.u[0]) == 0.0
+    # both loader implementations agree bit for bit
+    py = load_scene(path, suppress_endcaps=True, native=False)
+    nat = load_scene(path, suppress_endcaps=True, native=True)
+    np.testing.assert_array_equal(py.vertices, nat.vertices)
+    np.testing.assert_array_equal(py.color_left.u, nat.color_left.u)
+    np.testing.assert_array_equal(py.color_left.values, nat.color_left.values)
