@@ -88,10 +88,23 @@ def main():
 
     img, st2 = run_n(state, 1, cand_tables)  # compile the loop variant
     float(img[0, 0, 0])
-    t0 = time.perf_counter()
-    img, st2 = run_n(state, frames, cand_tables)
-    float(img[0, 0, 0])
-    total = time.perf_counter() - t0
+    # BENCH_PROFILE=<logdir>: capture a jax.profiler device trace of the
+    # chained run — the checked-in evidence that the headline measures
+    # device execution, not tunnel round-trips (see bench_artifacts/).
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        import contextlib
+
+        prof_ctx = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        t0 = time.perf_counter()
+        img, st2 = run_n(state, frames, cand_tables)
+        float(img[0, 0, 0])
+        total = time.perf_counter() - t0
     mean_ms = 1000.0 * total / frames
 
     # Diagnostic pass: per-dispatch frames (each includes a tunnel

@@ -192,6 +192,16 @@ PROBES = {
         f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
         exact_ablate="fb_nocond", label="h_arch1024_128_fbnc",
     ),
+    # Bigger blocks (feasible since the tiled reduction freed ~8 MB VMEM):
+    # halves program count and amortizes per-wedge fixed costs over 2x rays.
+    "h_rb8k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, rays_per_block=8192,
+        label="h_arch1024_128_rb8k",
+    ),
+    "h_rb16k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
+        rays_per_block=16384, label="h_arch1024_128_rb16k",
+    ),
     "arch512": lambda: time_trace(f"{XMLS}/arch.xml", 512, 512, 16, label="arch512_16"),
     "arch512_128": lambda: time_trace(
         f"{XMLS}/arch.xml", 512, 512, 128, label="arch512_128"
@@ -268,6 +278,22 @@ PROBES = {
     "lb1080_h_rb1k": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, rays_per_block=1024, label="lb1080_256_h_rb1k",
+    ),
+    "lb1080_h_intersect": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate="intersect", label="lb1080_256_h",
+    ),
+    "lb1080_h_gather": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate="gather", label="lb1080_256_h",
+    ),
+    "lb1080_h_entry": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate="entry", label="lb1080_256_h",
+    ),
+    "lb1080_h_raygen": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate="raygen", label="lb1080_256_h",
     ),
     "dol1080_h": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,

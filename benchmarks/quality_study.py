@@ -169,30 +169,30 @@ def part_lb(results):
         cap = ref_img(f"lb{rpp}.jpg")
         a = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=rpp, seed=0)
         b = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=rpp, seed=1)
+        # Converged temporal history (frames=10): the reference caps came
+        # from an interactive session with the OptiX TEMPORAL denoiser —
+        # their effective noise is far below one frame's at the nominal rpp
+        # (their own lb16-vs-lb128 agree to 44 dB).
         d = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=rpp,
-                       denoise=True)
+                       denoise=True, frames=10)
         rows[f"lb{rpp}_mc_floor_seed0_vs_seed1"] = round(psnr(a, b), 2)
         rows[f"lb{rpp}_jpeg85_floor"] = round(psnr(a, jpeg_roundtrip(a)), 2)
         rows[f"lb{rpp}_vs_cap_raw"] = round(psnr(a, cap), 2)
-        rows[f"lb{rpp}_vs_cap_denoised"] = round(psnr(d, cap), 2)
+        rows[f"lb{rpp}_vs_cap_denoised10f"] = round(psnr(d, cap), 2)
         rows[f"lb{rpp}_vs_cap_lowpass3"] = round(
             psnr(lowpass(d), lowpass(cap)), 2
         )
-        # sub-pixel registration from the identity start
-        reg = register_local("DiffusionCurvePack/lady_bug.xml", cap,
-                             (1.0 * 512 / 256, 0.0, 0.0), size=256)
-        zoom512 = reg["zoom"] * 256 / 512
-        r = our_render("DiffusionCurvePack/lady_bug.xml",
-                       rtdc.Camera(zoom512, reg["off_x"], reg["off_y"]),
-                       rpp=rpp, denoise=True)
-        rows[f"lb{rpp}_vs_cap_registered_denoised"] = round(psnr(r, cap), 2)
-        rows[f"lb{rpp}_registered_cam"] = {
-            "zoom_512": round(zoom512, 6),
-            "off_x": round(reg["off_x"], 3), "off_y": round(reg["off_y"], 3),
-        }
-        rows[f"lb{rpp}_vs_cap_registered_lowpass3"] = round(
-            psnr(lowpass(r), lowpass(cap)), 2
-        )
+    # Our near-noiseless render vs their denoised 128 cap: removes OUR MC
+    # term entirely; the residual is their (denoised) noise + JPEG + any
+    # systematic difference.
+    hi = our_render("DiffusionCurvePack/lady_bug.xml", cam, rpp=1024,
+                    denoise=True, frames=10)
+    rows["lb128_vs_cap_rpp1024_denoised10f"] = round(
+        psnr(hi, ref_img("lb128.jpg")), 2
+    )
+    rows["lb128_vs_cap_rpp1024_lowpass3"] = round(
+        psnr(lowpass(hi), lowpass(ref_img("lb128.jpg"))), 2
+    )
     results["lady_bug"] = rows
 
 

@@ -156,11 +156,18 @@ def _segment_ids(
     px_start,
     diffusion_save: bool,
     cand_len: int,
+    order: str = "id",
 ):
     """Shared compaction core: per-(tile, wedge) passing segment ids.
 
-    Returns (ids (W, T, L) int32 ascending, real ids < s_pad and s_pad in
-    unused slots; counts (W, T) int32 capped at cand_len + 1)."""
+    Returns (ids (W, T, L) int32, counts (W, T) int32 capped at
+    cand_len + 1, lbs (W, T, L) f32 conservative lower-bound distances).
+
+    ``order``: "id" sorts slots by ascending global id (slot-order ties
+    == the JAX argmin's global-id tie-break); "dist" sorts by ascending
+    lower-bound distance (stable, so equal-lb ties stay id-ordered) — the
+    layout the kernel's early-exit sweep needs for dense scenes.  Unused
+    slots hold id s_pad and lb 1e30."""
     f32 = jnp.float32
     s_pad = consts.shape[0]
     bcx, bcy, br = _tile_circles(
@@ -206,17 +213,36 @@ def _segment_ids(
         cos_d = dnx * wx + dny * wy  # (T, S)
         cos_lim = cos_hw * cos_chw - sin_hw * sin_chw
         mask = valid[None, :] & (overlap | (cos_d >= cos_lim))
-        # --- compact passing ids (ascending) into fixed-L slots ---
-        key = jnp.where(mask, iota[None, :], jnp.int32(s_pad))
-        ids = jax.lax.sort(key, dimension=-1)[..., :cand_len]  # (T, L)
+        lb = jnp.where(mask, jnp.maximum(dist - reach, 0.0), jnp.float32(1e30))
+        if order == "dist":
+            # stable sort by lb: equal-lb ties keep ascending id
+            lbs, ids = jax.lax.sort(
+                (lb, jnp.broadcast_to(iota[None, :], lb.shape)),
+                dimension=-1, num_keys=1,
+            )
+            ids = ids[..., :cand_len]
+            lbs = lbs[..., :cand_len]
+            # masked entries keep their real id through the lb sort — park
+            # them at s_pad so they hit the zero row downstream
+            ids = jnp.where(lbs < 1e30, ids, jnp.int32(s_pad))
+        else:
+            # --- compact passing ids (ascending) into fixed-L slots ---
+            key = jnp.where(mask, iota[None, :], jnp.int32(s_pad))
+            ids = jax.lax.sort(key, dimension=-1)[..., :cand_len]  # (T, L)
+            ids_safe = jnp.minimum(ids, s_pad - 1)
+            lbs = jnp.where(
+                ids < s_pad,
+                jnp.take_along_axis(lb, ids_safe, axis=-1),
+                jnp.float32(1e30),
+            )
         # count capped at cand_len + 1: the kernel reads "count > cand_len"
         # as the overflow signal and falls back to the full sweep.
         count = jnp.minimum(jnp.sum(mask, axis=-1), cand_len + 1).astype(
             jnp.int32
         )
-        return ids, count
+        return ids, count, lbs
 
-    return jax.lax.map(one_wedge, (ccx, ccy))  # (W, T, L), (W, T)
+    return jax.lax.map(one_wedge, (ccx, ccy))  # (W, T, L), (W, T), (W, T, L)
 
 
 def segment_candidates(
@@ -247,7 +273,7 @@ def segment_candidates(
     """
     f32 = jnp.float32
     s_pad = consts.shape[0]
-    ids, count = _segment_ids(
+    ids, count, _ = _segment_ids(
         consts, width, height, zoom, off_x, off_y, rpp, sw, tiles_x, tiles_y,
         tile_w, tile_h, px_start, diffusion_save, cand_len,
     )
@@ -280,12 +306,14 @@ def segment_candidates_t(
     diffusion_save: bool,
     cand_len: int = 128,
     with_shade: bool = True,
+    order: str = "id",
 ):
     """Transposed candidate tables — slots on the LANE axis (round 3).
 
     Returns (consts_t (T, W, TC_ROWS, L) f32,
              shade_hl (T, W, 2*G8, L) bf16   [None if not with_shade],
-             counts (T, W, 1) int32)
+             counts (T, W, 1) int32,
+             lbs (T, W, L) f32               [None unless order == "dist"])
     where G8 = len(used_rows) padded to a multiple of 8 and shade_hl stacks
     bf16 high halves over bf16 f32-residuals (the same hi/lo one-hot-matmul
     gather precision as the global shade table, ~2^-17 relative).
@@ -300,9 +328,9 @@ def segment_candidates_t(
     """
     f32 = jnp.float32
     s_pad = consts.shape[0]
-    ids, count = _segment_ids(
+    ids, count, lbs = _segment_ids(
         consts, width, height, zoom, off_x, off_y, rpp, sw, tiles_x, tiles_y,
-        tile_w, tile_h, px_start, diffusion_save, cand_len,
+        tile_w, tile_h, px_start, diffusion_save, cand_len, order=order,
     )
     # consts rows in TC_ORDER + global id row, zero column for unused slots
     csel = jnp.concatenate(
@@ -342,6 +370,7 @@ def segment_candidates_t(
         jnp.swapaxes(consts_t, 0, 1),  # (T, W, TC_ROWS, L)
         shade_hl,
         jnp.swapaxes(count, 0, 1)[..., None],  # (T, W, 1) i32
+        jnp.swapaxes(lbs, 0, 1) if order == "dist" else None,  # (T, W, L)
     )
 
 
