@@ -59,11 +59,14 @@ TC_ID = 7
 
 
 # Largest scene (padded sub-segments) that gets per-(tile, wedge) SEGMENT
-# candidate lists.  Beyond this, the prepass (T x W x S cone tests + sort)
-# and the list tables outgrow their savings and chunk-granularity lists take
-# over.  4096 covers lady_bug at the default flattening (2624); the
-# Orzan-pack giants (dolphin, 28.8k) stay on chunk lists.
-CAND_MAX_SPAD = 4096
+# candidate lists.  Dense scenes (dolphin, 28.8k) are covered too since the
+# lists became distance-CAPPED with an exact horizon fallback: each cell
+# keeps only its nearest <= cand_len candidates plus the lower-bound
+# distance of the first dropped one; the kernel continues into the sorted
+# chunk walk only when some ray's best hit is still beyond that horizon.
+# The prepass is tile-batched (lax.map) so its (TB, S) working set stays
+# bounded regardless of scene size.
+CAND_MAX_SPAD = 32768
 
 
 def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
@@ -161,7 +164,11 @@ def _segment_ids(
     """Shared compaction core: per-(tile, wedge) passing segment ids.
 
     Returns (ids (W, T, L) int32, counts (W, T) int32 capped at
-    cand_len + 1, lbs (W, T, L) f32 conservative lower-bound distances).
+    cand_len + 1, lbs (W, T, L) f32 conservative lower-bound distances —
+    (W, T, L + 1) for order == "dist", whose extra slot holds the HORIZON:
+    the lower bound of the first candidate that did NOT fit the list (1e30
+    when nothing was dropped).  Every dropped segment has lb >= horizon, so
+    a kernel whose worst per-ray best hit is <= horizon needs no fallback.
 
     ``order``: "id" sorts slots by ascending global id (slot-order ties
     == the JAX argmin's global-id tie-break); "dist" sorts by ascending
@@ -174,6 +181,7 @@ def _segment_ids(
         width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w, tile_h,
         px_start, diffusion_save,
     )
+    n_tiles = tiles_x * tiles_y
 
     # --- segment bounding circles from the intersection constants ---
     p0x = consts[:, dev.CONST_P0X]
@@ -188,61 +196,93 @@ def _segment_ids(
     # hits there — the cull must stay conservative with respect to it.
     sr = 0.5 * jnp.sqrt(ex * ex + ey * ey) + consts[:, dev.CONST_BAND]
 
-    # --- cone test, same math as the kernel's chunk_lb (trace_pallas.py) ---
-    dcx = mx[None, :] - bcx[:, None]  # (T, S)
-    dcy = my[None, :] - bcy[:, None]
-    dist = jnp.sqrt(dcx * dcx + dcy * dcy)
-    inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
-    reach = sr[None, :] + br[:, None]
-    sin_chw = jnp.clip(reach * inv_dist, 0.0, 1.0)
-    cos_chw = jnp.sqrt(jnp.maximum(1.0 - sin_chw * sin_chw, 0.0))
-    overlap = dist <= reach
-
     ccx, ccy, cos_hw, sin_hw = _wedge_dirs(rpp, sw)
-    n_wedges = ccx.shape[0]
-
-    dnx = dcx * inv_dist
-    dny = dcy * inv_dist
     iota = jnp.arange(s_pad, dtype=jnp.int32)
 
-    def one_wedge(wc):
-        """Candidate ids of every tile for ONE wedge direction — the W axis
-        is lax.map'ed so peak HBM stays at the (T, S) working set (the dense
-        (W, T, S) mask + sort of big scenes OOMed 16 GB at 1080p x 2624)."""
-        wx, wy = wc
-        cos_d = dnx * wx + dny * wy  # (T, S)
-        cos_lim = cos_hw * cos_chw - sin_hw * sin_chw
-        mask = valid[None, :] & (overlap | (cos_d >= cos_lim))
-        lb = jnp.where(mask, jnp.maximum(dist - reach, 0.0), jnp.float32(1e30))
-        if order == "dist":
-            # stable sort by lb: equal-lb ties keep ascending id
-            lbs, ids = jax.lax.sort(
-                (lb, jnp.broadcast_to(iota[None, :], lb.shape)),
-                dimension=-1, num_keys=1,
-            )
-            ids = ids[..., :cand_len]
-            lbs = lbs[..., :cand_len]
-            # masked entries keep their real id through the lb sort — park
-            # them at s_pad so they hit the zero row downstream
-            ids = jnp.where(lbs < 1e30, ids, jnp.int32(s_pad))
-        else:
-            # --- compact passing ids (ascending) into fixed-L slots ---
-            key = jnp.where(mask, iota[None, :], jnp.int32(s_pad))
-            ids = jax.lax.sort(key, dimension=-1)[..., :cand_len]  # (T, L)
-            ids_safe = jnp.minimum(ids, s_pad - 1)
-            lbs = jnp.where(
-                ids < s_pad,
-                jnp.take_along_axis(lb, ids_safe, axis=-1),
-                jnp.float32(1e30),
-            )
-        # count capped at cand_len + 1: the kernel reads "count > cand_len"
-        # as the overflow signal and falls back to the full sweep.
-        count = jnp.minimum(jnp.sum(mask, axis=-1), cand_len + 1).astype(
-            jnp.int32
-        )
-        return ids, count, lbs
+    # Tile batch size: peak HBM rides a handful of (TB, S) f32 arrays, so
+    # bound TB * S at ~4M elements (dolphin 1080p: 130k cells x 28.8k
+    # segments would otherwise hold several ~1 GB intermediates live).
+    tb = max(1, min(n_tiles, (1 << 22) // max(s_pad, 1)))
+    nb = -(-n_tiles // tb)
+    pad = nb * tb - n_tiles
 
-    return jax.lax.map(one_wedge, (ccx, ccy))  # (W, T, L), (W, T), (W, T, L)
+    def pad_t(v, fill):  # park padding tiles far away (lists unused); 1e18
+        # (not 1e30) so dist = sqrt(dc^2) stays finite in f32
+        if pad:
+            v = jnp.concatenate([v, jnp.full((pad,), fill, f32)])
+        return v.reshape(nb, tb)
+
+    bcx_b = pad_t(bcx, 1e18)
+    bcy_b = pad_t(bcy, 1e18)
+    br_b = pad_t(br, 0.0)
+
+    def one_batch(args):
+        bcx, bcy, br = args  # (TB,)
+        # --- cone test, same math as the kernel's chunk_lb ---
+        dcx = mx[None, :] - bcx[:, None]  # (TB, S)
+        dcy = my[None, :] - bcy[:, None]
+        dist = jnp.sqrt(dcx * dcx + dcy * dcy)
+        inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
+        reach = sr[None, :] + br[:, None]
+        sin_chw = jnp.clip(reach * inv_dist, 0.0, 1.0)
+        cos_chw = jnp.sqrt(jnp.maximum(1.0 - sin_chw * sin_chw, 0.0))
+        overlap = dist <= reach
+        dnx = dcx * inv_dist
+        dny = dcy * inv_dist
+
+        def one_wedge(wc):
+            """Candidate ids of every batch tile for ONE wedge direction —
+            the W axis is lax.map'ed so peak HBM stays at the (TB, S)
+            working set."""
+            wx, wy = wc
+            cos_d = dnx * wx + dny * wy  # (TB, S)
+            cos_lim = cos_hw * cos_chw - sin_hw * sin_chw
+            mask = valid[None, :] & (overlap | (cos_d >= cos_lim))
+            lb = jnp.where(
+                mask, jnp.maximum(dist - reach, 0.0), jnp.float32(1e30)
+            )
+            if order == "dist":
+                # stable sort by lb: equal-lb ties keep ascending id
+                lbs, ids = jax.lax.sort(
+                    (lb, jnp.broadcast_to(iota[None, :], lb.shape)),
+                    dimension=-1, num_keys=1,
+                )
+                if s_pad > cand_len:
+                    horizon = lbs[..., cand_len : cand_len + 1]
+                else:
+                    horizon = jnp.full(lbs.shape[:-1] + (1,), 1e30, f32)
+                ids = ids[..., :cand_len]
+                lbs = lbs[..., :cand_len]
+                # masked entries keep their real id through the lb sort —
+                # park them at s_pad so they hit the zero row downstream
+                ids = jnp.where(lbs < 1e30, ids, jnp.int32(s_pad))
+                lbs = jnp.concatenate([lbs, horizon], axis=-1)  # (TB, L+1)
+            else:
+                # --- compact passing ids (ascending) into fixed-L slots ---
+                key = jnp.where(mask, iota[None, :], jnp.int32(s_pad))
+                ids = jax.lax.sort(key, dimension=-1)[..., :cand_len]
+                ids_safe = jnp.minimum(ids, s_pad - 1)
+                lbs = jnp.where(
+                    ids < s_pad,
+                    jnp.take_along_axis(lb, ids_safe, axis=-1),
+                    jnp.float32(1e30),
+                )
+            # count capped at cand_len + 1: the kernel reads
+            # "count > cand_len" as the candidates-were-dropped signal.
+            count = jnp.minimum(jnp.sum(mask, axis=-1), cand_len + 1).astype(
+                jnp.int32
+            )
+            return ids, count, lbs
+
+        return jax.lax.map(one_wedge, (ccx, ccy))  # (W, TB, ...)
+
+    ids, count, lbs = jax.lax.map(one_batch, (bcx_b, bcy_b, br_b))
+    # (nb, W, TB, ...) -> (W, T, ...)
+    n_wedges = ccx.shape[0]
+    ids = jnp.moveaxis(ids, 0, 1).reshape(n_wedges, nb * tb, -1)[:, :n_tiles]
+    count = jnp.moveaxis(count, 0, 1).reshape(n_wedges, nb * tb)[:, :n_tiles]
+    lbs = jnp.moveaxis(lbs, 0, 1).reshape(n_wedges, nb * tb, -1)[:, :n_tiles]
+    return ids, count, lbs
 
 
 def segment_candidates(
@@ -313,7 +353,8 @@ def segment_candidates_t(
     Returns (consts_t (T, W, TC_ROWS, L) f32,
              shade_hl (T, W, 2*G8, L) bf16   [None if not with_shade],
              counts (T, W, 1) int32,
-             lbs (T, W, L) f32               [None unless order == "dist"])
+             lbs (T, W, L + 1) f32           [None unless order == "dist";
+             slot L is the HORIZON — see _segment_ids])
     where G8 = len(used_rows) padded to a multiple of 8 and shade_hl stacks
     bf16 high halves over bf16 f32-residuals (the same hi/lo one-hot-matmul
     gather precision as the global shade table, ~2^-17 relative).

@@ -72,6 +72,11 @@ WEDGE_SAMPLES = 16
 WEDGE_SAMPLES_MULTICHUNK = 4
 # Pixel tile width; tile height is PXB / TILE_W.
 TILE_W = 16
+# Scenes beyond this many padded sub-segments cap rays_per_block at 1024
+# (_choose_block dense): tighter origin circles shorten candidate lists AND
+# tighten the per-block worst-t early exit — measured 7.2 -> 4.1 s on
+# dolphin 1080p x 64 rpp, far above the extra program-entry cost.
+DENSE_SPAD = 4096
 
 # Perf-debug knob: truncate the kernel after a stage ("raygen",
 # "intersect", "gather", "shade") to attribute frame time; None = full
@@ -481,7 +486,11 @@ def _trace_kernel(
                 # beyond-CAND_MAX_SPAD scenes, and as the overflow fallback
                 # for candidate-list cells (vs round 2's first cut: a loop
                 # over EVERY chunk, which dominated lady_bug's frame).
-                def _chunk_walk():
+                def _chunk_walk(st0=None):
+                    # ``st0``: seed state — the capped-candidate-list walk's
+                    # result continues into the chunk walk (re-sweeping a
+                    # listed segment is an idempotent min), so the early
+                    # exit starts tight.
                     count = ccnt_ref[0, pid_w, 0]
 
                     def walk_cond(state):
@@ -503,7 +512,8 @@ def _trace_kernel(
                         return i + 1, st
 
                     _, st = jax.lax.while_loop(
-                        walk_cond, walk_body, (jnp.int32(0), far_state())
+                        walk_cond, walk_body,
+                        (jnp.int32(0), far_state() if st0 is None else st0),
                     )
                     return st
 
@@ -548,7 +558,9 @@ def _trace_kernel(
                         return jnp.minimum(pks[0], g_b), jnp.minimum(pks[1], g_s)
 
                     far8 = jnp.full((8, R), _FAR_PACKED, jnp.int32)
-                    n_groups = (cnt + 7) >> 3
+                    # capped lists (cnt can read cand_len + 1 = "dropped")
+                    # walk at most the cand_len slots that exist
+                    n_groups = (jnp.minimum(cnt, cand_len) + 7) >> 3
                     if slot_mode:
                         pk8_b, pk8_s = jax.lax.fori_loop(
                             0, n_groups, group, (far8, far8)
@@ -620,17 +632,6 @@ def _trace_kernel(
                     pk_s, ch_s = remap(pk_s)
                     return (pk_b, ch_b, pk_s, ch_s)
 
-                def _full_branch():
-                    if use_chunk_lists:
-                        # overflowed cell: sorted chunk walk with closest-
-                        # hit early exit (NOT a loop over every chunk).
-                        return _chunk_walk()
-                    if n_chunks > 1:
-                        return jax.lax.fori_loop(
-                            0, n_chunks, intersect_chunk, far_state()
-                        )
-                    return intersect_chunk(jnp.int32(0), far_state())
-
                 if cand_len >= s_pad or slot_mode:
                     # Overflow impossible — lists hold every segment, or the
                     # caller certified max count <= cand_len (slot_mode) —
@@ -638,8 +639,30 @@ def _trace_kernel(
                     # wedge even on the untaken side).
                     sweep_st = _cand_branch()
                 else:
-                    overflowed = cnt > cand_len
-                    sweep_st = jax.lax.cond(overflowed, _full_branch, _cand_branch)
+                    # Capped distance-sorted list + exact HORIZON fallback:
+                    # ALWAYS walk the (truncated) list first — its nearest-
+                    # <= cand_len candidates resolve most rays — then
+                    # continue into the sorted chunk walk, seeded with the
+                    # list's state, only when candidates were dropped
+                    # (cnt > cand_len) AND the first dropped candidate's
+                    # lower bound (the horizon, lbs slot cand_len) still
+                    # beats some ray's current best hit.  Every dropped
+                    # segment has lb >= horizon, so horizon >= worst means
+                    # no dropped segment can win — the fallback is exact.
+                    # (Round 2 sent overflowed cells straight to the chunk
+                    # walk; on lady_bug 1080p that walk was ~70% of the
+                    # frame.)
+                    st0 = _cand_branch()
+                    bt_up = jax.lax.bitcast_convert_type(
+                        (st0[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                    )
+                    worst = jnp.max(bt_up) * jnp.float32(1.00001)
+                    need = (cnt > cand_len) & (
+                        cslb_ref[0, pid_w, cand_len] < worst
+                    )
+                    sweep_st = jax.lax.cond(
+                        need, _chunk_walk, lambda s: s, st0
+                    )
             elif n_chunks == 1:
                 sweep_st = intersect_chunk(0, far_state())
             elif use_chunk_lists and _bounce == 0:
@@ -1212,7 +1235,7 @@ def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
     R, pxb, sw, n_wedges = _choose_block(
         config.rays_per_pixel, config.rays_per_block,
         multi_chunk=scene.s_pad > SEG_CHUNK,
-        dense=scene.s_pad > cand_mod.CAND_MAX_SPAD,
+        dense=scene.s_pad > DENSE_SPAD,
     )
     # Tiled pixel coverage requires whole row bands (the sharded path always
     # passes them).
@@ -1561,11 +1584,13 @@ def trace_sums_flat(
             # per-slot lower-bound distances (SMEM, like the chunk lists'
             # clbs): slots arrive distance-sorted, so the sweep while-loop
             # stops at the first 8-slot group whose min lb exceeds the
-            # block's worst current closest hit
+            # block's worst current closest hit.  Slot cand_len is the
+            # HORIZON (first dropped candidate's lb) gating the seeded
+            # chunk-walk fallback.
             operands.append(clbslots)
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n_wedges, cand_len), lambda g: (g, 0, 0),
+                    (1, n_wedges, cand_len + 1), lambda g: (g, 0, 0),
                     memory_space=pltpu.SMEM,
                 )
             )

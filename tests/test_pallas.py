@@ -226,3 +226,84 @@ def test_hoisted_cand_tables_match_inline(ref_xml_dir):
                 cand_tables=narrowed, gather_len=mx,
             )
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c), err_msg=xml)
+
+
+@pytest.mark.slow
+def test_parity_capped_candidate_lists_overflow():
+    """Dense-scene path: s_pad > 128 forces CAPPED distance-sorted candidate
+    lists (cand_len = 128 slots); half-plane wedges (rpp=8 -> 2 wedges) make
+    most cells see far more than 128 segments, so the kernel must walk the
+    truncated list and continue into the HORIZON-gated seeded chunk walk.
+    Parity against the brute-force JAX path proves the fallback is exact."""
+    from raytracingdiffusioncurves_tpu.ops import candidates as cm
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+
+    # (a) chaotic scene (40 random-walk curves, junctions everywhere): the
+    # capped-list path must be BIT-IDENTICAL to the full sweep — the accel
+    # structure may not change a single winner.  (JAX-vs-Pallas parity is
+    # not asserted here: random crossing curves make quantized-key junction
+    # ties common, a tolerated cross-path difference class.)
+    rng = np.random.RandomState(7)
+    curves = []
+    for i in range(40):
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > 128  # capped, non-slot lists
+    tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
+    assert tables is not None and len(tables) == 6  # seg lists + chunk lists
+    counts = np.asarray(tables[1])
+    assert counts.max() > 128, "test premise: some cell must overflow"
+    lbs = np.asarray(tables[2])
+    assert lbs.shape[-1] == 129  # cand_len slots + horizon
+    assert (lbs[..., -1] < 1e30).any()  # some real horizons recorded
+
+    img_p, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    tp._DISABLE_CAND = True
+    try:
+        img_f, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._DISABLE_CAND = False
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_f))
+    # hoisted tables == inline prepass, bit for bit
+    img_h, _ = rtdc.trace_image(
+        dev, rtdc.Camera(), cfg, backend="pallas", cand_tables=tables
+    )
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_h))
+
+    # (b) non-crossing strands (junction ties confined to same-color
+    # adjacent segments): JAX-vs-Pallas parity through the capped path.
+    strands = [
+        simple_curve(
+            [(4 + 1.4 * i, 2), (4 + 1.4 * i, 22), (4 + 1.4 * i, 42),
+             (4 + 1.4 * i, 62)],
+            left=[(0, f"{(i * 37) % 256},{(i * 91) % 256},200"),
+                  (30, f"{(i * 37) % 256},{(i * 91) % 256},200")],
+            right=[(0, f"200,{(i * 53) % 256},{(i * 17) % 256}"),
+                   (30, f"200,{(i * 53) % 256},{(i * 17) % 256}")],
+        )
+        for i in range(40)
+    ]
+    scene2 = rtdc.load_scene_from_string(make_scene_xml(strands))
+    dev2 = rtdc.build_device_scene(scene2, flatten_subdivisions=8)
+    assert dev2.s_pad > 128
+    t2 = tp.build_cand_tables(dev2, rtdc.Camera(), cfg)
+    assert np.asarray(t2[1]).max() > 128  # overflow here too
+    img_j2, bm_j2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="jax")
+    img_p2, bm_p2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="pallas")
+    # near-vertical rays run almost parallel to the strands, so a couple of
+    # grazing-tie pixels may flip winners between the paths (frac covers
+    # ~2 pixels of 64^2; the structural assertion is the bitwise (a) part)
+    assert_parity(
+        (np.asarray(img_j2), np.asarray(bm_j2)),
+        (np.asarray(img_p2), np.asarray(bm_p2)),
+        frac=5e-4,
+    )
