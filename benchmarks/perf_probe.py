@@ -322,6 +322,38 @@ PROBES = {
         f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, wedge_samples=16,
         label="h_arch1024_128_sw16",
     ),
+    # sw x rays_per_block combos: wider wedges halve sweep instances (total
+    # swept rows/pixel ~ W * 8 while counts stay <= 8) but shrink pxb at
+    # fixed R — bigger blocks restore the program count.
+    "h_sw8rb8k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, wedge_samples=8,
+        rays_per_block=8192, label="h_arch1024_128_sw8rb8k",
+    ),
+    "h_sw8rb16k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, wedge_samples=8,
+        rays_per_block=16384, label="h_arch1024_128_sw8rb16k",
+    ),
+    "h_sw16rb16k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, wedge_samples=16,
+        rays_per_block=16384, label="h_arch1024_128_sw16rb16k",
+    ),
+    # dense-scene rerun with capped lists + horizon fallback (round 3)
+    "lb1080_h2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, label="lb1080_256_h2",
+    ),
+    "dol1080_h2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, label="dol1080_64_h2",
+    ),
+    "dol1080_h2_rb2k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, rays_per_block=2048, label="dol1080_64_h2_rb2k",
+    ),
+    "dol1080_h2_sw2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, wedge_samples=2, label="dol1080_64_h2_sw2",
+    ),
 }
 
 

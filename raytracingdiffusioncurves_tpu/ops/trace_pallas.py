@@ -579,12 +579,14 @@ def _trace_kernel(
                         def walk_cond(st):
                             g, pk8b, pk8s = st
                             best = jnp.min(pk8s, axis=0, keepdims=True)
+                            # bitcast the VECTOR then reduce — Mosaic rejects
+                            # scalar tpu.bitcast (i32 -> f32); positive-float
+                            # bit patterns are monotone so max commutes.
                             bt_up = jax.lax.bitcast_convert_type(
-                                (jnp.max(best) & _KEY_MASK)
-                                + np.int32(1 << ID_BITS),
+                                (best & _KEY_MASK) + np.int32(1 << ID_BITS),
                                 f32,
                             )
-                            worst = bt_up * jnp.float32(1.00001)
+                            worst = jnp.max(bt_up) * jnp.float32(1.00001)
                             return (g < n_groups) & (
                                 cslb_ref[0, pid_w, g * 8] < worst
                             )
