@@ -106,13 +106,16 @@ def trace_sums_flat(
     backend: str = "auto",
     cand_tables=None,
     gather_len: int | None = None,
+    cheap_prepass: bool = False,
 ):
     """Trace pixels [px_start, px_start + n_px) of the scene's pixel grid.
     Returns flat (color_sum (n_px, 3), weight_sum (n_px,), blur_sum (n_px,)).
     This is the sharding primitive: each chip traces its own pixel range.
     ``cand_tables``: precomputed camera-dependent acceleration tables
     (build_cand_tables) — camera-static callers hoist the per-frame prepass
-    (Pallas backend only; the JAX path is the brute-force oracle)."""
+    (Pallas backend only; the JAX path is the brute-force oracle).
+    ``cheap_prepass``: moving-camera callers accept a cheaper in-frame accel
+    build whose output may differ from the hoisted graph by rounding ulps."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     if backend == "pallas":
@@ -121,6 +124,7 @@ def trace_sums_flat(
         return trace_pallas.trace_sums_flat(
             scene, camera, config, frame, px_start, n_px,
             cand_tables=cand_tables, gather_len=gather_len,
+            cheap_prepass=cheap_prepass,
         )
     return _trace_sums_jax_flat(scene, camera, config, frame, px_start, n_px)
 
@@ -307,9 +311,11 @@ def render_frame_progressive(
     Returns (image, next FrameState, next ProgressiveState).
     """
     h, w = scene.height, scene.width
+    # Progressive callers re-render under a moving camera, so the in-frame
+    # accel build runs every frame: take the cheap (global-gather) variant.
     csum, wsum, bsum = trace_sums_flat(
         scene, camera, config, state.frame, 0, h * w, backend, cand_tables,
-        gather_len,
+        gather_len, cheap_prepass=True,
     )
     keep = 1.0 - jnp.asarray(reset, jnp.float32)
     csum = csum.reshape(h, w, 3) + prog.color_sum * keep

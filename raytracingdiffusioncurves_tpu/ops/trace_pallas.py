@@ -121,6 +121,11 @@ _TILED_REDUCE = True
 # strict-fallback gather.  Attribution only — output is WRONG at silhouettes.
 _EXACT_ABLATE = None
 
+# In-frame (non-hoisted) prepasses build the per-cell slot shade table only
+# when at least this many wedges will gather from it; below the threshold
+# the global-gather path wins (see trace_sums_flat).
+_SLOT_INFRAME_MIN_W = 8
+
 
 def _choose_block(
     rpp: int, rays_per_block: int, multi_chunk: bool = False,
@@ -210,9 +215,11 @@ def _trace_kernel(
         tconsts_ref = refs.pop(0)
         tshade_ref = refs.pop(0) if slot_mode else None
         ccand_ref = refs.pop(0)
-        # non-slot: per-slot lower-bound distances (1, W, L) SMEM —
-        # slots are distance-sorted, enabling the sweep's early exit
-        cslb_ref = None if slot_mode else refs.pop(0)
+        # capped non-slot lists only: per-slot lower-bound distances
+        # (1, W, L + 1) SMEM — slots are distance-sorted, enabling the
+        # sweep's early exit and the horizon fallback
+        capped = s_pad > (1 << ID_BITS)
+        cslb_ref = refs.pop(0) if (capped and not slot_mode) else None
     ck_scratch = refs.pop()  # (sc, 8) f32 chunk slot-major scratch
     if use_chunk_lists:
         cids_ref, clbs_ref, ccnt_ref = refs[:3]
@@ -561,7 +568,7 @@ def _trace_kernel(
                     # capped lists (cnt can read cand_len + 1 = "dropped")
                     # walk at most the cand_len slots that exist
                     n_groups = (jnp.minimum(cnt, cand_len) + 7) >> 3
-                    if slot_mode:
+                    if slot_mode or cand_len >= s_pad:
                         pk8_b, pk8_s = jax.lax.fori_loop(
                             0, n_groups, group, (far8, far8)
                         )
@@ -835,14 +842,14 @@ def _trace_kernel(
             else:
                 gather = gather_global
 
-            def eval_winner(bi, hitv, fb=False):
-                """Gather + exact chord recompute + Newton for one winner
-                chain.  Returns (acc, tau, t_ref, dbx, dby, conv, strict,
-                t_chord); ``hitv`` only guards Newton's t fallback input.
-                ``fb``: this is the strict-fallback chain — its winners carry
-                a guaranteed in-window crossing (chord endpoints lie on the
-                curve), so the cheap Newton refine replaces root isolation
-                (same rule as the JAX path, ops/intersect.py)."""
+            def winner_rows(bi, hitv, want_band=False):
+                """Hoisted per-winner-chain work: the one-hot MXU gather,
+                compact-row extraction (sublane relayouts) and the exact
+                chord recompute (the chunk loop ordered by an approximate
+                reciprocal).  Everything a per-wedge lax.cond branch should
+                not contain stays here; the Newton / root-isolation
+                arithmetic consuming it can then sit inside a branch.
+                ``hitv`` only guards Newton's t fallback input."""
                 acc = gather(bi)
 
                 def ga(row):
@@ -850,8 +857,6 @@ def _trace_kernel(
                         row = rmap[row]
                     return unflat(acc[row : row + 1, :])
 
-                # Recompute exact chord t, s from the gathered consts — the
-                # chunk loop used an approximate reciprocal for speed.
                 gex = ga(dev.SHADE_COLS + dev.CONST_EX)
                 gey = ga(dev.SHADE_COLS + dev.CONST_EY)
                 gc1 = ga(dev.SHADE_COLS + dev.CONST_C1)
@@ -861,20 +866,77 @@ def _trace_kernel(
                 ginv = jnp.where(gdenom == 0.0, 0.0, 1.0 / gdenom)
                 gnum_t = gc1 - ox * gey + oy * gex
                 gnum_s = dy * gp0x - dx * gp0y + (oy * dx - ox * dy)
-                t_chord = jnp.where(hitv, gnum_t * ginv, 1.0)
                 s_chord = jnp.clip(gnum_s * ginv, 0.0, 1.0)
-
-                # Newton-refine onto the exact cubic (ops/refine.py): kills
-                # flattening facets under zoom and gives the exact normal.
                 gt0 = ga(dev.ALLT_T0)
                 gdt = ga(dev.ALLT_DT)
-                cx = tuple(ga(dev.ALLT_SRC_CTRL + 2 * i) for i in range(4))
-                cy = tuple(ga(dev.ALLT_SRC_CTRL + 2 * i + 1) for i in range(4))
-                tau0 = gt0 + s_chord * gdt
-                if exact and (fb or _EXACT_ABLATE == "legacy_refine"):
-                    tau, t_ref, _, _, dbx, dby = refine.refine_hit(
-                        cx, cy, tau0, ox, oy, dx, dy, t_chord, min_hit
-                    )
+                return {
+                    "acc": acc,
+                    "gex": gex,
+                    "gey": gey,
+                    "gdenom": gdenom,
+                    "gnum_t": gnum_t,
+                    "gnum_s": gnum_s,
+                    "t_chord": jnp.where(hitv, gnum_t * ginv, 1.0),
+                    "gt0": gt0,
+                    "gdt": gdt,
+                    "cx": tuple(
+                        ga(dev.ALLT_SRC_CTRL + 2 * i) for i in range(4)
+                    ),
+                    "cy": tuple(
+                        ga(dev.ALLT_SRC_CTRL + 2 * i + 1) for i in range(4)
+                    ),
+                    "tau0": gt0 + s_chord * gdt,
+                    "band": ga(dev.ALLT_BAND) if want_band else None,
+                }
+
+            def newton(rw):
+                # Newton-refine onto the exact cubic (ops/refine.py): kills
+                # flattening facets under zoom and gives the exact normal.
+                return refine.refine_hit(
+                    rw["cx"], rw["cy"], rw["tau0"], ox, oy, dx, dy,
+                    rw["t_chord"], min_hit,
+                )
+
+            def band_margin(rw):
+                # Window margin = the parameter reach of the capsule band
+                # around this chord (see refine_hit_exact): adjacent-window
+                # ordering ties then resolve to the same crossing in both
+                # backends.
+                chord = jnp.sqrt(rw["gex"] * rw["gex"] + rw["gey"] * rw["gey"])
+                return jnp.clip(
+                    refine.MARGIN_SCALE * rw["band"] * rw["gdt"]
+                    / jnp.maximum(chord, 1e-9),
+                    0.0,
+                    1.0,
+                )
+
+            def strict_accept(rw):
+                # The band winner also passes the STRICT window test.
+                return (
+                    rw["gnum_s"] * (rw["gdenom"] - rw["gnum_s"]) >= 0.0
+                ) & (
+                    (rw["gnum_t"] - min_hit * rw["gdenom"]) * rw["gdenom"]
+                    > 0.0
+                )
+
+            def eval_winner(bi, hitv, fb=False):
+                """Gather + exact chord recompute + Newton for one winner
+                chain.  Returns (acc, tau, t_ref, dbx, dby, conv, strict,
+                t_chord, gt0, gdt).  ``fb``: this is the strict-fallback
+                chain — its winners carry a guaranteed in-window crossing
+                (chord endpoints lie on the curve), so the cheap Newton
+                refine replaces root isolation (same rule as the JAX path,
+                ops/intersect.py)."""
+                legacy = fb or _EXACT_ABLATE == "legacy_refine"
+                rw = winner_rows(bi, hitv, want_band=exact and not legacy)
+                acc = rw["acc"]
+                t_chord, gt0, gdt = rw["t_chord"], rw["gt0"], rw["gdt"]
+                cx, cy, tau0 = rw["cx"], rw["cy"], rw["tau0"]
+                gnum_s, gnum_t, gdenom = (
+                    rw["gnum_s"], rw["gnum_t"], rw["gdenom"],
+                )
+                if exact and legacy:
+                    tau, t_ref, _, _, dbx, dby = newton(rw)
                     ones_b = jnp.ones(RSHP, jnp.bool_)
                     conv = strict = ones_b
                 elif exact:
@@ -889,21 +951,8 @@ def _trace_kernel(
                     # are hoisted OUT of the cond: its branches are pure
                     # refine arithmetic (gathers/relayouts inside a traced
                     # branch crash this Mosaic).
-                    tau_n, t_n, _, _, dbx_n, dby_n = refine.refine_hit(
-                        cx, cy, tau0, ox, oy, dx, dy, t_chord, min_hit
-                    )
-                    # Window margin = the parameter reach of the capsule
-                    # band around this chord (see refine_hit_exact):
-                    # adjacent-window ordering ties then resolve to the
-                    # same crossing in both backends.
-                    band = ga(dev.ALLT_BAND)
-                    chord = jnp.sqrt(gex * gex + gey * gey)
-                    margin = jnp.clip(
-                        refine.MARGIN_SCALE * band * gdt
-                        / jnp.maximum(chord, 1e-9),
-                        0.0,
-                        1.0,
-                    )
+                    tau_n, t_n, _, _, dbx_n, dby_n = newton(rw)
+                    margin = band_margin(rw)
 
                     def _iso():
                         tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
@@ -949,21 +998,103 @@ def _trace_kernel(
                         gt0, gdt)
 
             hit = unflat(hit32) > 0
-            ev = eval_winner(best_i, hit)
-            if exact and _EXACT_ABLATE in ("legacy_refine", "no_fallback"):
+            fused = (
+                exact
+                and _EXACT_ABLATE is None
+                and use_cand
+                and slot_mode
+                and _bounce == 0
+            )
+            if fused:
+                # --- fused graze cond (slot-mode scenes) ---
+                # Root isolation AND the strict-fallback chain can only
+                # change the output when some ray in the wedge grazes
+                # (band key != strict key): all-clean wedges have conv
+                # identically true, so no ray is ever rejected.  ONE
+                # per-wedge cond therefore covers both; clean wedges (the
+                # large majority on arch) pay only the cheap Newton and
+                # the two hoisted slot gathers.  Round 2 ran the strict
+                # chain unconditionally here (a separate use_s cond
+                # measured slower than always-evaluating); fusing it with
+                # the isolation cond removes its Newton+merge from clean
+                # wedges without adding a cond.  Gathers and relayouts
+                # stay OUTSIDE the cond; the branches are pure
+                # refine/merge arithmetic.  Output-identical to the
+                # split path (parity-pinned, tests/test_pallas.py).
+                hit_s = unflat(hit32_s) > 0
+                rw_b = winner_rows(best_i, hit, want_band=True)
+                rw_s = winner_rows(best_i_s, hit_s)
+                tau_n, t_n, _, _, dbx_n, dby_n = newton(rw_b)
+                hit_i32 = hit.astype(jnp.int32)
+
+                def _clean():
+                    return (
+                        rw_b["acc"], tau_n, t_n, dbx_n, dby_n, hit_i32,
+                        rw_b["t_chord"], rw_b["gt0"], rw_b["gdt"],
+                    )
+
+                def _graze():
+                    tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                        refine.refine_hit_exact(
+                            rw_b["cx"], rw_b["cy"], rw_b["tau0"],
+                            rw_b["gt0"], rw_b["gdt"], ox, oy, dx, dy,
+                            rw_b["t_chord"], min_hit,
+                            margin=band_margin(rw_b),
+                        )
+                    )
+                    tau_b = jnp.where(clean_ray, tau_n, tau_i)
+                    t_b = jnp.where(clean_ray, t_n, t_i)
+                    dbx_b = jnp.where(clean_ray, dbx_n, dbx_i)
+                    dby_b = jnp.where(clean_ray, dby_n, dby_i)
+                    conv = clean_ray | conv_i
+                    rejected = hit & ~(conv | strict_accept(rw_b))
+                    use_s = rejected & hit_s
+                    hit_new = (hit & ~rejected) | use_s
+                    use_f = flat(use_s.astype(jnp.int32)) > 0
+                    tau_s, t_s, _, _, dbx_s, dby_s = newton(rw_s)
+
+                    def mrg(s, b):
+                        return jnp.where(use_s, s, b)
+
+                    return (
+                        jnp.where(use_f, rw_s["acc"], rw_b["acc"]),
+                        mrg(tau_s, tau_b),
+                        mrg(t_s, t_b),
+                        mrg(dbx_s, dbx_b),
+                        mrg(dby_s, dby_b),
+                        hit_new.astype(jnp.int32),
+                        mrg(rw_s["t_chord"], rw_b["t_chord"]),
+                        mrg(rw_s["gt0"], rw_b["gt0"]),
+                        mrg(rw_s["gdt"], rw_b["gdt"]),
+                    )
+
+                acc, tau, t_ref, dbx, dby, hit_m, t_chord, gt0, gdt = (
+                    jax.lax.cond(any_graze, _graze, _clean)
+                )
+                hit = hit_m > 0
+            elif not exact:
+                ev = eval_winner(best_i, hit)
+                acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
+                    (ev[0],) + ev[1:5] + ev[7:]
+                )
+            elif _EXACT_ABLATE in ("legacy_refine", "no_fallback"):
+                ev = eval_winner(best_i, hit)
                 rejected = hit & ~(ev[5] | ev[6])
                 hit = hit & ~rejected
                 acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
                     (ev[0],) + ev[1:5] + ev[7:]
                 )
-            elif exact:
-                # A strict chord hit is a guaranteed crossing (chord
-                # endpoints lie on the curve: s in (0,1) means F changes
-                # sign across the window); band-only candidates need
-                # Newton's residual to converge on one.  Rays whose band
-                # winner is rejected fall back to the STRICT winner — the
-                # block pays the second gather only when some ray needs it
-                # (same decision rule as the JAX path, ops/intersect.py).
+            else:
+                # Split path (global-gather scenes and the fb_nocond /
+                # iso_nocond probes).  A strict chord hit is a guaranteed
+                # crossing (chord endpoints lie on the curve: s in (0,1)
+                # means F changes sign across the window); band-only
+                # candidates need Newton's residual to converge on one.
+                # Rays whose band winner is rejected fall back to the
+                # STRICT winner — the block pays the second gather only
+                # when some ray needs it (same decision rule as the JAX
+                # path, ops/intersect.py).
+                ev = eval_winner(best_i, hit)
                 rejected = hit & ~(ev[5] | ev[6])
                 hit_s = unflat(hit32_s) > 0
                 use_s = rejected & hit_s
@@ -1005,10 +1136,6 @@ def _trace_kernel(
                             jnp.any(use_s), _with_fallback, _no_fallback
                         )
                     )
-            else:
-                acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
-                    (ev[0],) + ev[1:5] + ev[7:]
-                )
             if _ABLATE_STAGE == "gather":
                 return jnp.zeros((8, R), f32) + acc[:8]
 
@@ -1382,7 +1509,10 @@ def trace_sums(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "n_px", "interpret", "gather_len")
+    jax.jit,
+    static_argnames=(
+        "config", "n_px", "interpret", "gather_len", "cheap_prepass"
+    ),
 )
 def trace_sums_flat(
     scene: dev.DeviceScene,
@@ -1394,6 +1524,7 @@ def trace_sums_flat(
     interpret: bool | None = None,
     cand_tables=None,
     gather_len: int | None = None,
+    cheap_prepass: bool = False,
 ):
     """Trace pixels [px_start, px_start + n_px) of the scene's pixel grid;
     returns flat (color_sum (n_px, 3), weight_sum (n_px,), blur_sum (n_px,)).
@@ -1446,6 +1577,25 @@ def trace_sums_flat(
     # scenes ship chunk lists alongside the segment lists.
     cand_len = min(scene.s_pad, 1 << ID_BITS)
     slot_mode = use_cand and cand_len >= scene.s_pad
+    # ``cheap_prepass`` (progressive/interactive callers whose camera moves
+    # every frame): building the per-cell slot shade table in the in-frame
+    # prepass costs far more than the handful of global winner gathers it
+    # replaces when wedges are few (config4 interactive regressed 43 -> 67
+    # ms/frame when the slot tables landed) — drop to global-gather full
+    # lists, id-ordered so tie-breaks stay the JAX argmin's.  Opt-in only:
+    # the demoted kernel is a different compiled graph, so its output can
+    # differ from the hoisted/slot graph by FMA-contraction ulps — the
+    # default in-frame path stays bit-identical to hoisted tables
+    # (tests/test_pallas.py::test_hoisted_cand_tables_match_inline).
+    # High-wedge frames keep slot mode either way: at 32 wedges the global
+    # one-hot chains were the largest round-2 cost.
+    if (
+        cheap_prepass
+        and cand_tables is None
+        and slot_mode
+        and n_wedges < _SLOT_INFRAME_MIN_W
+    ):
+        slot_mode = False
     use_chunk_lists = n_chunks > 1 and (not use_cand or cand_len < scene.s_pad)
     if _DISABLE_CAND:
         use_cand = use_chunk_lists = slot_mode = False
@@ -1553,7 +1703,10 @@ def trace_sums_flat(
                 config.diffusion_curve_save,
                 cand_len=cand_len,
                 with_shade=slot_mode,
-                order="id" if slot_mode else "dist",
+                # Uncapped lists (cand_len >= s_pad) never need the
+                # distance sort: the walk covers every slot, and id order
+                # keeps slot ties == global-id ties == the JAX argmin's.
+                order="id" if cand_len >= scene.s_pad else "dist",
             )
         if slot_mode and tshade.shape[-1] != gl:
             # narrow the slot-gather table to the certified width (callers
@@ -1582,13 +1735,14 @@ def trace_sums_flat(
                 memory_space=pltpu.SMEM,
             )
         )
-        if not slot_mode:
+        if not slot_mode and cand_len < scene.s_pad:
             # per-slot lower-bound distances (SMEM, like the chunk lists'
             # clbs): slots arrive distance-sorted, so the sweep while-loop
             # stops at the first 8-slot group whose min lb exceeds the
             # block's worst current closest hit.  Slot cand_len is the
             # HORIZON (first dropped candidate's lb) gating the seeded
-            # chunk-walk fallback.
+            # chunk-walk fallback.  Uncapped non-slot lists (the in-frame
+            # low-wedge path) carry no lbs: the walk covers every slot.
             operands.append(clbslots)
             in_specs.append(
                 pl.BlockSpec(

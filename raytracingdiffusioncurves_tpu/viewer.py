@@ -92,6 +92,16 @@ class InteractiveSession:
 
     def _accel_tables(self):
         if self.camera != self._cand_camera:
+            # Camera MOVING: skip the hoisted accel build this frame — the
+            # progressive trace runs its own cheap in-frame prepass
+            # (trace_sums_flat cheap_prepass), one dispatch instead of two.
+            # Non-progressive sessions keep the hoisted build (their inline
+            # prepass is the expensive slot build anyway).
+            self._cand_camera = self.camera
+            self._cand_tables = None
+            if self.progressive:
+                return None
+        if self._cand_tables is None:
             import jax as _jax
 
             if _jax.default_backend() == "tpu" or self.backend == "pallas":
@@ -100,7 +110,6 @@ class InteractiveSession:
                 self._cand_tables = trace_pallas.build_cand_tables(
                     self.scene, self.camera, self.config
                 )
-            self._cand_camera = self.camera
         return self._cand_tables
 
     def render(self) -> jax.Array:
