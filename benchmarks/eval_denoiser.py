@@ -41,7 +41,7 @@ def main():
 
     val = dict(np.load(args.val))
     params = dn.load_params(args.weights)
-    model = dn.DenoiserNet()
+    model = dn.net_for_params(params)
 
     rows = {"noisy": [], "analytic": [], "cnn": []}
     for i in range(val["noisy"].shape[0]):

@@ -63,6 +63,21 @@ def ref_img(cap, size=None):
     return np.asarray(im, np.float64) / 255.0
 
 
+def trained_params():
+    """The shipped CNN weights (weights/denoiser*.msgpack, newest first), or
+    None to fall back to the analytic temporal pass."""
+    from raytracingdiffusioncurves_tpu.models import denoiser as dn
+
+    root = os.path.join(os.path.dirname(__file__), "..", "weights")
+    cands = sorted(
+        (p for p in (os.path.join(root, n) for n in
+                     ("denoiser_r3.msgpack", "denoiser.msgpack"))
+         if os.path.exists(p)),
+        key=lambda p: -os.path.getmtime(p),
+    )
+    return dn.load_params(cands[0]) if cands else None
+
+
 def our_render(scene_path, cam, size=512, rpp=128, blur=True, denoise=False,
                seed=0, suppress_endcaps=False, frames=2):
     scene = rtdc.load_scene(
@@ -73,11 +88,16 @@ def our_render(scene_path, cam, size=512, rpp=128, blur=True, denoise=False,
     cfg = rtdc.RenderConfig(
         rays_per_pixel=rpp, use_blur=blur, use_denoiser=denoise, seed=seed
     )
+    dnp = trained_params() if denoise else None
     state = rtdc.init_frame_state(size, size)
-    img, state = rtdc.render_frame(dev, cam, state, cfg, backend=backend())
+    img, state = rtdc.render_frame(
+        dev, cam, state, cfg, backend=backend(), denoiser_params=dnp
+    )
     if denoise:
         for _ in range(frames - 1):  # activate the temporal history
-            img, state = rtdc.render_frame(dev, cam, state, cfg, backend=backend())
+            img, state = rtdc.render_frame(
+                dev, cam, state, cfg, backend=backend(), denoiser_params=dnp
+            )
     # screenshot quantization + vertical flip (glfw_events.cpp:73-81)
     return to_uint8(np.asarray(img), flip_vertical=True)[..., :3].astype(np.float64) / 255.0
 
@@ -246,6 +266,26 @@ def part_caps(results):
                                 rtdc.Camera(zoom512, best["off_x"], best["off_y"]),
                                 rpp=128, blur=False, seed=1)), 2
     )
+
+    # gradient128Denoise.jpg: the same view through the reference's OptiX
+    # temporal denoiser (optixHello.cpp:1199-1213) — compare our denoised
+    # render (trained CNN if weights are shipped, else the analytic temporal
+    # pass) at the camera registered above.
+    gd_path = os.path.join(CAPS, "gradient128Denoise.jpg")
+    if os.path.exists(gd_path):
+        gd = ref_img("gradient128Denoise.jpg")
+        cam_g = rtdc.Camera(zoom512, best["off_x"], best["off_y"])
+        ours_gd = our_render("arch.xml", cam_g, rpp=128, blur=False,
+                             denoise=True, frames=10)
+        rows["gradient128Denoise_vs_denoised_render"] = round(
+            psnr(ours_gd, gd), 2
+        )
+        rows["gradient128Denoise_lowpass3"] = round(
+            psnr(lowpass(ours_gd), lowpass(gd)), 2
+        )
+        rows["gradient128Denoise_jpeg_floor"] = round(
+            psnr(ours_gd, jpeg_roundtrip(ours_gd)), 2
+        )
     results["caps"] = rows
 
 

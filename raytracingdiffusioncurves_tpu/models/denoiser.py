@@ -134,12 +134,25 @@ def make_batch_from_renders(noisy_img, target_img, prev_img, blur_map, noise=0.0
 
 
 def load_params(path: str):
-    """Load trained weights (flax serialization) for apply_denoiser."""
+    """Load trained weights (flax serialization) for apply_denoiser.
+
+    Restored structurally (no fixed target), so checkpoints from any net
+    depth/width load — round 2 shipped a 28x3 net, round 3 a 32x5; pair the
+    result with ``net_for_params`` to get the matching module."""
     from flax import serialization
 
-    model, state, _ = create_train_state(jax.random.key(0), 16, 16)
     with open(path, "rb") as f:
-        return serialization.from_bytes(state.params, f.read())
+        return serialization.msgpack_restore(f.read())
+
+
+def net_for_params(params) -> "DenoiserNet":
+    """The DenoiserNet whose architecture matches a loaded checkpoint:
+    depth = hidden Conv layers, features = their channel count (the final
+    Conv_depth maps to 3 rgb channels)."""
+    layers = params["params"]
+    depth = sum(1 for k in layers if k.startswith("Conv_")) - 1
+    features = int(layers["Conv_0"]["kernel"].shape[-1])
+    return DenoiserNet(features=features, depth=depth)
 
 
 def apply_denoiser(

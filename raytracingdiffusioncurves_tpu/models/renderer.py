@@ -184,7 +184,8 @@ def _postprocess(
 
             warped = flow_ops.warp_separable(state.prev_image, state.flow)
             denoised = dn.apply_denoiser(
-                dn.DenoiserNet(), denoiser_params, image, warped, blur_map,
+                dn.net_for_params(denoiser_params), denoiser_params,
+                image, warped, blur_map,
                 mix=config.corrected_image_mix,
                 noise=dn.noise_level(config.rays_per_pixel),
                 frame=state.frame,
