@@ -26,11 +26,16 @@ XMLS = "/root/reference/optixHello/xmls"
 
 def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                rays_per_block=None, exact_ablate=None, hoist=False,
-               wedge_samples=None):
+               wedge_samples=None, cheap=False, bisect_iters=None):
+    from raytracingdiffusioncurves_tpu.ops import refine
+
     trace_pallas._ABLATE_STAGE = ablate
     trace_pallas._DISABLE_CAND = no_cand
     trace_pallas._EXACT_ABLATE = exact_ablate
     ws_saved = trace_pallas.WEDGE_SAMPLES_MULTICHUNK
+    bi_saved = refine.BISECT_ITERS
+    if bisect_iters is not None:
+        refine.BISECT_ITERS = bisect_iters
     if wedge_samples is not None:
         trace_pallas.WEDGE_SAMPLES_MULTICHUNK = wedge_samples
     try:
@@ -70,7 +75,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
             def body(i, s):
                 c, ws, b = inner(
                     dev, rtdc.Camera(1.0, off + s * 0.0, 0.0), config, i, 0, w * h,
-                    cand_tables=tabs, gather_len=gl,
+                    cand_tables=tabs, gather_len=gl, cheap_prepass=cheap,
                 )
                 return jnp.sum(c) + jnp.sum(ws) + jnp.sum(b)
 
@@ -111,6 +116,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._DISABLE_CAND = False
         trace_pallas._EXACT_ABLATE = None
         trace_pallas.WEDGE_SAMPLES_MULTICHUNK = ws_saved
+        refine.BISECT_ITERS = bi_saved
 
 
 def time_prepass(path, w, h, rpp, frames=50, label=""):
@@ -149,7 +155,97 @@ def time_prepass(path, w, h, rpp, frames=50, label=""):
     print(json.dumps({"label": label, "ms": round(ms, 2)}), flush=True)
 
 
+def time_postprocess(w, h, frames=30, label="", denoise=True, blur=True,
+                     blur_zero=True):
+    """Time the denoise+blur tail alone at (w, h) — the non-trace share of
+    the interactive frame (config4)."""
+    from raytracingdiffusioncurves_tpu.models import renderer
+
+    scene = rtdc.load_scene(f"{XMLS}/arch.xml").with_size(w, h)
+    dev = rtdc.build_device_scene(scene)
+    config = rtdc.RenderConfig(
+        rays_per_pixel=8, use_blur=blur, use_denoiser=denoise
+    )
+    state = rtdc.init_frame_state(w, h)
+
+    @jax.jit
+    def run_n(img0, bmap, n):
+        def body(i, carry):
+            img, prev = carry
+            out, nxt = renderer._postprocess(
+                img + i * 0.0, bmap, state._replace(prev_image=prev),
+                config, dev, None, None,
+            )
+            return out, nxt
+
+        return jax.lax.fori_loop(0, n, body, (img0, img0))
+
+    img0 = jnp.zeros((h, w, 4), jnp.float32) + 0.5
+    bmap = jnp.zeros((h, w), jnp.float32) + (0.0 if blur_zero else 1.5)
+    out, _ = run_n(img0, bmap, 1)
+    float(out[0, 0, 0])
+    t0 = time.perf_counter()
+    out, _ = run_n(img0, bmap, frames)
+    float(out[0, 0, 0])
+    ms = (time.perf_counter() - t0) * 1000 / frames
+    print(json.dumps({"label": label, "ms": round(ms, 2)}), flush=True)
+    return ms
+
+
 PROBES = {
+    # --- config4 decomposition (arch 1080p, 8 rpp progressive trace) ---
+    "c4_hoist": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, hoist=True,
+        label="c4_trace_hoisted",
+    ),
+    "c4_inframe_slot": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20,
+        label="c4_trace_inframe_slot",
+    ),
+    "c4_inframe_cheap": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, cheap=True,
+        label="c4_trace_inframe_cheap",
+    ),
+    "c4_post": lambda: time_postprocess(
+        1920, 1088, label="c4_postprocess_denoise_blurzero"
+    ),
+    "c4_post_noblur": lambda: time_postprocess(
+        1920, 1088, blur=False, label="c4_postprocess_denoise_only"
+    ),
+    # --- headline variants (round-3 sweep for the last few ms) ---
+    "h_rb2k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, rays_per_block=2048,
+        label="h_arch1024_128_rb2k",
+    ),
+    "h_rb1k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, rays_per_block=1024,
+        label="h_arch1024_128_rb1k",
+    ),
+    "h_iso_b3": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, bisect_iters=3,
+        label="h_arch1024_128_b3",
+    ),
+    # --- dense-scene stage split (hoisted capped lists + horizon) ---
+    "lb_entry": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate="entry", label="lb1080_256_h2",
+    ),
+    "lb_intersect": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate="intersect", label="lb1080_256_h2",
+    ),
+    "lb_gather": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate="gather", label="lb1080_256_h2",
+    ),
+    "dol_entry": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, ablate="entry", label="dol1080_64_h2",
+    ),
+    "dol_intersect": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, ablate="intersect", label="dol1080_64_h2",
+    ),
     # --- hoisted-table (production static-camera) ablation set ---
     "h_base": lambda: time_trace(
         f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, label="h_arch1024_128"

@@ -127,10 +127,13 @@ def lowpass(img01, sigma=3.0):
 
 
 def register_local(scene_path, cap_img, start, size=256, rpp=16, blur=False,
-                   rounds=((0.1, 9), (0.03, 7), (0.01, 7), (0.003, 5))):
+                   rounds=((0.1, 9), (0.03, 7), (0.01, 7), (0.003, 5)),
+                   suppress_endcaps=False):
     """Sub-pixel local camera registration by shrinking grid search around
     ``start`` = (zoom, off_x, off_y); all renders chained on device."""
-    scene = rtdc.load_scene(os.path.join(XMLS, scene_path)).with_size(size, size)
+    scene = rtdc.load_scene(
+        os.path.join(XMLS, scene_path), suppress_endcaps=suppress_endcaps
+    ).with_size(size, size)
     dev = rtdc.build_device_scene(scene)
     cfg = rtdc.RenderConfig(rays_per_pixel=rpp, use_blur=blur, use_denoiser=False,
                             max_blur_radius=4)
@@ -217,38 +220,67 @@ def part_lb(results):
 
 
 def part_caps(results):
-    """no_cap.png/cap.png are line.xml with endcaps off/on (the scene whose
-    curve carries use_endcap="true"); + gradient128AA (an offset arch.xml
-    view)."""
+    """cap.png/no_cap.png are line.xml with endcaps on/off (line is the
+    scene whose curve carries use_endcap="true"); both were captured from
+    an interactive session at unknown zoom/pan, so each is registered from
+    geometric seeds (the visible curve ENDPOINT: the black notch at the
+    left edge of no_cap, the radial fan at center of cap).
+    gradient128AA is an offset arch.xml view (seed fitted offline from the
+    dome-edge + base-fan correspondence against gradient512.png)."""
     rows = {}
-    cam = rtdc.Camera()
-    cap = ref_img("no_cap.png")
-    ours = our_render("line.xml", cam, rpp=128, blur=False,
-                      suppress_endcaps=True)
-    rows["no_cap_vs_suppressed_render"] = round(psnr(ours, cap), 2)
-    rows["no_cap_vs_suppressed_lowpass3"] = round(
-        psnr(lowpass(ours), lowpass(cap)), 2
-    )
-    withcaps = our_render("line.xml", cam, rpp=128, blur=False)
-    rows["no_cap_vs_unsuppressed_render_control"] = round(
-        psnr(withcaps, cap), 2
-    )
-    for capname in ("cap.png", "endcap.png"):
-        if os.path.exists(os.path.join(CAPS, capname)):
-            rows[f"{capname}_vs_endcap_render"] = round(
-                psnr(withcaps, ref_img(capname)), 2
-            )
 
-    # gradient128AA: arch.xml at an offset camera (the cap shows the arch's
-    # crown in the top-left quadrant).  Coarse start: arch world span is
-    # ~512 at zoom 1 for a 512 render; the cap looks shifted right+down.
+    def register_line(capname, end_world_x, end_px, suppressed):
+        cap_img = ref_img(capname)
+        best = None
+        for z in (0.5, 0.75, 1.0, 1.5):
+            # endpoint constraint: (end_px - 256) * z + off_x = end_world_x
+            # (end_world_x is already CENTERED world coordinates)
+            start = (end_world_x - (end_px[0] - 256) * z,
+                     -(end_px[1] - 256) * z)
+            reg = register_local(
+                "line.xml", cap_img, (z, start[0], start[1]), size=256,
+                rpp=16, rounds=((0.15, 7), (0.05, 7), (0.015, 5)),
+                suppress_endcaps=suppressed,
+            )
+            if best is None or reg["mse"] < best["mse"]:
+                best = reg
+        return best
+
+    # no_cap: left end (world x = 128 - 256 = -128 centered) notch at
+    # cap pixel ~(10, 255); cap: the fan sits at the RIGHT end (world
+    # +128 centered) at pixel ~(250, 255).
+    reg_nc = register_line("no_cap.png", -128.0, (10, 255), True)
+    reg_c = register_line("cap.png", 128.0, (250, 255), False)
+    for name, reg, sup in (("no_cap", reg_nc, True), ("cap", reg_c, False)):
+        z512 = reg["zoom"] * 256 / 512
+        cam = rtdc.Camera(z512, reg["off_x"], reg["off_y"])
+        ours = our_render("line.xml", cam, rpp=128, blur=False,
+                          suppress_endcaps=sup)
+        ref = ref_img(f"{name}.png")
+        rows[f"{name}_registered"] = round(psnr(ours, ref), 2)
+        rows[f"{name}_registered_lowpass3"] = round(
+            psnr(lowpass(ours), lowpass(ref)), 2
+        )
+        rows[f"{name}_registered_cam"] = {
+            "zoom_512": round(z512, 6), "off_x": round(reg["off_x"], 3),
+            "off_y": round(reg["off_y"], 3), "mse": round(reg["mse"], 6),
+        }
+        # feature check: the suppression state must matter — the same
+        # camera with the OPPOSITE cap state should score worse.
+        other = our_render("line.xml", cam, rpp=128, blur=False,
+                           suppress_endcaps=not sup)
+        rows[f"{name}_wrong_capstate_control"] = round(psnr(other, ref), 2)
+
+    # gradient128AA: arch.xml at an offset camera.  Seed from the offline
+    # correspondence fit vs gradient512.png (same view, higher rpp):
+    # zoom512 ~ 0.4, off ~ (128 + 128 s, 119 + 2 s).
     g = ref_img("gradient128AA.png")
     best = None
-    for z0, x0, y0 in [(1.0, 0.0, 0.0), (1.0, 150.0, 150.0),
-                       (0.7, 120.0, 120.0), (1.4, 200.0, 200.0)]:
-        reg = register_local("arch.xml", g, (z0 * 512 / 256, x0, y0),
-                             size=256, rpp=16,
-                             rounds=((0.3, 9), (0.1, 7), (0.03, 7), (0.01, 5)))
+    for s0 in (0.3, 0.4, 0.5):
+        start = (s0 * 2.0, 128.0 + 128.0 * s0, 119.0 + 2.0 * s0)
+        reg = register_local("arch.xml", g, start, size=256, rpp=16,
+                             rounds=((0.2, 9), (0.06, 7), (0.02, 7),
+                                     (0.007, 5)))
         if best is None or reg["mse"] < best["mse"]:
             best = reg
     zoom512 = best["zoom"] * 256 / 512

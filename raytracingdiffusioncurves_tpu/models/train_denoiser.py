@@ -212,6 +212,12 @@ def main(argv=None):
     t.add_argument("--crop", type=int, default=64)
     t.add_argument("--lr", type=float, default=2e-3)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--device", default="cpu", choices=("cpu", "auto"),
+                   help="train defaults to CPU: the model is tiny, and the "
+                   "single-client TPU tunnel must not be shared with a "
+                   "concurrently rendering process (JAX_PLATFORMS=cpu in "
+                   "the environment is overridden by the TPU bootstrap — "
+                   "only an in-process platform switch works)")
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -221,6 +227,13 @@ def main(argv=None):
             generate(VAL_SCENES, args.val_out, args.size, max(args.cams // 2, 2),
                      args.seed + 1, backend=args.backend)
     else:
+        if args.device == "cpu":
+            # NOTE: probing jax.default_backend() first would itself claim
+            # the tunneled TPU; switch unconditionally before any device use.
+            jax.config.update("jax_platforms", "cpu")
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
         train(args.data, args.val, args.out, args.steps, args.batch, args.crop,
               args.lr, args.seed)
 

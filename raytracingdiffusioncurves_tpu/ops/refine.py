@@ -111,6 +111,13 @@ NEWTON_ITERS_EXACT = 2
 # oracle (tests/test_silhouettes.py) while still covering fp-level edge ties.
 MARGIN_SCALE = 0.25
 
+# Bisection iterations per monotone interval in refine_hit_exact.  After B
+# halvings of a <= (window + 2*margin) interval the bracket is ~dt/2^B wide;
+# the two clipped Newton polish steps then converge quadratically from
+# inside it.  5 is conservative; perf probes can lower it (the deep-zoom
+# oracle test pins the accuracy floor).
+BISECT_ITERS = 5
+
 
 def refine_hit_exact(cx, cy, tau0, win0, win_dt, ox, oy, dx, dy, t_chord, min_hit,
                      margin=0.0):
@@ -201,7 +208,7 @@ def refine_hit_exact(cx, cy, tau0, win0, win_dt, ox, oy, dx, dy, t_chord, min_hi
         fhi = F(hi)
         found = (flo * fhi <= 0.0) & (hi > lo)
         a, b, fa = lo, hi, flo
-        for _ in range(5):
+        for _ in range(BISECT_ITERS):
             mid = 0.5 * (a + b)
             fm = F(mid)
             left = fa * fm <= 0.0
