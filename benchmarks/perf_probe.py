@@ -238,6 +238,34 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, ablate="gather", label="lb1080_256_h2",
     ),
+    # dense wedge-width sweep: with distance-sorted capped lists + early
+    # exit, the walk is distance-bounded, so angular cull precision matters
+    # less than the per-wedge fixed costs (W x programs instances).
+    "lb_sw8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, wedge_samples=8, label="lb1080_256_sw8",
+    ),
+    "lb_sw16": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, wedge_samples=16, label="lb1080_256_sw16",
+    ),
+    "lb_rb2k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, rays_per_block=2048, label="lb1080_256_rb2k",
+    ),
+    "lb_sw8rb2k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, wedge_samples=8, rays_per_block=2048,
+        label="lb1080_256_sw8rb2k",
+    ),
+    "dol_sw8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, wedge_samples=8, label="dol1080_64_sw8",
+    ),
+    "dol_sw16": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, wedge_samples=16, label="dol1080_64_sw16",
+    ),
     "dol_entry": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, ablate="entry", label="dol1080_64_h2",
