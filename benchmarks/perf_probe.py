@@ -206,6 +206,22 @@ PROBES = {
         f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, cheap=True,
         label="c4_trace_inframe_cheap",
     ),
+    "c4_entry": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, hoist=True,
+        ablate="entry", label="c4_trace_entry",
+    ),
+    "c4_rb8k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, hoist=True,
+        rays_per_block=8192, label="c4_trace_hoisted_rb8k",
+    ),
+    "c4_rb16k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, hoist=True,
+        rays_per_block=16384, label="c4_trace_hoisted_rb16k",
+    ),
+    "c4_cheap_rb8k": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, cheap=True,
+        rays_per_block=8192, label="c4_trace_cheap_rb8k",
+    ),
     "c4_post": lambda: time_postprocess(
         1920, 1088, label="c4_postprocess_denoise_blurzero"
     ),
