@@ -26,9 +26,12 @@ XMLS = "/root/reference/optixHello/xmls"
 
 def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                rays_per_block=None, exact_ablate=None, hoist=False,
-               wedge_samples=None, cheap=False, bisect_iters=None):
+               wedge_samples=None, cheap=False, bisect_iters=None,
+               dim_semantics=None):
     from raytracingdiffusioncurves_tpu.ops import refine
 
+    if dim_semantics is not None:
+        trace_pallas._DIM_SEMANTICS = dim_semantics
     trace_pallas._ABLATE_STAGE = ablate
     trace_pallas._DISABLE_CAND = no_cand
     trace_pallas._EXACT_ABLATE = exact_ablate
@@ -117,6 +120,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._EXACT_ABLATE = None
         trace_pallas.WEDGE_SAMPLES_MULTICHUNK = ws_saved
         refine.BISECT_ITERS = bi_saved
+        trace_pallas._DIM_SEMANTICS = "arbitrary"
 
 
 def time_prepass(path, w, h, rpp, frames=50, label=""):
@@ -236,6 +240,10 @@ PROBES = {
     "h_rb1k": lambda: time_trace(
         f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, rays_per_block=1024,
         label="h_arch1024_128_rb1k",
+    ),
+    "h_par": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True,
+        dim_semantics="parallel", label="h_arch1024_128_par",
     ),
     "h_iso_b3": lambda: time_trace(
         f"{XMLS}/arch.xml", 1024, 1024, 128, hoist=True, bisect_iters=3,

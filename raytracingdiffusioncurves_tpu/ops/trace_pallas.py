@@ -126,6 +126,12 @@ _EXACT_ABLATE = None
 # the global-gather path wins (see trace_sums_flat).
 _SLOT_INFRAME_MIN_W = 8
 
+# Grid dimension semantics for the trace kernel.  The pixel-block grid is
+# parallel-safe (disjoint output blocks, read-only inputs); "arbitrary" is
+# the conservative default, the probe harness measures "parallel" (it can
+# change Mosaic's cross-program DMA pipelining).
+_DIM_SEMANTICS = "arbitrary"
+
 
 def _choose_block(
     rpp: int, rays_per_block: int, multi_chunk: bool = False,
@@ -1798,7 +1804,7 @@ def trace_sums_flat(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(_DIM_SEMANTICS,),
         ),
     )(*operands)
 
