@@ -21,6 +21,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax  # noqa: E402
+
+# Tiny CNN eval: run on CPU so it never contends with a TPU render batch
+# (the env-var platform switch is ignored here — CLAUDE.md).
+jax.config.update("jax_platforms", "cpu")
+from jax.extend.backend import clear_backends  # noqa: E402
+
+clear_backends()
+
 import jax.numpy as jnp  # noqa: E402
 
 from raytracingdiffusioncurves_tpu.models import denoiser as dn  # noqa: E402
