@@ -33,9 +33,13 @@ def main():
     # BASELINE config #2: per-pixel randomization (AA) + blur enabled.
     # BENCH_EXACT=0 disables exact silhouettes (diagnostic: isolates the
     # band-chain + root-isolation cost from the chord-only kernel).
+    # 2048-ray blocks: tighter origin circles -> shorter candidate lists;
+    # measured 33.0 vs 36.5 ms with the 4096 default on the headline config
+    # (benchmarks/results/batch5.log h_arch1024_128_rb2k).
     config = rtdc.RenderConfig(
         rays_per_pixel=rpp, use_aa=True, use_blur=True, use_denoiser=False,
         exact_silhouettes=os.environ.get("BENCH_EXACT", "1") != "0",
+        rays_per_block=int(os.environ.get("BENCH_RB", "2048")),
     )
     cam = rtdc.Camera(1.0, 0.0, 0.0)
     state = rtdc.init_frame_state(size, size)

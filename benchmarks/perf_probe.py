@@ -27,7 +27,9 @@ XMLS = "/root/reference/optixHello/xmls"
 def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                rays_per_block=None, exact_ablate=None, hoist=False,
                wedge_samples=None, cheap=False, bisect_iters=None,
-               dim_semantics=None):
+               dim_semantics=None, walk_split=None, wedge_cap=None,
+               scene_horizon=None):
+    from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
     if dim_semantics is not None:
@@ -37,10 +39,17 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
     trace_pallas._EXACT_ABLATE = exact_ablate
     ws_saved = trace_pallas.WEDGE_SAMPLES_MULTICHUNK
     bi_saved = refine.BISECT_ITERS
+    wc_saved = cand_mod.CAND_MAX_WEDGES
     if bisect_iters is not None:
         refine.BISECT_ITERS = bisect_iters
     if wedge_samples is not None:
         trace_pallas.WEDGE_SAMPLES_MULTICHUNK = wedge_samples
+    if walk_split is not None:
+        trace_pallas._WALK_SPLIT = walk_split
+    if wedge_cap is not None:
+        cand_mod.CAND_MAX_WEDGES = wedge_cap
+    if scene_horizon is not None:
+        trace_pallas._SCENE_HORIZON = scene_horizon
     try:
         scene = rtdc.load_scene(path)
         scene = scene.with_size(w, h)
@@ -121,6 +130,9 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas.WEDGE_SAMPLES_MULTICHUNK = ws_saved
         refine.BISECT_ITERS = bi_saved
         trace_pallas._DIM_SEMANTICS = "arbitrary"
+        trace_pallas._WALK_SPLIT = 1
+        cand_mod.CAND_MAX_WEDGES = wc_saved
+        trace_pallas._SCENE_HORIZON = True
 
 
 def time_prepass(path, w, h, rpp, frames=50, label=""):
@@ -289,6 +301,67 @@ PROBES = {
     "dol_sw16": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, wedge_samples=16, label="dol1080_64_sw16",
+    ),
+    # --- round-3 dense levers: finer wedges (shorter lists along the
+    # angular axis; sw8/16 widening regressed ~linearly, so sw2 should win
+    # by the same pairs ~ cnt(w) x sw scaling) and the lane-split walk
+    # (per-sub-tile early exits at zero table cost). ---
+    "lb_nohz": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, scene_horizon=False, label="lb1080_256_nohz",
+    ),
+    "dol_nohz": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, scene_horizon=False, label="dol1080_64_nohz",
+    ),
+    "dol_sw2rb512": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, wedge_samples=2, rays_per_block=512,
+        label="dol1080_64_sw2rb512",
+    ),
+    "lb_q2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, walk_split=2, label="lb1080_256_q2",
+    ),
+    "lb_q4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, walk_split=4, label="lb1080_256_q4",
+    ),
+    "lb_sw2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, wedge_samples=2, wedge_cap=128,
+        label="lb1080_256_sw2",
+    ),
+    "lb_sw2q4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, wedge_samples=2, wedge_cap=128, walk_split=4,
+        label="lb1080_256_sw2q4",
+    ),
+    "lb_sw2rb1k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, wedge_samples=2, wedge_cap=128,
+        rays_per_block=1024, label="lb1080_256_sw2rb1k",
+    ),
+    "lb_rb1k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, rays_per_block=1024, label="lb1080_256_rb1k",
+    ),
+    "dol_sw2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, wedge_samples=2, label="dol1080_64_sw2",
+    ),
+    "dol_q4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, walk_split=4, label="dol1080_64_q4",
+    ),
+    "dol_sw2q4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, wedge_samples=2, walk_split=4,
+        label="dol1080_64_sw2q4",
+    ),
+    "dol_gather": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, ablate="gather", label="dol1080_64_h2",
     ),
     "dol_entry": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,

@@ -68,6 +68,12 @@ TC_ID = 7
 # bounded regardless of scene size.
 CAND_MAX_SPAD = 32768
 
+# Per-program wedge cap for candidate lists (measured): above it the
+# per-program (W, L, C) VMEM candidate block exceeds the scoped budget
+# (256 wedges OOMed the 4K 1024-rpp config at 32 MB vs the 16 MB limit).
+# Patchable for probes exploring finer dense-scene wedges.
+CAND_MAX_WEDGES = 64
+
 
 def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
     """Candidate lists pay off when the full sweep is bigger than the list
@@ -75,13 +81,10 @@ def use_candidates(s_pad: int, n_chunks: int, n_wedges: int) -> bool:
     CAND_MAX_SPAD use them too (slot-packed sweep keys + post-sweep id
     remap in the kernel); larger scenes use chunk-granularity lists.
 
-    Wedge cap (measured): above 64 wedges the per-program (W, L, C) VMEM
-    candidate block exceeds the scoped budget (256 wedges OOMed the 4K
-    1024-rpp config at 32 MB vs the 16 MB limit) — those configs use
-    chunk-granularity lists instead."""
+    Wedge cap: see CAND_MAX_WEDGES."""
     return (
         s_pad > CAND_LEN
-        and 1 < n_wedges <= 64
+        and 1 < n_wedges <= CAND_MAX_WEDGES
         and s_pad <= CAND_MAX_SPAD
     )
 
@@ -160,8 +163,13 @@ def _segment_ids(
     diffusion_save: bool,
     cand_len: int,
     order: str = "id",
+    circles=None,
 ):
     """Shared compaction core: per-(tile, wedge) passing segment ids.
+
+    ``circles``: optional (bcx, bcy, br) arrays overriding the pixel-tile
+    circles — the world-space candidate grid builds CELL circles instead
+    (camera-independent; see trace_pallas.build_cand_grid).
 
     Returns (ids (W, T, L) int32, counts (W, T) int32 capped at
     cand_len + 1, lbs (W, T, L) f32 conservative lower-bound distances —
@@ -177,11 +185,15 @@ def _segment_ids(
     slots hold id s_pad and lb 1e30."""
     f32 = jnp.float32
     s_pad = consts.shape[0]
-    bcx, bcy, br = _tile_circles(
-        width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w, tile_h,
-        px_start, diffusion_save,
-    )
-    n_tiles = tiles_x * tiles_y
+    if circles is None:
+        bcx, bcy, br = _tile_circles(
+            width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w,
+            tile_h, px_start, diffusion_save,
+        )
+        n_tiles = tiles_x * tiles_y
+    else:
+        bcx, bcy, br = circles
+        n_tiles = bcx.shape[0]
 
     # --- segment bounding circles from the intersection constants ---
     p0x = consts[:, dev.CONST_P0X]
@@ -347,6 +359,7 @@ def segment_candidates_t(
     cand_len: int = 128,
     with_shade: bool = True,
     order: str = "id",
+    circles=None,
 ):
     """Transposed candidate tables — slots on the LANE axis (round 3).
 
@@ -372,6 +385,7 @@ def segment_candidates_t(
     ids, count, lbs = _segment_ids(
         consts, width, height, zoom, off_x, off_y, rpp, sw, tiles_x, tiles_y,
         tile_w, tile_h, px_start, diffusion_save, cand_len, order=order,
+        circles=circles,
     )
     # consts rows in TC_ORDER + global id row, zero column for unused slots
     csel = jnp.concatenate(
@@ -430,6 +444,7 @@ def chunk_candidates(
     tile_h: int,
     px_start,
     diffusion_save: bool,
+    circles=None,
 ):
     """Chunk-granularity candidate lists for multi-chunk scenes.
 
@@ -446,10 +461,13 @@ def chunk_candidates(
     """
     f32 = jnp.float32
     n_chunks = chunk_bounds.shape[0]
-    bcx, bcy, br = _tile_circles(
-        width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w, tile_h,
-        px_start, diffusion_save,
-    )
+    if circles is None:
+        bcx, bcy, br = _tile_circles(
+            width, height, zoom, off_x, off_y, tiles_x, tiles_y, tile_w,
+            tile_h, px_start, diffusion_save,
+        )
+    else:
+        bcx, bcy, br = circles
     ccx, ccy, cos_hw, sin_hw = _wedge_dirs(rpp, sw)
 
     cxs = chunk_bounds[:, 0]

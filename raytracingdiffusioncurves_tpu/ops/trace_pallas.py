@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -132,6 +133,18 @@ _SLOT_INFRAME_MIN_W = 8
 # change Mosaic's cross-program DMA pipelining).
 _DIM_SEMANTICS = "arbitrary"
 
+# Scene-horizon walk clamp: bound every distance-ordered walk's exit
+# threshold by the block's max scene-circle exit distance (exact — see the
+# kernel).  Off switch for ablation probes only.
+_SCENE_HORIZON = True
+
+# Dense-scene list walk: number of static lane sub-ranges (sub-tiles of
+# contiguous pixel rows) walked with their OWN early exit.  1 = whole-block
+# exit (default); 2/4 trade loop overhead for tighter exits.  Only the
+# capped distance-ordered walk uses it (slot-mode scenes walk their short
+# lists without an exit).
+_WALK_SPLIT = 1
+
 
 def _choose_block(
     rpp: int, rays_per_block: int, multi_chunk: bool = False,
@@ -169,7 +182,9 @@ def _uniform(seed, ray_id, frame, salt):
 
 def _trace_kernel(
     # SMEM scalars
-    cam_ref,  # (4,) f32: zoom, off_x, off_y, pad
+    cam_ref,  # (8,) f32: zoom, off_x, off_y, pad, scene-circle cx, cy, r,
+    #           pad — the enclosing circle of every valid chunk circle
+    #           (bands included), for the scene-horizon walk clamp
     meta_ref,  # (2,) i32: frame, px_start (i32 so values >= 2^24 stay exact)
     bounds_ref,  # (n_chunks, 4) f32 chunk bounding circles [cx, cy, r, 0]
     # VMEM tables
@@ -382,9 +397,41 @@ def _trace_kernel(
             else:
                 band_dsc = None
 
+            # Scene-horizon clamp (primary bounce, multi-chunk scenes): per
+            # ray, the distance at which it EXITS the scene's enclosing
+            # circle — past it no hit exists (hit points lie on band-widened
+            # sub-segments, all inside the circle; the circle is convex so
+            # the ray never re-enters).  Every distance-ordered walk clamps
+            # its exit threshold by the block's max, so blocks whose rays
+            # miss (or leave the scene quickly) stop walking instead of
+            # sweeping to FAR.  Rays that never enter (disc < 0) or exit
+            # behind the origin get 0: nothing is hittable.  The 1.00002
+            # slack covers fastmath.sincos's ~5e-7 non-unit |d| and f32
+            # rounding (same class as the walks' existing 1.00001).
+            texit = None
+            if _bounce == 0 and n_chunks > 1 and _SCENE_HORIZON:
+                pcx = cam_ref[4] - oxf
+                pcy = cam_ref[5] - oyf
+                bq = dxf * pcx + dyf * pcy
+                disc = bq * bq - (
+                    pcx * pcx + pcy * pcy - cam_ref[6] * cam_ref[6]
+                )
+                texit = jnp.maximum(
+                    jnp.where(
+                        disc >= 0.0,
+                        bq + jnp.sqrt(jnp.maximum(disc, 0.0)),
+                        0.0,
+                    ),
+                    0.0,
+                )  # (1, R)
+                tb_full = jnp.max(texit) * jnp.float32(1.00002)
+            else:
+                tb_full = FAR
+
             def packed_min(ex, ey, c1, p0x, p0y, q, ids, band=None,
                            reduce_rows=True,
-                           ox=oxf, oy=oyf, dx=dxf, dy=dyf, cross=crossf):
+                           ox=oxf, oy=oyf, dx=dxf, dy=dyf, cross=crossf,
+                           bdsc=None):
                 """Closest hit over (n, 1) constant columns: (1, R) packed
                 key(s) — (pk_band, pk_strict) in exact-silhouette mode (band
                 is not None), else a single strict pk.
@@ -443,7 +490,7 @@ def _trace_kernel(
                 # Sign-free band widening (see scene/device.py
                 # intersect_consts): with ms = sign(denom) * hb,
                 # (num_s+ms)(denom-num_s+ms) = prod_s + hb*|denom| + hb^2.
-                hb = band * band_dsc
+                hb = band * (band_dsc if bdsc is None else bdsc)
                 had = hb * jnp.abs(denom)
                 ok_band = (prod_s + had + hb * hb >= 0.0) & (prod_t + had > 0.0)
                 return pmin(ok_band), ps
@@ -516,7 +563,9 @@ def _trace_kernel(
                         bt_up = jax.lax.bitcast_convert_type(
                             (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
                         )
-                        worst = jnp.max(bt_up) * jnp.float32(1.00001)
+                        worst = jnp.minimum(
+                            jnp.max(bt_up) * jnp.float32(1.00001), tb_full
+                        )
                         return (i < count) & (clbs_ref[0, pid_w, i] < worst)
 
                     def walk_body(state):
@@ -589,29 +638,94 @@ def _trace_kernel(
                         # chunk walk; primary rays only (this branch is
                         # bounce 0).  On lady_bug 1080p the sweep was 817 of
                         # 1178 ms with the full fori walk.
-                        def walk_cond(st):
-                            g, pk8b, pk8s = st
-                            best = jnp.min(pk8s, axis=0, keepdims=True)
-                            # bitcast the VECTOR then reduce — Mosaic rejects
-                            # scalar tpu.bitcast (i32 -> f32); positive-float
-                            # bit patterns are monotone so max commutes.
-                            bt_up = jax.lax.bitcast_convert_type(
-                                (best & _KEY_MASK) + np.int32(1 << ID_BITS),
-                                f32,
+                        #
+                        # _WALK_SPLIT > 1: the exit compares against the
+                        # worst best-hit across the WHOLE block; splitting
+                        # the ray lanes into Q static sub-ranges (contiguous
+                        # pixel rows of the tile — ridx is pixel-major) walks
+                        # each with its own tighter exit.  Lane slices are
+                        # static and 128-aligned.
+                        nq = _WALK_SPLIT if R % (128 * _WALK_SPLIT) == 0 else 1
+                        rq = R // nq
+
+                        def quarter_walk(qi):
+                            sl_q = slice(qi * rq, (qi + 1) * rq)
+                            oxq, oyq = oxf[:, sl_q], oyf[:, sl_q]
+                            dxq, dyq = dxf[:, sl_q], dyf[:, sl_q]
+                            crq = crossf[:, sl_q]
+                            bdq = band_dsc[:, sl_q] if exact else None
+                            # per-sub-range scene-exit bound (tighter than
+                            # the block's)
+                            tb_q = (
+                                jnp.max(texit[:, sl_q]) * jnp.float32(1.00002)
+                                if texit is not None
+                                else FAR
                             )
-                            worst = jnp.max(bt_up) * jnp.float32(1.00001)
-                            return (g < n_groups) & (
-                                cslb_ref[0, pid_w, g * 8] < worst
+                            ids_8q = jax.lax.broadcasted_iota(
+                                jnp.int32, (8, rq), 0
                             )
 
-                        def walk_body(st):
-                            g, pk8b, pk8s = st
-                            pk8b, pk8s = group(g, (pk8b, pk8s))
-                            return g + 1, pk8b, pk8s
+                            def groupq(i, pks):
+                                sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
+                                g_b, g_s = packed_min(
+                                    tc_scratch[sl, 0:1],
+                                    tc_scratch[sl, 1:2],
+                                    tc_scratch[sl, 2:3],
+                                    tc_scratch[sl, 3:4],
+                                    tc_scratch[sl, 4:5],
+                                    tc_scratch[sl, 5:6],
+                                    ids_8q + i * 8,
+                                    band=tc_scratch[sl, 6:7] if exact else None,
+                                    reduce_rows=False,
+                                    ox=oxq, oy=oyq, dx=dxq, dy=dyq, cross=crq,
+                                    bdsc=bdq,
+                                )
+                                return (
+                                    jnp.minimum(pks[0], g_b),
+                                    jnp.minimum(pks[1], g_s),
+                                )
 
-                        _, pk8_b, pk8_s = jax.lax.while_loop(
-                            walk_cond, walk_body, (jnp.int32(0), far8, far8)
-                        )
+                            def walk_cond(st):
+                                g, pk8b, pk8s = st
+                                best = jnp.min(pk8s, axis=0, keepdims=True)
+                                # bitcast the VECTOR then reduce — Mosaic
+                                # rejects scalar tpu.bitcast (i32 -> f32);
+                                # positive-float bit patterns are monotone so
+                                # max commutes.
+                                bt_up = jax.lax.bitcast_convert_type(
+                                    (best & _KEY_MASK)
+                                    + np.int32(1 << ID_BITS),
+                                    f32,
+                                )
+                                worst = jnp.minimum(
+                                    jnp.max(bt_up) * jnp.float32(1.00001),
+                                    tb_q,
+                                )
+                                return (g < n_groups) & (
+                                    cslb_ref[0, pid_w, g * 8] < worst
+                                )
+
+                            def walk_body(st):
+                                g, pk8b, pk8s = st
+                                pk8b, pk8s = groupq(g, (pk8b, pk8s))
+                                return g + 1, pk8b, pk8s
+
+                            farq = jnp.full((8, rq), _FAR_PACKED, jnp.int32)
+                            _, qb, qs = jax.lax.while_loop(
+                                walk_cond, walk_body, (jnp.int32(0), farq, farq)
+                            )
+                            return qb, qs
+
+                        if nq == 1:
+                            pk8_b, pk8_s = quarter_walk(0)
+                        else:
+                            parts = [quarter_walk(qi) for qi in range(nq)]
+                            pk8_b = jnp.concatenate(
+                                [p[0] for p in parts], axis=1
+                            )
+                            pk8_s = jnp.concatenate(
+                                [p[1] for p in parts], axis=1
+                            )
                     pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
                     pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
                     zero = jnp.zeros((1, R), jnp.int32)
@@ -671,7 +785,9 @@ def _trace_kernel(
                     bt_up = jax.lax.bitcast_convert_type(
                         (st0[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
                     )
-                    worst = jnp.max(bt_up) * jnp.float32(1.00001)
+                    worst = jnp.minimum(
+                        jnp.max(bt_up) * jnp.float32(1.00001), tb_full
+                    )
                     need = (cnt > cand_len) & (
                         cslb_ref[0, pid_w, cand_len] < worst
                     )
@@ -756,7 +872,9 @@ def _trace_kernel(
                     bt_up = jax.lax.bitcast_convert_type(
                         (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
                     )
-                    worst = jnp.max(bt_up) * maxd
+                    # tb_full is FAR past bounce 0 (portal rays re-enter);
+                    # maxd already scales key-space t to ray-parameter units
+                    worst = jnp.minimum(jnp.max(bt_up) * maxd, tb_full)
                     take = (chunk_lb(c) < worst) & (c != near_c)
                     return jax.lax.cond(
                         take,
@@ -1472,6 +1590,156 @@ def build_cand_tables(
     return None
 
 
+class WorldGrid(typing.NamedTuple):
+    """Camera-INDEPENDENT acceleration structure: candidate tables built
+    for a uniform world-space grid of cells instead of one camera's pixel
+    tiles — the true analogue of the reference's world-space BVH
+    (optixHello.cpp:764-830, built once, never rebuilt during interaction).
+
+    Valid for any camera with zoom_factor <= zoom_max whose pixel-tile
+    circle CENTERS fall inside the grid box: a tile maps to the cell
+    containing its center, and every cell's lists were built for the
+    coverage circle {center within the cell, radius <= the max tile radius
+    at zoom_max} — a conservative superset of any such tile's candidates.
+    grid_tables() selects the per-frame (T, W, ...) tables with one cheap
+    gather, so moving cameras pay ~0 prepass (vs the in-frame prepass's
+    tens of ms).  Callers own validity: grid_covers() checks a camera."""
+
+    tables: tuple
+    x0: float
+    y0: float
+    pitch_x: float
+    pitch_y: float
+    nx: int
+    ny: int
+    zoom_max: float
+    gather_len: int | None
+
+
+def build_cand_grid(
+    scene: dev.DeviceScene,
+    config: RenderConfig,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    zoom_max: float = 1.0,
+) -> WorldGrid | None:
+    """Build the world-space candidate grid covering tile centers in
+    [x0, x1] x [y0, y1] for cameras with zoom <= zoom_max.  Returns None
+    for scenes that take the plain chunk sweep (no candidate tables)."""
+    w, h = scene.width, scene.height
+    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
+        scene, config, w, h * w
+    )
+    pitch_x = TILE_W * zoom_max
+    pitch_y = tile_h * zoom_max
+    nx = max(1, int(math.ceil((x1 - x0) / pitch_x)))
+    ny = max(1, int(math.ceil((y1 - y0) / pitch_y)))
+    n_cells = nx * ny
+    ix = jnp.arange(nx, dtype=jnp.float32)
+    iy = jnp.arange(ny, dtype=jnp.float32)
+    cx = x0 + (ix + 0.5) * pitch_x
+    cy = y0 + (iy + 0.5) * pitch_y
+    bcx = jnp.broadcast_to(cx[None, :], (ny, nx)).reshape(-1)
+    bcy = jnp.broadcast_to(cy[:, None], (ny, nx)).reshape(-1)
+    # coverage: any tile-circle center within the cell (half-diagonal) plus
+    # the largest tile circle at zoom_max (tile extent is TILE_W x tile_h
+    # pixels, x zoom, AA jitter included — see cand_mod._tile_circles)
+    r_max = 0.5 * zoom_max * math.hypot(TILE_W, tile_h)
+    cover = 0.5 * math.hypot(pitch_x, pitch_y) + r_max
+    circles = (bcx, bcy, jnp.full((n_cells,), cover, jnp.float32))
+
+    used, gather_rows, _ = _gather_rows_for(scene, config, _n_traces(scene, config))
+    kind = _accel_kind(scene, n_wedges, n_cells, gather_rows)
+    if kind is None:
+        return None
+    out = ()
+    if kind == "seg":
+        cand_len = min(scene.s_pad, 1 << ID_BITS)
+        slot = cand_len >= scene.s_pad
+        consts_t, shade_hl, counts, lbs = cand_mod.segment_candidates_t(
+            scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
+            1.0, 0.0, 0.0,
+            config.rays_per_pixel, sw, nx, ny,
+            TILE_W, tile_h, 0, config.diffusion_curve_save,
+            cand_len=cand_len, with_shade=slot,
+            order="id" if slot else "dist", circles=circles,
+        )
+        out = (consts_t, shade_hl, counts) if slot else (consts_t, counts, lbs)
+    gl = None
+    if kind == "seg" and scene.s_pad <= (1 << ID_BITS):
+        gl = int(out[2].max())  # one host sync, at build time
+        out = narrow_cand_tables(out, max(gl, 1))
+    else:
+        out = out + cand_mod.chunk_candidates(
+            scene.chunk_bounds, w, h, 1.0, 0.0, 0.0,
+            config.rays_per_pixel, sw, nx, ny,
+            TILE_W, tile_h, 0, config.diffusion_curve_save, circles=circles,
+        )
+    return WorldGrid(out, float(x0), float(y0), float(pitch_x),
+                     float(pitch_y), nx, ny, float(zoom_max), gl)
+
+
+def grid_tables(
+    grid: WorldGrid,
+    scene: dev.DeviceScene,
+    camera: Camera,
+    config: RenderConfig,
+    px_start=0,
+    n_px: int | None = None,
+):
+    """Select this camera's per-(tile, wedge) tables from the world grid —
+    one gather per table, jit-friendly (camera may be traced).  The result
+    plugs into trace_sums_flat's ``cand_tables`` (with gather_len =
+    grid.gather_len).  The caller owns validity (grid_covers)."""
+    w, h = scene.width, scene.height
+    if n_px is None:
+        n_px = h * w
+    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
+        scene, config, w, n_px
+    )
+    bcx, bcy, _ = cand_mod._tile_circles(
+        w, h, camera.zoom_factor, camera.offset_x, camera.offset_y,
+        tiles_x, tiles_y, TILE_W, tile_h, px_start,
+        config.diffusion_curve_save,
+    )
+    ix = jnp.clip(
+        jnp.floor((bcx - grid.x0) / grid.pitch_x), 0, grid.nx - 1
+    ).astype(jnp.int32)
+    iy = jnp.clip(
+        jnp.floor((bcy - grid.y0) / grid.pitch_y), 0, grid.ny - 1
+    ).astype(jnp.int32)
+    cid = iy * grid.nx + ix  # (T,)
+    return tuple(None if t is None else t[cid] for t in grid.tables)
+
+
+def grid_covers(
+    grid: WorldGrid,
+    scene: dev.DeviceScene,
+    camera: Camera,
+    config: RenderConfig,
+) -> bool:
+    """Host-side validity check: every tile-circle center inside the grid
+    box and zoom within range.  Interactive sessions call this on camera
+    change and rebuild the grid when it stops covering."""
+    if float(camera.zoom_factor) > grid.zoom_max * (1 + 1e-6):
+        return False
+    w, h = scene.width, scene.height
+    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
+        scene, config, w, h * w
+    )
+    bcx, bcy, _ = cand_mod._tile_circles(
+        w, h, float(camera.zoom_factor), float(camera.offset_x),
+        float(camera.offset_y), tiles_x, tiles_y, TILE_W, tile_h, 0,
+        config.diffusion_curve_save,
+    )
+    return bool(
+        (bcx.min() >= grid.x0) & (bcx.max() <= grid.x0 + grid.nx * grid.pitch_x)
+        & (bcy.min() >= grid.y0) & (bcy.max() <= grid.y0 + grid.ny * grid.pitch_y)
+    )
+
+
 def narrow_cand_tables(cand_tables, gather_len: int):
     """Pre-narrow slot-mode tables' shade lane dim to the gather_len that
     trace_sums_flat will use (rounded to 16), so the per-frame narrowing
@@ -1558,9 +1826,35 @@ def trace_sums_flat(
 
     n_traces = (config.max_trace_depth + 1) if scene.has_portals else 1
 
-    cam = jnp.asarray(
-        [camera.zoom_factor, camera.offset_x, camera.offset_y, 0.0], jnp.float32
+    # Scene enclosing circle (of every valid chunk circle, bands included):
+    # the kernel clamps every distance-ordered walk's exit threshold by the
+    # block's max scene-exit distance — beyond it no ray can hit anything,
+    # so rays that miss (or hit far) stop forcing full walks.  Exact: hit
+    # points lie on band-widened sub-segments, all inside this circle.
+    cbx, cby, cbr = (
+        scene.chunk_bounds[:, 0], scene.chunk_bounds[:, 1],
+        scene.chunk_bounds[:, 2],
     )
+    cvalid = cbx < 1e29
+    big = jnp.float32(1e30)
+    xmin = jnp.min(jnp.where(cvalid, cbx - cbr, big))
+    xmax = jnp.max(jnp.where(cvalid, cbx + cbr, -big))
+    ymin = jnp.min(jnp.where(cvalid, cby - cbr, big))
+    ymax = jnp.max(jnp.where(cvalid, cby + cbr, -big))
+    scx = 0.5 * (xmin + xmax)
+    scy = 0.5 * (ymin + ymax)
+    scr = jnp.max(
+        jnp.where(
+            cvalid,
+            jnp.sqrt((cbx - scx) ** 2 + (cby - scy) ** 2) + cbr,
+            0.0,
+        )
+    )
+    cam = jnp.asarray(
+        [camera.zoom_factor, camera.offset_x, camera.offset_y, 0.0,
+         0.0, 0.0, 0.0, 0.0], jnp.float32,
+    )
+    cam = cam.at[4].set(scx).at[5].set(scy).at[6].set(scr)
     # frame / px_start ride a separate int32 operand: squeezing them through
     # the f32 camera vector silently rounds values >= 2^24 (8K-image row
     # offsets, very long sessions).

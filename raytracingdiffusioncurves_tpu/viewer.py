@@ -63,10 +63,17 @@ class InteractiveSession:
         # rebuilds device tables or recompiles.
         self.tables = tables
         # Camera-dependent acceleration tables (trace_pallas
-        # build_cand_tables): rebuilt only when the camera moves, reused
-        # while it rests — the GAS-build analogue (optixHello.cpp:764-830).
+        # build_cand_tables): rebuilt only when the camera rests, reused
+        # frame to frame — the GAS-build analogue (optixHello.cpp:764-830).
         self._cand_tables = None
         self._cand_camera = None
+        self._gather_len = None
+        # Camera-INDEPENDENT world grid (trace_pallas.build_cand_grid):
+        # serves MOVING cameras — per-frame tables are one cheap gather, so
+        # zoom/pan pays no prepass (the reference's BVH does zero per-frame
+        # work too).  Rebuilt only when the camera leaves the grid's
+        # validity box (grid_covers), like a BVH refit.
+        self._grid = None
 
     def scroll(self, yoffset: float) -> None:
         """Zoom: zoom_factor *= 1.5^-yoffset, with the radial flow update for
@@ -90,33 +97,69 @@ class InteractiveSession:
         self.state = self.state._replace(flow=flow)
         self._moved = True
 
+    def _use_pallas(self) -> bool:
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu" or self.backend == "pallas"
+
+    def _world_grid(self):
+        """The session's world grid, (re)built to cover the current view
+        with a pan/zoom margin when the camera leaves the last box."""
+        from .ops import trace_pallas
+
+        if self._grid is not None and trace_pallas.grid_covers(
+            self._grid, self.scene, self.camera, self.config
+        ):
+            return self._grid
+        z = float(self.camera.zoom_factor) * ZOOM_STEP  # one zoom-out step
+        cx, cy = float(self.camera.offset_x), float(self.camera.offset_y)
+        hx = 1.5 * 0.5 * self.scene.width * z  # 1.5x viewport: pan margin
+        hy = 1.5 * 0.5 * self.scene.height * z
+        self._grid = trace_pallas.build_cand_grid(
+            self.scene, self.config, cx - hx, cy - hy, cx + hx, cy + hy,
+            zoom_max=z,
+        )
+        return self._grid
+
     def _accel_tables(self):
-        if self.camera != self._cand_camera:
-            # Camera MOVING: skip the hoisted accel build this frame — the
-            # progressive trace runs its own cheap in-frame prepass
-            # (trace_sums_flat cheap_prepass), one dispatch instead of two.
-            # Non-progressive sessions keep the hoisted build (their inline
-            # prepass is the expensive slot build anyway).
-            self._cand_camera = self.camera
-            self._cand_tables = None
-            if self.progressive:
-                return None
-        if self._cand_tables is None:
-            import jax as _jax
+        """(tables, gather_len) for this frame's camera.
 
-            if _jax.default_backend() == "tpu" or self.backend == "pallas":
-                from .ops import trace_pallas
+        Moving camera -> world-grid selection (one cheap gather, no
+        prepass); resting camera (2nd+ frame) -> tight per-camera hoisted
+        tables, built once and cached."""
+        from .ops import trace_pallas
 
+        if not self._use_pallas():
+            return None, None
+        if self.camera == self._cand_camera:
+            if self._cand_tables is None:
                 self._cand_tables = trace_pallas.build_cand_tables(
                     self.scene, self.camera, self.config
                 )
-        return self._cand_tables
+                self._gather_len = trace_pallas.seg_max_count(
+                    self.scene, self._cand_tables
+                )
+                if self._gather_len is not None:
+                    self._cand_tables = trace_pallas.narrow_cand_tables(
+                        self._cand_tables, self._gather_len
+                    )
+            return self._cand_tables, self._gather_len
+        # camera changed this frame
+        self._cand_camera = self.camera
+        self._cand_tables = None
+        grid = self._world_grid()
+        if grid is None:
+            return None, None
+        return (
+            trace_pallas.grid_tables(grid, self.scene, self.camera, self.config),
+            grid.gather_len,
+        )
 
     def render(self) -> jax.Array:
         """Render one frame; returns the (H, W, 4) image. Frame time is
         recorded with the reference's protocol (optixHello.cpp:1258-1263)."""
         t0 = time.perf_counter()
-        cand_tables = self._accel_tables()
+        cand_tables, gather_len = self._accel_tables()
         if self.progressive:
             import jax.numpy as jnp
 
@@ -129,12 +172,14 @@ class InteractiveSession:
                 jnp.bool_(self._moved),
                 backend=self.backend,
                 cand_tables=cand_tables,
+                gather_len=gather_len,
             )
             self._moved = False
         else:
             image, self.state = renderer.render_frame(
                 self.scene, self.camera, self.state, self.config,
                 backend=self.backend, cand_tables=cand_tables,
+                gather_len=gather_len,
             )
         image.block_until_ready()
         self.frame_times.append(time.perf_counter() - t0)

@@ -228,6 +228,62 @@ def test_hoisted_cand_tables_match_inline(ref_xml_dir):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c), err_msg=xml)
 
 
+def test_world_grid_matches_inline(ref_xml_dir):
+    """WorldGrid (camera-independent accel, the reference BVH's role): the
+    per-frame grid_tables selection must reproduce the inline per-camera
+    prepass bit for bit across a zoom/pan sweep — the grid cells' coverage
+    circles are conservative supersets of every contained tile circle, and
+    supersets cannot change a winner (slot order stays ascending-id in
+    both, so quantized-key ties resolve identically)."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    for xml, k, bitwise in (
+        ("arch.xml", 16, True),
+        # capped scenes sort slots by lower-bound distance FROM THE CELL
+        # circle; the per-camera path sorts from the tile circle — a
+        # different (equally valid) slot order, so quantized-key ties at
+        # curve junctions can flip winners: the tolerated junction-tie
+        # class (same as JAX-vs-Pallas), not a culling error.
+        ("DiffusionCurvePack/lady_bug.xml", 2, False),
+    ):
+        scene = rtdc.load_scene(str(ref_xml_dir / xml))
+        scene = scene.with_size(48, 48)
+        dev = rtdc.build_device_scene(scene, flatten_subdivisions=k)
+        cfg = rtdc.RenderConfig(
+            rays_per_pixel=16, use_blur=False, use_denoiser=False
+        )
+        cams = [
+            rtdc.Camera(1.0, 0.0, 0.0),
+            rtdc.Camera(0.8, 30.0, -20.0),
+            rtdc.Camera(1.2, -15.0, 40.0),
+        ]
+        grid = tp.build_cand_grid(
+            dev, cfg, -120.0, -120.0, 120.0, 120.0, zoom_max=1.25
+        )
+        assert grid is not None, xml
+        for cam in cams:
+            assert tp.grid_covers(grid, dev, cam, cfg), (xml, cam)
+            tabs = tp.grid_tables(grid, dev, cam, cfg)
+            a, bm_a = rtdc.trace_image(dev, cam, cfg, backend="pallas")
+            b, bm_b = rtdc.trace_image(
+                dev, cam, cfg, backend="pallas", cand_tables=tabs,
+                gather_len=grid.gather_len,
+            )
+            if bitwise:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=f"{xml} {cam}"
+                )
+            else:
+                assert_parity(
+                    (np.asarray(a), np.asarray(bm_a)),
+                    (np.asarray(b), np.asarray(bm_b)),
+                    frac=2e-3,
+                )
+        # out-of-range cameras are detected (callers rebuild)
+        assert not tp.grid_covers(grid, dev, rtdc.Camera(2.0, 0.0, 0.0), cfg)
+        assert not tp.grid_covers(grid, dev, rtdc.Camera(1.0, 500.0, 0.0), cfg)
+
+
 @pytest.mark.slow
 def test_parity_capped_candidate_lists_overflow():
     """Dense-scene path: s_pad > 128 forces CAPPED distance-sorted candidate
@@ -307,3 +363,39 @@ def test_parity_capped_candidate_lists_overflow():
         (np.asarray(img_p2), np.asarray(bm_p2)),
         frac=5e-4,
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("split", [2, 4])
+def test_walk_split_bitwise(split):
+    """_WALK_SPLIT lane-quartered dense walk: each static lane sub-range
+    walks the distance-sorted list with its OWN early exit.  The exit is
+    conservative per sub-range exactly as per block, so output must be
+    BIT-IDENTICAL to the whole-block walk (split=1 default)."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    rng = np.random.RandomState(11)
+    curves = []
+    for i in range(40):
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > 128  # capped, non-slot lists (the split's only user)
+    img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    # _WALK_SPLIT is a module global invisible to the jit cache key
+    tp._WALK_SPLIT = split
+    tp.trace_sums_flat.clear_cache()
+    try:
+        img_s, bm_s = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._WALK_SPLIT = 1
+        tp.trace_sums_flat.clear_cache()
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
+    np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
