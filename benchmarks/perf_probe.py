@@ -28,7 +28,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                rays_per_block=None, exact_ablate=None, hoist=False,
                wedge_samples=None, cheap=False, bisect_iters=None,
                dim_semantics=None, walk_split=None, wedge_cap=None,
-               scene_horizon=None):
+               scene_horizon=None, ablate_remap=None, ablate_offb=None,
+               remap_mxu=None, min_sub=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -50,10 +51,18 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         cand_mod.CAND_MAX_WEDGES = wedge_cap
     if scene_horizon is not None:
         trace_pallas._SCENE_HORIZON = scene_horizon
+    if ablate_remap is not None:
+        trace_pallas._ABLATE_REMAP = ablate_remap
+    if ablate_offb is not None:
+        trace_pallas._ABLATE_OVERFLOW_FB = ablate_offb
+    if remap_mxu is not None:
+        trace_pallas._REMAP_MXU = remap_mxu
     try:
         scene = rtdc.load_scene(path)
         scene = scene.with_size(w, h)
-        dev = rtdc.build_device_scene(scene)
+        dev = rtdc.build_device_scene(
+            scene, **({"min_subdivisions": min_sub} if min_sub else {})
+        )
         kw = {"rays_per_block": rays_per_block} if rays_per_block else {}
         config = rtdc.RenderConfig(
             rays_per_pixel=rpp, use_aa=True, use_blur=False, use_denoiser=False, **kw
@@ -133,6 +142,9 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._WALK_SPLIT = 1
         cand_mod.CAND_MAX_WEDGES = wc_saved
         trace_pallas._SCENE_HORIZON = True
+        trace_pallas._ABLATE_REMAP = False
+        trace_pallas._ABLATE_OVERFLOW_FB = False
+        trace_pallas._REMAP_MXU = False
 
 
 def time_prepass(path, w, h, rpp, frames=50, label=""):
@@ -358,6 +370,63 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, wedge_samples=2, walk_split=4,
         label="dol1080_64_sw2q4",
+    ),
+    # --- adaptive flattening (min_subdivisions=2): sagitta-ruled chord
+    # counts — lady_bug 2624 -> ~1330 sub-segments, dolphin 28.8k -> ~11.6k;
+    # exactness is unchanged by design (band + root isolation) ---
+    "lb_ad": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, label="lb1080_256_ad",
+    ),
+    "lb_ad_rb1k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, rays_per_block=1024,
+        label="lb1080_256_ad_rb1k",
+    ),
+    "dol_ad": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, label="dol1080_64_ad",
+    ),
+    "dol_ad_sw2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, wedge_samples=2,
+        label="dol1080_64_ad_sw2",
+    ),
+    "lb_ad_nooffb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, ablate_offb=True,
+        label="lb1080_256_ad_nooffb",
+    ),
+    "dol_ad_nooffb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, ablate_offb=True,
+        label="dol1080_64_ad_nooffb",
+    ),
+    # --- dense attribution: remap / overflow-fallback shares (output wrong
+    # where they bite; timing attribution only) + the MXU remap A/B ---
+    "lb_noremap": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate_remap=True, label="lb1080_256_noremap",
+    ),
+    "lb_nooffb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, ablate_offb=True, label="lb1080_256_nooffb",
+    ),
+    "lb_mxuremap": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, remap_mxu=True, label="lb1080_256_mxuremap",
+    ),
+    "dol_noremap": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, ablate_remap=True, label="dol1080_64_noremap",
+    ),
+    "dol_nooffb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, ablate_offb=True, label="dol1080_64_nooffb",
+    ),
+    "dol_mxuremap": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, remap_mxu=True, label="dol1080_64_mxuremap",
     ),
     "dol_gather": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,

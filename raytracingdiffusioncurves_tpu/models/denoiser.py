@@ -74,6 +74,56 @@ class DenoiserNet(nn.Module):
         return analytic + x.astype(jnp.float32)  # residual on the baseline
 
 
+class UNetDenoiser(nn.Module):
+    """Multi-scale residual denoiser (round 3's +1 dB lever).
+
+    Same interface and residual-on-analytic design as DenoiserNet, but an
+    encoder/decoder with skips: two stride-2 downsamples widen the receptive
+    field to ~40 px (the plain 5x3x3 stack sees 11), which is what Monte-
+    Carlo noise at 4-8 rays/pixel needs — the noise is spatially broadband
+    while the signal (diffusion-curve fields) is piecewise-smooth, so the
+    denoiser profits from seeing whole smooth regions at once.  ~190k bf16
+    params — still far below any TP threshold; convs ride the MXU.
+
+    Input H and W must be multiples of 4 (apply_denoiser pads and crops)."""
+
+    base: int = 24
+
+    @nn.compact
+    def __call__(
+        self,
+        noisy: jax.Array,
+        warped_prev: jax.Array,
+        aux: jax.Array,
+        analytic: jax.Array | None = None,
+    ):
+        if analytic is None:
+            analytic = jax.vmap(analytic_baseline)(noisy, warped_prev)
+        bf = jnp.bfloat16
+        c = self.base
+
+        def conv(x, ch, name, stride=1):
+            return nn.relu(
+                nn.Conv(ch, (3, 3), (stride, stride), padding="SAME",
+                        dtype=bf, name=name)(x)
+            )
+
+        x = jnp.concatenate([noisy, warped_prev, analytic, aux], axis=-1)
+        x = x.astype(bf)
+        e0 = conv(conv(x, c, "enc0a"), c, "enc0b")
+        e1 = conv(conv(e0, 2 * c, "enc1a", stride=2), 2 * c, "enc1b")
+        e2 = conv(conv(e1, 4 * c, "enc2a", stride=2), 4 * c, "enc2b")
+
+        def up(x, like):
+            n, h, w, _ = like.shape
+            return jax.image.resize(x, (n, h, w, x.shape[-1]), "nearest")
+
+        d1 = conv(jnp.concatenate([up(e2, e1), e1], -1), 2 * c, "dec1")
+        d0 = conv(jnp.concatenate([up(d1, e0), e0], -1), c, "dec0")
+        out = nn.Conv(3, (3, 3), padding="SAME", dtype=bf, name="out")(d0)
+        return analytic + out.astype(jnp.float32)
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -81,11 +131,12 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(
-    rng_key, height: int, width: int, lr=1e-3, aux_channels: int = 2
+    rng_key, height: int, width: int, lr=1e-3, aux_channels: int = 2,
+    arch: str = "cnn",
 ):
     """``lr`` may be a float or an optax schedule (the trainer passes a
-    cosine decay)."""
-    model = DenoiserNet()
+    cosine decay).  ``arch``: "cnn" (plain residual stack) or "unet"."""
+    model = UNetDenoiser() if arch == "unet" else DenoiserNet()
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     aux = jnp.zeros((1, height, width, aux_channels), jnp.float32)
     params = model.init(rng_key, dummy, dummy, aux)
@@ -145,11 +196,14 @@ def load_params(path: str):
         return serialization.msgpack_restore(f.read())
 
 
-def net_for_params(params) -> "DenoiserNet":
-    """The DenoiserNet whose architecture matches a loaded checkpoint:
-    depth = hidden Conv layers, features = their channel count (the final
-    Conv_depth maps to 3 rgb channels)."""
+def net_for_params(params):
+    """The module whose architecture matches a loaded checkpoint: UNet
+    checkpoints carry explicitly named layers ("enc0a", ...); plain stacks
+    carry auto-numbered "Conv_i" (depth = hidden layers, features = their
+    channel count)."""
     layers = params["params"]
+    if "enc0a" in layers:
+        return UNetDenoiser(base=int(layers["enc0a"]["kernel"].shape[-1]))
     depth = sum(1 for k in layers if k.startswith("Conv_")) - 1
     features = int(layers["Conv_0"]["kernel"].shape[-1])
     return DenoiserNet(features=features, depth=depth)
@@ -174,9 +228,18 @@ def apply_denoiser(
     if frame is not None:
         prev = jnp.where(jnp.asarray(frame) > 0, prev, spatial)
     analytic = prev + (spatial - prev) * denoise_ops._TEMPORAL_ALPHA
-    pred = model.apply(
-        params, noisy[None], prev[None], aux[None], analytic[None]
-    )[0]
+    # UNet strides need H, W divisible by 4: reflect-pad, predict, crop.
+    h, w = noisy.shape[:2]
+    ph, pw = (-h) % 4, (-w) % 4
+    if (ph or pw) and isinstance(model, UNetDenoiser):
+        pad = ((0, ph), (0, pw), (0, 0))
+        args = [jnp.pad(v, pad, mode="reflect")
+                for v in (noisy, prev, aux, analytic)]
+        pred = model.apply(params, *[v[None] for v in args])[0, :h, :w]
+    else:
+        pred = model.apply(
+            params, noisy[None], prev[None], aux[None], analytic[None]
+        )[0]
     alpha = jnp.ones(image.shape[:2] + (1,), jnp.float32)
     denoised = jnp.concatenate([pred, alpha], axis=-1)
     return denoised + (image - denoised) * (1.0 - mix)

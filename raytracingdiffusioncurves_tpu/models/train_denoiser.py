@@ -157,7 +157,7 @@ def _psnr_noisy(data) -> float:
 
 
 def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
-          lr=2e-3, seed=0):
+          lr=2e-3, seed=0, arch="cnn"):
     # data_path: one .npz or a comma-separated list (concatenated).
     parts = [dict(np.load(p)) for p in str(data_path).split(",")]
     data = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
@@ -166,7 +166,8 @@ def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
     import optax
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
-    model, state, tx = dn.create_train_state(jax.random.key(seed), crop, crop, sched)
+    model, state, tx = dn.create_train_state(
+        jax.random.key(seed), crop, crop, sched, arch=arch)
 
     best = (-1.0, state.params)
     for step in range(steps):
@@ -212,6 +213,9 @@ def main(argv=None):
     t.add_argument("--crop", type=int, default=64)
     t.add_argument("--lr", type=float, default=2e-3)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--arch", default="cnn", choices=("cnn", "unet"),
+                   help="unet: multi-scale encoder/decoder (wider receptive "
+                   "field; needs --crop a multiple of 4)")
     t.add_argument("--device", default="cpu", choices=("cpu", "auto"),
                    help="train defaults to CPU: the model is tiny, and the "
                    "single-client TPU tunnel must not be shared with a "
@@ -235,7 +239,7 @@ def main(argv=None):
 
             clear_backends()
         train(args.data, args.val, args.out, args.steps, args.batch, args.crop,
-              args.lr, args.seed)
+              args.lr, args.seed, arch=args.arch)
 
 
 if __name__ == "__main__":

@@ -121,6 +121,15 @@ _TILED_REDUCE = True
 # drops the fallback); "no_fallback" keeps root isolation but never takes the
 # strict-fallback gather.  Attribution only — output is WRONG at silhouettes.
 _EXACT_ABLATE = None
+# Dense-scene attribution knobs (output WRONG where they bite — probes only):
+# skip the slot->global id remap after the capped-list walk / skip the seeded
+# chunk-walk continuation for overflowed cells.
+_ABLATE_REMAP = False
+_ABLATE_OVERFLOW_FB = False
+# Slot->global remap implementation: False = 128-row masked-sum reduction,
+# True = hi/lo bf16 one-hot MXU contraction (exact: id = hi*128 + lo, both
+# < 256, integers below 2^8 are exact in bf16).  Output-identical; probed.
+_REMAP_MXU = False
 
 # In-frame (non-hoisted) prepasses build the per-cell slot shade table only
 # when at least this many wedges will gather from it; below the threshold
@@ -741,12 +750,32 @@ def _trace_kernel(
                     )
 
                     def remap(pk):
+                        if _ABLATE_REMAP:  # attribution probe: slot ids ride
+                            return pk, jnp.zeros((1, R), jnp.int32)
                         slot = pk & _ID_MASK
-                        g = jnp.sum(
-                            jnp.where(ids_l == slot, idcol, 0.0),
-                            axis=0,
-                            keepdims=True,
-                        ).astype(jnp.int32)
+                        if _REMAP_MXU:
+                            # hi/lo bf16 MXU remap: id = hi*128 + lo with
+                            # hi, lo < 256 (exact in bf16); one (L, 2) @
+                            # (L, R) contraction replaces the 128-row
+                            # masked-sum reduction.
+                            onehot = (ids_l == slot).astype(jnp.bfloat16)
+                            hi_f = jnp.floor(idcol * jnp.float32(1.0 / 128.0))
+                            hl = jnp.concatenate(
+                                [hi_f, idcol - hi_f * 128.0], axis=1
+                            ).astype(jnp.bfloat16)  # (L, 2)
+                            two = jax.lax.dot_general(
+                                hl, onehot, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # (2, R)
+                            g = (
+                                two[0:1] * 128.0 + two[1:2]
+                            ).astype(jnp.int32)
+                        else:
+                            g = jnp.sum(
+                                jnp.where(ids_l == slot, idcol, 0.0),
+                                axis=0,
+                                keepdims=True,
+                            ).astype(jnp.int32)
                         # split so the common unpack (pk & mask) + ch * sc
                         # reconstructs g:  g = (g >> ID_BITS) * 2^ID_BITS
                         #                    + (g & mask),  ch * sc matches
@@ -782,18 +811,21 @@ def _trace_kernel(
                     # walk; on lady_bug 1080p that walk was ~70% of the
                     # frame.)
                     st0 = _cand_branch()
-                    bt_up = jax.lax.bitcast_convert_type(
-                        (st0[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
-                    )
-                    worst = jnp.minimum(
-                        jnp.max(bt_up) * jnp.float32(1.00001), tb_full
-                    )
-                    need = (cnt > cand_len) & (
-                        cslb_ref[0, pid_w, cand_len] < worst
-                    )
-                    sweep_st = jax.lax.cond(
-                        need, _chunk_walk, lambda s: s, st0
-                    )
+                    if _ABLATE_OVERFLOW_FB:  # attribution probe
+                        sweep_st = st0
+                    else:
+                        bt_up = jax.lax.bitcast_convert_type(
+                            (st0[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                        )
+                        worst = jnp.minimum(
+                            jnp.max(bt_up) * jnp.float32(1.00001), tb_full
+                        )
+                        need = (cnt > cand_len) & (
+                            cslb_ref[0, pid_w, cand_len] < worst
+                        )
+                        sweep_st = jax.lax.cond(
+                            need, _chunk_walk, lambda s: s, st0
+                        )
             elif n_chunks == 1:
                 sweep_st = intersect_chunk(0, far_state())
             elif use_chunk_lists and _bounce == 0:
@@ -1681,6 +1713,7 @@ def build_cand_grid(
                      float(pitch_y), nx, ny, float(zoom_max), gl)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n_px"))
 def grid_tables(
     grid: WorldGrid,
     scene: dev.DeviceScene,
@@ -1692,7 +1725,10 @@ def grid_tables(
     """Select this camera's per-(tile, wedge) tables from the world grid —
     one gather per table, jit-friendly (camera may be traced).  The result
     plugs into trace_sums_flat's ``cand_tables`` (with gather_len =
-    grid.gather_len).  The caller owns validity (grid_covers)."""
+    grid.gather_len).  The caller owns validity (grid_covers).  Jitted as
+    ONE dispatch: the eager form issued one device round trip per table,
+    which dominated the interactive per-dispatch wall time through the
+    single-client tunnel (viewer.py's moving-camera path)."""
     w, h = scene.width, scene.height
     if n_px is None:
         n_px = h * w

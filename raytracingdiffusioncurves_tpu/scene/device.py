@@ -232,8 +232,22 @@ def build_device_scene(
     flatten_subdivisions: int = 16,
     dtype=jnp.float32,
     max_sagitta: float = 0.25,
+    min_subdivisions: int | None = None,
 ) -> DeviceScene:
-    """Flatten a loaded scene into the device tables."""
+    """Flatten a loaded scene into the device tables.
+
+    ``min_subdivisions``: the per-segment subdivision FLOOR.  Default (None)
+    keeps ``flatten_subdivisions`` as the floor (every cubic gets at least
+    that many chords, however straight).  Dense scenes pass a small floor
+    (2-4) to let the bounded-sagitta rule alone size each segment: hit/miss
+    and hit attributes stay exact regardless (exact silhouettes: band-widened
+    sweep + root isolation decide against the true cubic; attribute knots
+    remain flattening breakpoints, so endpoint attribute limits are exact) —
+    only closest-hit ordering near quantized-key ties can flip, the same
+    MC-noise class as backend transcendental differences.  Measured: dolphin
+    28.8k -> 11.5k sub-segments, lady_bug 2.6k -> 1.3k."""
+    if min_subdivisions is None:
+        min_subdivisions = flatten_subdivisions
     rows: list[np.ndarray] = []  # shade rows
     p0s: list[np.ndarray] = []
     p1s: list[np.ndarray] = []
@@ -265,7 +279,7 @@ def build_device_scene(
         bpp = 6.0 * max(np.linalg.norm(a2), np.linalg.norm(b2))
         k_seg = int(
             min(
-                max(flatten_subdivisions, np.ceil(np.sqrt(bpp / (8.0 * max_sagitta)))),
+                max(min_subdivisions, np.ceil(np.sqrt(bpp / (8.0 * max_sagitta)))),
                 max(4 * flatten_subdivisions, 64),
             )
         )
