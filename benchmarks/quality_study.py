@@ -180,6 +180,69 @@ def register_local(scene_path, cap_img, start, size=256, rpp=16, blur=False,
     return {"zoom": z, "off_x": x, "off_y": y, "mse": m}
 
 
+def register_global(scene_path, cap_img, size=128, rpp=8, pool=8,
+                    suppress_endcaps=False, blur=False, top=3,
+                    zooms=None, offs=None):
+    """Exhaustive coarse camera search: render the scene over a full
+    (zoom, off_x, off_y) grid and compare POOLED means against the pooled
+    screencap — pooling kills MC noise/JPEG/banding sensitivity, so the
+    landscape is smooth enough that the best cells bracket the true camera
+    even from no seed at all (the round-2/3 seeded local searches landed in
+    wrong minima on cap/no_cap: the endpoint fan sits near the image CENTER
+    in both captures).  Returns the ``top`` best (zoom, off_x, off_y, mse)
+    at ``size`` scale, for register_local refinement."""
+    scene = rtdc.load_scene(
+        os.path.join(XMLS, scene_path), suppress_endcaps=suppress_endcaps
+    ).with_size(size, size)
+    dev = rtdc.build_device_scene(scene)
+    cfg = rtdc.RenderConfig(rays_per_pixel=rpp, use_blur=blur,
+                            use_denoiser=False, max_blur_radius=4)
+    from PIL import Image
+
+    cap = np.asarray(
+        Image.fromarray((cap_img * 255).astype(np.uint8)).resize((size, size)),
+        np.float64,
+    ) / 255.0
+    p = size // pool
+    ref_pool = jnp.asarray(
+        cap.reshape(p, pool, p, pool, 3).mean((1, 3)), jnp.float32
+    )
+
+    # zoom at `size` scale: a 512-capture zoom z shows the same view at
+    # size*z/512... the grid is defined directly at `size` scale.
+    if zooms is None:
+        zooms = np.geomspace(0.5, 5.0, 21)  # 512-view zoom 0.125..1.25 at 128
+    if offs is None:
+        offs = np.linspace(-160.0, 160.0, 17)
+    zg, xg, yg = np.meshgrid(zooms, offs, offs, indexing="ij")
+    zf = jnp.asarray(zg.reshape(-1), jnp.float32)
+    xf = jnp.asarray(xg.reshape(-1), jnp.float32)
+    yf = jnp.asarray(yg.reshape(-1), jnp.float32)
+
+    @jax.jit
+    def sweep():
+        def body(i, acc):
+            img, _ = renderer.trace_image(
+                dev, rtdc.Camera(zf[i], xf[i], yf[i]), cfg, 0,
+                backend=backend(),
+            )
+            rgb = jnp.clip(img[::-1, :, :3], 0.0, 1.0)
+            pp = rgb.reshape(p, pool, p, pool, 3).mean((1, 3))
+            m = jnp.mean((pp - ref_pool) ** 2)
+            return acc.at[i].set(m)
+
+        return jax.lax.fori_loop(
+            0, zf.shape[0], body, jnp.full((zf.shape[0],), 1e30, jnp.float32)
+        )
+
+    mses = np.asarray(sweep())
+    order = np.argsort(mses)[:top]
+    return [
+        (float(zf[i]), float(xf[i]), float(yf[i]), float(mses[i]))
+        for i in order
+    ]
+
+
 def part_lb(results):
     """lady_bug decomposition vs lb16/lb128 (512x512, startup camera)."""
     cam = rtdc.Camera()
@@ -229,28 +292,27 @@ def part_caps(results):
     dome-edge + base-fan correspondence against gradient512.png)."""
     rows = {}
 
-    def register_line(capname, end_world_x, end_px, suppressed):
+    def register_line(capname, suppressed):
+        # Global pooled-MSE grid first (round-3 fix: the round-2 geometric
+        # seeds put the endpoint fan at an image EDGE; both captures have
+        # it near the CENTER, and the seeded local search stayed in the
+        # wrong basin), then sub-pixel local refinement from the top seeds.
         cap_img = ref_img(capname)
+        seeds = register_global("line.xml", cap_img,
+                                suppress_endcaps=suppressed)
         best = None
-        for z in (0.5, 0.75, 1.0, 1.5):
-            # endpoint constraint: (end_px - 256) * z + off_x = end_world_x
-            # (end_world_x is already CENTERED world coordinates)
-            start = (end_world_x - (end_px[0] - 256) * z,
-                     -(end_px[1] - 256) * z)
+        for z128, x, y, _ in seeds:
             reg = register_local(
-                "line.xml", cap_img, (z, start[0], start[1]), size=256,
-                rpp=16, rounds=((0.15, 7), (0.05, 7), (0.015, 5)),
+                "line.xml", cap_img, (z128 / 2.0, x, y), size=256,
+                rpp=16, rounds=((0.2, 9), (0.05, 7), (0.015, 5), (0.005, 5)),
                 suppress_endcaps=suppressed,
             )
             if best is None or reg["mse"] < best["mse"]:
                 best = reg
         return best
 
-    # no_cap: left end (world x = 128 - 256 = -128 centered) notch at
-    # cap pixel ~(10, 255); cap: the fan sits at the RIGHT end (world
-    # +128 centered) at pixel ~(250, 255).
-    reg_nc = register_line("no_cap.png", -128.0, (10, 255), True)
-    reg_c = register_line("cap.png", 128.0, (250, 255), False)
+    reg_nc = register_line("no_cap.png", True)
+    reg_c = register_line("cap.png", False)
     for name, reg, sup in (("no_cap", reg_nc, True), ("cap", reg_c, False)):
         z512 = reg["zoom"] * 256 / 512
         cam = rtdc.Camera(z512, reg["off_x"], reg["off_y"])
@@ -271,16 +333,14 @@ def part_caps(results):
                            suppress_endcaps=not sup)
         rows[f"{name}_wrong_capstate_control"] = round(psnr(other, ref), 2)
 
-    # gradient128AA: arch.xml at an offset camera.  Seed from the offline
-    # correspondence fit vs gradient512.png (same view, higher rpp):
-    # zoom512 ~ 0.4, off ~ (128 + 128 s, 119 + 2 s).
+    # gradient128AA: arch.xml at an offset camera — global grid + local
+    # refinement, same recipe as the cap rows.
     g = ref_img("gradient128AA.png")
     best = None
-    for s0 in (0.3, 0.4, 0.5):
-        start = (s0 * 2.0, 128.0 + 128.0 * s0, 119.0 + 2.0 * s0)
-        reg = register_local("arch.xml", g, start, size=256, rpp=16,
-                             rounds=((0.2, 9), (0.06, 7), (0.02, 7),
-                                     (0.007, 5)))
+    for z128, x, y, _ in register_global("arch.xml", g):
+        reg = register_local("arch.xml", g, (z128 / 2.0, x, y), size=256,
+                             rpp=16, rounds=((0.12, 7), (0.04, 7), (0.012, 5),
+                                             (0.004, 5)))
         if best is None or reg["mse"] < best["mse"]:
             best = reg
     zoom512 = best["zoom"] * 256 / 512
@@ -326,17 +386,17 @@ def part_blurex(results):
     the round-2 single-start 128px registration landed at ~15 dB)."""
     rows = {}
     cap = ref_img("blur-ex.jpg")
-    starts = [(3.186445 * 128 / 256, -150.151, -93.143)]
-    # multi-start around plausible detail views (zoomed-in, quadrant pans)
-    for z in (1.0, 2.0, 4.0):
-        for x in (-150.0, -80.0, 0.0, 80.0):
-            for y in (-90.0, 0.0, 90.0):
-                starts.append((z * 512 / 256, x, y))
+    # Global pooled-MSE grid (wider offset range: the capture is a detail
+    # view whose center can sit anywhere in the +-256 world), then local
+    # sub-pixel refinement from the top seeds.
+    seeds = register_global("DiffusionCurvePack/lady_bug.xml", cap, blur=True,
+                            offs=np.linspace(-220.0, 220.0, 23))
     best = None
-    for st in starts:
-        reg = register_local("DiffusionCurvePack/lady_bug.xml", cap, st,
-                             size=256, rpp=16, blur=True,
-                             rounds=((0.2, 7), (0.06, 7), (0.02, 5)))
+    for z128, x, y, _ in seeds:
+        reg = register_local("DiffusionCurvePack/lady_bug.xml", cap,
+                             (z128 / 2.0, x, y), size=256, rpp=16, blur=True,
+                             rounds=((0.12, 7), (0.04, 7), (0.012, 5),
+                                     (0.004, 5)))
         if best is None or reg["mse"] < best["mse"]:
             best = reg
     zoom512 = best["zoom"] * 256 / 512

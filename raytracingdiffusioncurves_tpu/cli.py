@@ -40,7 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--offset-y", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--flatten-k", type=int, default=16)
+    p.add_argument("--min-sub", type=int, default=None,
+                   help="per-segment subdivision FLOOR for adaptive "
+                   "flattening (dense scenes: 2-4 halves sub-segment count; "
+                   "hit/miss stays exact under exact silhouettes)")
     p.add_argument("--backend", choices=["auto", "jax", "pallas"], default="auto")
+    p.add_argument("--device", choices=["auto", "cpu"], default="auto",
+                   help="cpu: in-process platform switch BEFORE any device "
+                   "use (the JAX_PLATFORMS env var is overridden by TPU "
+                   "bootstraps on tunneled hosts; this flag is the reliable "
+                   "way to keep a render off a busy single-client TPU)")
     p.add_argument("--viewer", action="store_true", help="open the interactive viewer")
     p.add_argument("--devices", type=int, default=0, help="shard across N devices (0 = single)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -58,6 +67,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.device == "cpu":
+        # Switch before ANY device use (probing jax.default_backend() first
+        # would itself claim a tunneled TPU) — train_denoiser does the same.
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
 
     from . import (
         Camera,
@@ -80,7 +97,8 @@ def main(argv=None) -> int:
             scene = scene.with_size(args.width or scene.width,
                                     args.height or scene.height)
     with timer.phase("device_build"):
-        dev = build_device_scene(scene, flatten_subdivisions=args.flatten_k)
+        dev = build_device_scene(scene, flatten_subdivisions=args.flatten_k,
+                                 min_subdivisions=args.min_sub)
     metrics.set("n_segments", dev.s_pad)
     metrics.set("width", scene.width)
     metrics.set("height", scene.height)

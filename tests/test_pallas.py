@@ -399,3 +399,68 @@ def test_walk_split_bitwise(split):
         tp.trace_sums_flat.clear_cache()
     np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
     np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
+
+
+def test_adaptive_flattening_min_sub():
+    """Dense-scene adaptive flattening (min_subdivisions=2): the bounded-
+    sagitta rule alone sizes each cubic.  Pins the three claims the dense
+    configs rely on (device.py::build_device_scene docstring): fewer
+    sub-segments, per-chord deviation bands still bounded by the sagitta
+    rule, and renders that match the uniform-floor build up to closest-hit
+    tie flips (hit/miss stays exact under exact silhouettes)."""
+    from raytracingdiffusioncurves_tpu.scene import device as dv
+
+    pts = [(5, 5), (20, 8), (35, 20), (50, 30), (55, 45), (40, 55), (30, 58),
+           (20, 55), (10, 45), (8, 35), (15, 25), (25, 20), (35, 18)]
+    xml = make_scene_xml(
+        [
+            simple_curve(
+                pts,
+                left=[(0, "255,0,0"), (40, "0,0,255")],
+                right=[(0, "0,255,0"), (40, "255,255,0")],
+            )
+        ]
+    )
+    scene = rtdc.load_scene_from_string(xml)
+    dev16 = rtdc.build_device_scene(scene, flatten_subdivisions=16)
+    dev_ad = rtdc.build_device_scene(scene, flatten_subdivisions=16,
+                                     min_subdivisions=2)
+    assert dev_ad.n_sub < dev16.n_sub  # the point of the small floor
+
+    # Per-sub-segment deviation bands (ALLT_BAND row, computed by
+    # _capsule_bands at build time) stay within the sagitta rule: the
+    # adaptive build may not widen the exact-silhouette band past
+    # max_sagitta (0.25 default) + the tube radius/derivative pad.
+    bands = np.asarray(dev_ad.shade_all_t)[dv.ALLT_BAND, : dev_ad.n_sub]
+    assert float(bands.max()) <= 0.30
+
+    # Renders agree with the uniform-floor build up to band-width winner
+    # ambiguity: per-candidate distances are exact (root isolation), but
+    # the pre-refine winner selection orders by chord keys +- the sagitta
+    # band, so rays passing within a band of two curve branches can pick
+    # either.  This 64-unit test world makes the 0.25 band ~8x larger
+    # relative to the scene than production scenes (lady_bug, 512 units:
+    # adaptive-vs-uniform 44.9 dB, ABOVE its 39.2 dB MC seed-flip floor —
+    # measured 2026-08-18, 256px x 32rpp, jax backend), so thresholds here
+    # are calibrated to that exaggerated class: a ~2% pixel fringe with a
+    # small mean.
+    cfg = rtdc.RenderConfig(rays_per_pixel=16, use_blur=False,
+                            use_denoiser=False)
+    img16, _ = rtdc.trace_image(dev16, rtdc.Camera(), cfg, backend="jax")
+    img_ad, _ = rtdc.trace_image(dev_ad, rtdc.Camera(), cfg, backend="jax")
+    d = np.abs(np.asarray(img16) - np.asarray(img_ad))
+    assert (d > 2e-3).mean() < 0.04, f"diff frac {(d > 2e-3).mean()}"
+    assert (d > 0.25).mean() < 0.01, f"flip frac {(d > 0.25).mean()}"
+    assert d.mean() < 6e-3
+
+    # And the Pallas kernel agrees with the JAX oracle on the adaptive
+    # tables (the config3 production path).  Wider windows make cross-
+    # backend junction ties slightly more common than the uniform-build
+    # 3e-5 allowance (a handful of rays).
+    img_p, bm_p = rtdc.trace_image(dev_ad, rtdc.Camera(), cfg, backend="pallas")
+    img_j, bm_j = rtdc.trace_image(dev_ad, rtdc.Camera(), cfg, backend="jax")
+    assert_parity(
+        (np.asarray(img_j), np.asarray(bm_j)),
+        (np.asarray(img_p), np.asarray(bm_p)),
+        frac=3e-4,
+    )
