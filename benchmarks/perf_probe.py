@@ -29,7 +29,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                wedge_samples=None, cheap=False, bisect_iters=None,
                dim_semantics=None, walk_split=None, wedge_cap=None,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
-               remap_mxu=None, min_sub=None):
+               remap_mxu=None, min_sub=None, sagitta=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -61,7 +61,9 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         scene = rtdc.load_scene(path)
         scene = scene.with_size(w, h)
         dev = rtdc.build_device_scene(
-            scene, **({"min_subdivisions": min_sub} if min_sub else {})
+            scene,
+            **({"min_subdivisions": min_sub} if min_sub else {}),
+            **({"max_sagitta": sagitta} if sagitta else {}),
         )
         kw = {"rays_per_block": rays_per_block} if rays_per_block else {}
         config = rtdc.RenderConfig(
@@ -415,6 +417,49 @@ PROBES = {
     "lb_mxuremap": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, remap_mxu=True, label="lb1080_256_mxuremap",
+    ),
+    # --- adaptive-flattening (config3 default) deep-dive: stage split at
+    # min_sub=2 and sagitta sweeps (larger sagitta halves sub-segments
+    # again; exactness class unchanged — device.py docstring)
+    "lb_ad_entry": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, ablate="entry",
+        label="lb1080_256_ad",
+    ),
+    "lb_ad_intersect": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, ablate="intersect",
+        label="lb1080_256_ad",
+    ),
+    "lb_ad_gather": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, ablate="gather",
+        label="lb1080_256_ad",
+    ),
+    "lb_ad_s05": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        label="lb1080_256_ad_s05",
+    ),
+    "lb_ad_s10": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=1.0,
+        label="lb1080_256_ad_s10",
+    ),
+    "lb_ad_rb2k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, rays_per_block=2048,
+        label="lb1080_256_ad_rb2k",
+    ),
+    "dol_ad_s05": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        label="dol1080_64_ad_sw2_s05",
+    ),
+    "dol_ad_s10": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=1.0, wedge_samples=2,
+        label="dol1080_64_ad_sw2_s10",
     ),
     "dol_noremap": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,

@@ -14,6 +14,7 @@ time printed once, mean frame time printed at exit
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 
@@ -32,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-denoiser", action="store_true")
     p.add_argument("--denoiser-weights", default=None, metavar="MSGPACK",
                    help="trained CNN denoiser weights (models/train_denoiser.py); "
-                   "replaces the analytic temporal denoiser")
+                   "replaces the analytic temporal denoiser.  Default: the "
+                   "newest shipped weights/denoiser*.msgpack; 'none' forces "
+                   "the analytic pass")
     p.add_argument("--no-aa", action="store_true")
     p.add_argument("--no-diffusion-save", action="store_true")
     p.add_argument("--zoom", type=float, default=1.0)
@@ -118,11 +121,24 @@ def main(argv=None) -> int:
         state, camera, _ = load_session(args.resume)
         print(f"resumed at frame {int(state.frame)} from {args.resume}")
 
+    # Denoiser weights: an explicit path wins; the default ("auto") uses the
+    # newest shipped checkpoint so `use_denoiser` means the TRAINED model
+    # out of the box (the reference's pretrained OptiX model needs no flag
+    # either, optixHello.cpp:1057); "none" forces the analytic pass.
     denoiser_params = None
-    if args.denoiser_weights:
+    if not args.no_denoiser and args.denoiser_weights != "none":
         from .models import denoiser as dn
 
-        denoiser_params = dn.load_params(args.denoiser_weights)
+        if args.denoiser_weights not in (None, "auto"):
+            denoiser_params = dn.load_params(args.denoiser_weights)
+        else:
+            import glob as _glob
+
+            root = os.path.join(os.path.dirname(__file__), "..", "weights")
+            cands = sorted(_glob.glob(os.path.join(root, "denoiser*.msgpack")),
+                           key=os.path.getmtime, reverse=True)
+            if cands:
+                denoiser_params = dn.load_params(cands[0])
 
     # Hoist the camera-dependent acceleration tables (the one-time accel
     # build, optixHello.cpp:764-830): the CLI renders a static camera, so
