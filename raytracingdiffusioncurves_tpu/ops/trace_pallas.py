@@ -569,9 +569,18 @@ def _trace_kernel(
                         # conservative for both), quantized UP one key step;
                         # primary rays are unit-length to ~5e-7
                         # (fastmath.sincos), covered by the 1e-5 slack.
+                        # PER-RAY min(best, scene-exit) BEFORE the block max:
+                        # a ray that leaves the scene quickly cannot force
+                        # walks on behalf of its FAR best (nothing past its
+                        # exit is hittable) — strictly tighter than the
+                        # block-max texit clamp, still exact.
                         bt_up = jax.lax.bitcast_convert_type(
                             (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
                         )
+                        if texit is not None:
+                            bt_up = jnp.minimum(
+                                bt_up, texit * jnp.float32(1.00002)
+                            )
                         worst = jnp.minimum(
                             jnp.max(bt_up) * jnp.float32(1.00001), tb_full
                         )
@@ -663,12 +672,12 @@ def _trace_kernel(
                             dxq, dyq = dxf[:, sl_q], dyf[:, sl_q]
                             crq = crossf[:, sl_q]
                             bdq = band_dsc[:, sl_q] if exact else None
-                            # per-sub-range scene-exit bound (tighter than
-                            # the block's)
-                            tb_q = (
-                                jnp.max(texit[:, sl_q]) * jnp.float32(1.00002)
+                            # per-ray scene-exit bound (min'd against each
+                            # ray's best in walk_cond — see _chunk_walk)
+                            texq = (
+                                texit[:, sl_q] * jnp.float32(1.00002)
                                 if texit is not None
-                                else FAR
+                                else None
                             )
                             ids_8q = jax.lax.broadcasted_iota(
                                 jnp.int32, (8, rq), 0
@@ -706,9 +715,10 @@ def _trace_kernel(
                                     + np.int32(1 << ID_BITS),
                                     f32,
                                 )
-                                worst = jnp.minimum(
-                                    jnp.max(bt_up) * jnp.float32(1.00001),
-                                    tb_q,
+                                if texq is not None:
+                                    bt_up = jnp.minimum(bt_up, texq)
+                                worst = (
+                                    jnp.max(bt_up) * jnp.float32(1.00001)
                                 )
                                 return (g < n_groups) & (
                                     cslb_ref[0, pid_w, g * 8] < worst
@@ -817,6 +827,13 @@ def _trace_kernel(
                         bt_up = jax.lax.bitcast_convert_type(
                             (st0[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
                         )
+                        # per-ray min(best, scene-exit) before the block max
+                        # (see walk_cond): rays that exit the scene cannot
+                        # trigger the fallback for hits they can't see.
+                        if texit is not None:
+                            bt_up = jnp.minimum(
+                                bt_up, texit * jnp.float32(1.00002)
+                            )
                         worst = jnp.minimum(
                             jnp.max(bt_up) * jnp.float32(1.00001), tb_full
                         )
@@ -905,8 +922,13 @@ def _trace_kernel(
                         (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
                     )
                     # tb_full is FAR past bounce 0 (portal rays re-enter);
-                    # maxd already scales key-space t to ray-parameter units
-                    worst = jnp.minimum(jnp.max(bt_up) * maxd, tb_full)
+                    # maxd already scales key-space t to ray-parameter units.
+                    # Per-ray min(best * maxd, scene-exit) before the max —
+                    # see _chunk_walk (texit is None past bounce 0).
+                    bt_up = bt_up * maxd
+                    if texit is not None:
+                        bt_up = jnp.minimum(bt_up, texit * jnp.float32(1.00002))
+                    worst = jnp.minimum(jnp.max(bt_up), tb_full)
                     take = (chunk_lb(c) < worst) & (c != near_c)
                     return jax.lax.cond(
                         take,

@@ -99,6 +99,30 @@ def test_render_frame_with_learned_denoiser():
     assert np.isfinite(np.asarray(img2)).all()
 
 
+def test_shipped_weights_load_and_apply():
+    """The shipped checkpoint(s) under weights/ must restore structurally
+    (load_params is architecture-agnostic), resolve to a matching module
+    (net_for_params) and denoise a frame to finite values — pins the
+    artifact the CLI auto-loads by default."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "weights")
+    paths = sorted(glob.glob(os.path.join(root, "denoiser*.msgpack")))
+    assert paths, "no shipped denoiser weights"
+    for p in paths:
+        params = dn.load_params(p)
+        model = dn.net_for_params(params)
+        image = jnp.concatenate(
+            [jnp.linspace(0, 1, 23 * 37 * 3).reshape(23, 37, 3),
+             jnp.ones((23, 37, 1))], axis=-1)  # odd dims: UNet pad path
+        out = dn.apply_denoiser(
+            model, params, image, image, jnp.zeros((23, 37)), frame=1
+        )
+        assert out.shape == (23, 37, 4)
+        assert np.isfinite(np.asarray(out)).all(), p
+
+
 def test_warp_separable_matches_generic():
     """The MXU separable warp must match the generic gather warp on every
     flow this renderer produces (zoom + pan accumulations,
