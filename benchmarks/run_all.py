@@ -103,8 +103,18 @@ def config3(backend, frames):
     cfg = rtdc.RenderConfig(rays_per_pixel=256, use_blur=True, use_denoiser=True)
     cam = rtdc.Camera()
     tb, gl = _tables(dev, cam, cfg, backend)
+    # the shipped trained denoiser, like the CLI default ("denoiser on"
+    # means the trained model, not the analytic fallback)
+    import glob
+
+    from raytracingdiffusioncurves_tpu.models import denoiser as dn
+
+    cands = sorted(glob.glob("weights/denoiser*.msgpack"),
+                   key=lambda p: -__import__("os").path.getmtime(p))
+    dnp = dn.load_params(cands[0]) if cands else None
     run = lambda st: rtdc.render_frame(
-        dev, cam, st, cfg, backend=backend, cand_tables=tb, gather_len=gl)
+        dev, cam, st, cfg, backend=backend, cand_tables=tb, gather_len=gl,
+        denoiser_params=dnp)
     ms = _time_frames(run, rtdc.init_frame_state(1920, 1088), frames)
     # 1088 rows, not 1080: the tiled trace covers whole 8-row bands and the
     # mesh shards whole rows; the metric name says so (VERDICT r1 weak #6).
