@@ -187,7 +187,8 @@ def main(argv=None) -> int:
     if args.viewer:
         from .viewer import run_viewer
 
-        run_viewer(dev, config, camera, backend=args.backend, tables=scene)
+        run_viewer(dev, config, camera, backend=args.backend, tables=scene,
+                   denoiser_params=denoiser_params)
         return 0
 
     import contextlib

@@ -40,11 +40,15 @@ class InteractiveSession:
         backend: str = "auto",
         tables=None,
         progressive: bool = False,
+        denoiser_params=None,
     ):
         self.scene = scene
         self.config = config
         self.camera = camera
         self.backend = backend
+        # Trained CNN weights; None = the analytic temporal pass (the
+        # reference GUI always runs its pretrained model, optixHello.cpp:1057)
+        self.denoiser_params = denoiser_params
         self.state = renderer.init_frame_state(scene.width, scene.height)
         self.frame_times: list[float] = []
         # Progressive refinement: accumulate rays_per_pixel fresh rays per
@@ -173,6 +177,7 @@ class InteractiveSession:
                 backend=self.backend,
                 cand_tables=cand_tables,
                 gather_len=gather_len,
+                denoiser_params=self.denoiser_params,
             )
             self._moved = False
         else:
@@ -180,6 +185,7 @@ class InteractiveSession:
                 self.scene, self.camera, self.state, self.config,
                 backend=self.backend, cand_tables=cand_tables,
                 gather_len=gather_len,
+                denoiser_params=self.denoiser_params,
             )
         image.block_until_ready()
         self.frame_times.append(time.perf_counter() - t0)
@@ -201,12 +207,13 @@ class InteractiveSession:
         return 1000.0 * sum(self.frame_times) / len(self.frame_times)
 
 
-def run_viewer(scene: DeviceScene, config: RenderConfig, camera: Camera = Camera(), backend: str = "auto", tables=None):
+def run_viewer(scene: DeviceScene, config: RenderConfig, camera: Camera = Camera(), backend: str = "auto", tables=None, denoiser_params=None):
     """Open a matplotlib window with scroll-zoom / drag-pan / 's' screenshot.
 
     Falls back to a headless message when no display is available.
     """
-    session = InteractiveSession(scene, config, camera, backend, tables=tables)
+    session = InteractiveSession(scene, config, camera, backend, tables=tables,
+                                 denoiser_params=denoiser_params)
     try:
         import matplotlib
 
