@@ -152,7 +152,11 @@ def test_parity_multichunk_portals():
     assert (d > 1e-3).mean() < 3e-5
 
 
-@pytest.mark.parametrize("rpp", [1, 4, 32])
+@pytest.mark.parametrize(
+    "rpp",
+    [pytest.param(1, marks=pytest.mark.slow),
+     pytest.param(4, marks=pytest.mark.slow), 32],
+)
 def test_parity_rpp_blocking(rpp):
     """Exercises the R / px_per_program blocking math for awkward fan sizes."""
     xml = make_scene_xml([simple_curve([(10, 32), (30, 32), (40, 32), (50, 32)])], width=32, height=32)
@@ -228,6 +232,7 @@ def test_hoisted_cand_tables_match_inline(ref_xml_dir):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(c), err_msg=xml)
 
 
+@pytest.mark.slow
 def test_world_grid_matches_inline(ref_xml_dir):
     """WorldGrid (camera-independent accel, the reference BVH's role): the
     per-frame grid_tables selection must reproduce the inline per-camera
@@ -401,6 +406,7 @@ def test_walk_split_bitwise(split):
     np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
 
 
+@pytest.mark.slow
 def test_adaptive_flattening_min_sub():
     """Dense-scene adaptive flattening (min_subdivisions=2): the bounded-
     sagitta rule alone sizes each cubic.  Pins the three claims the dense

@@ -132,6 +132,7 @@ def test_blur_map_renders_curve_blur_values():
     np.testing.assert_allclose(bmap[32, 8], 3.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_deterministic_given_seed_and_frame():
     dev = build(make_scene_xml([vline(0)]))
     a, _ = render(dev, rpp=8)

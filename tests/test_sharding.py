@@ -69,6 +69,7 @@ def test_sharded_full_frame_close_to_single(scene_dev):
     np.testing.assert_allclose(np.asarray(img_s2), np.asarray(img_12), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_backend(scene_dev):
     """The Pallas megakernel runs inside shard_map (interpret mode on CPU)."""
     cfg = rtdc.RenderConfig(rays_per_pixel=4, use_blur=False, use_denoiser=False)
@@ -146,6 +147,7 @@ def test_sharded_full_frame_with_cnn_denoiser(scene_dev):
     np.testing.assert_allclose(np.asarray(img_s2), np.asarray(img_12), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_progressive_matches_single(scene_dev):
     """The multi-chip progressive accumulator reproduces the single-chip
     progressive path (same RNG streams, same sums)."""

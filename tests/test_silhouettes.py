@@ -61,6 +61,7 @@ def test_deep_zoom_matches_high_k_oracle():
     assert a_exact > a_legacy
 
 
+@pytest.mark.slow
 def test_exact_mode_pallas_agrees_with_jax_deep_zoom():
     a = render(8, 0.05, exact=True, off=ON_CURVE, backend="jax")
     b = render(8, 0.05, exact=True, off=ON_CURVE, backend="pallas")
