@@ -28,11 +28,13 @@ ARCH = "/root/reference/optixHello/xmls/arch.xml"
 LADY = "/root/reference/optixHello/xmls/DiffusionCurvePack/lady_bug.xml"
 
 
-def _scene(path, w, h, k=16, min_sub=None):
+def _scene(path, w, h, k=16, min_sub=None, sagitta=None):
     scene = rtdc.load_scene(path)
     scene = scene.with_size(w, h)
-    return rtdc.build_device_scene(scene, flatten_subdivisions=k,
-                                   min_subdivisions=min_sub)
+    return rtdc.build_device_scene(
+        scene, flatten_subdivisions=k, min_subdivisions=min_sub,
+        **({"max_sagitta": sagitta} if sagitta else {}),
+    )
 
 
 def _tables(dev, cam, cfg, backend):
@@ -96,10 +98,11 @@ def config2(backend, frames):
 
 def config3(backend, frames):
     # 1080p rounded to shardable rows.  min_sub=2: bounded-sagitta adaptive
-    # flattening alone sizes each cubic (2.6k -> 1.3k sub-segments); hit/miss
-    # and attributes stay exact under exact silhouettes (device.py docstring).
-    # Measured 995 -> ~620 ms (batch9 lb1080_256_ad).
-    dev = _scene(LADY, 1920, 1088, min_sub=2)
+    # flattening alone sizes each cubic; sagitta 0.5 is the measured
+    # quality-safe point (adaptive-vs-uniform 41.7 dB, above the 39.2 dB MC
+    # seed-flip floor; 1.0 dips below it at 38.0).  995 -> 535 ms trace
+    # (batch10 lb1080_256_ad_s05).
+    dev = _scene(LADY, 1920, 1088, min_sub=2, sagitta=0.5)
     cfg = rtdc.RenderConfig(rays_per_pixel=256, use_blur=True, use_denoiser=True)
     cam = rtdc.Camera()
     tb, gl = _tables(dev, cam, cfg, backend)
