@@ -29,7 +29,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                wedge_samples=None, cheap=False, bisect_iters=None,
                dim_semantics=None, walk_split=None, wedge_cap=None,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
-               remap_mxu=None, min_sub=None, sagitta=None):
+               remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -57,6 +57,10 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_OVERFLOW_FB = ablate_offb
     if remap_mxu is not None:
         trace_pallas._REMAP_MXU = remap_mxu
+    cl_saved = trace_pallas._CAND_LEVELS
+    if cand_levels is not None:
+        trace_pallas._CAND_LEVELS = cand_levels
+        trace_pallas.build_cand_tables.clear_cache()
     try:
         scene = rtdc.load_scene(path)
         scene = scene.with_size(w, h)
@@ -147,6 +151,9 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_REMAP = False
         trace_pallas._ABLATE_OVERFLOW_FB = False
         trace_pallas._REMAP_MXU = False
+        if cand_levels is not None:
+            trace_pallas._CAND_LEVELS = cl_saved
+            trace_pallas.build_cand_tables.clear_cache()
 
 
 def time_prepass(path, w, h, rpp, frames=50, label=""):
@@ -417,6 +424,34 @@ PROBES = {
     "lb_mxuremap": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, remap_mxu=True, label="lb1080_256_mxuremap",
+    ),
+    # --- multi-LEVEL capped lists (round-3): A/B the level count at the
+    # shipped dense defaults (min_sub=2, sagitta=0.5; dolphin adds sw2) ---
+    **{
+        f"lb_s05_l{lv}": (lambda lv=lv: time_trace(
+            f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+            frames=3, hoist=True, min_sub=2, sagitta=0.5, cand_levels=lv,
+            label=f"lb1080_256_s05_l{lv}",
+        ))
+        for lv in (1, 2, 3, 4)
+    },
+    **{
+        f"dol_s05_sw2_l{lv}": (lambda lv=lv: time_trace(
+            f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+            frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+            cand_levels=lv, label=f"dol1080_64_s05_sw2_l{lv}",
+        ))
+        for lv in (1, 2, 3, 4)
+    },
+    "lb_s05_l3_nooffb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, cand_levels=3,
+        ablate_offb=True, label="lb1080_256_s05_l3_nooffb",
+    ),
+    "dol_s05_sw2_l3_nooffb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cand_levels=3, ablate_offb=True, label="dol1080_64_s05_sw2_l3_nooffb",
     ),
     # --- adaptive-flattening (config3 default) deep-dive: stage split at
     # min_sub=2 and sagitta sweeps (larger sagitta halves sub-segments

@@ -154,6 +154,25 @@ _SCENE_HORIZON = True
 # lists without an exit).
 _WALK_SPLIT = 1
 
+# Capped-list LEVELS for dense scenes (s_pad > 128): each level holds 128
+# distance-sorted slots; levels past the first are walked only when their
+# horizon still beats some ray's best hit, and the chunk-walk fallback fires
+# only past the LAST level's horizon.  More levels trade table HBM + a
+# per-wedge cond for fewer chunk-walk fallbacks (the dominant dolphin cost
+# at 1 level: ~68% of the frame).
+_CAND_LEVELS = 3
+
+
+def _cand_len_for(s_pad: int) -> int:
+    """Candidate-list slot capacity for a scene: everything (slot mode) for
+    scenes within one 128-slot level, else _CAND_LEVELS levels (capped at
+    the scene size rounded up to whole levels)."""
+    if s_pad <= (1 << ID_BITS):
+        return s_pad
+    return (1 << ID_BITS) * min(
+        _CAND_LEVELS, -(-s_pad // (1 << ID_BITS))
+    )
+
 
 def _choose_block(
     rpp: int, rays_per_block: int, multi_chunk: bool = False,
@@ -609,13 +628,169 @@ def _trace_kernel(
                 # tie-break).  slot_mode: the winner's shade row is gathered
                 # from the per-wedge slot table with a gather_len-row
                 # one-hot; otherwise slots remap to global ids post-sweep.
+                #
+                # Multi-LEVEL capped lists (round 3): dense scenes carry
+                # n_lvls x 128 distance-sorted slots; only the first 128
+                # (level 0) are walked unconditionally.  Each further level
+                # is walked — staged into the same scratch, remapped with
+                # its own TC_ID row, merged — only when candidates beyond
+                # the previous levels could still win (same horizon logic
+                # as the chunk-walk fallback, per level).  The seeded chunk
+                # walk then fires only past the LAST level's horizon: on
+                # dolphin 1080p the chunk-walk fallback was ~68% of the
+                # frame with a single 128-slot level.
                 cand_len = tconsts_ref.shape[3]
+                lvl_cap = min(cand_len, 1 << ID_BITS)  # slots per level
+                n_lvls = cand_len // lvl_cap
                 cnt = ccand_ref[0, pid_w, 0]
                 # Slot-major consts staged through a VMEM scratch: Mosaic
                 # supports dynamic sublane slices on REFS, not on values.
                 tc_scratch[...] = _transpose_block(
-                    tconsts_ref[0, pid_w]
-                )  # (L, TC_ROWS)
+                    tconsts_ref[0, pid_w, :, :lvl_cap]
+                )  # (lvl_cap, TC_ROWS)
+
+                ids_lvl = jax.lax.broadcasted_iota(jnp.int32, (lvl_cap, R), 0)
+
+                def remap_slots(pk):
+                    """slot -> global id for the CURRENTLY STAGED level: one
+                    masked sum over its TC_ID row, then split the id into
+                    (low ID_BITS, chunk) so the common unpack
+                    best_i = (pk & mask) + ch * sc holds."""
+                    if _ABLATE_REMAP:  # attribution probe: slot ids ride
+                        return pk, jnp.zeros((1, R), jnp.int32)
+                    idcol = tc_scratch[:, cand_mod.TC_ID : cand_mod.TC_ID + 1]
+                    slot = pk & _ID_MASK
+                    if _REMAP_MXU:
+                        # hi/lo bf16 MXU remap: id = hi*128 + lo with
+                        # hi, lo < 256 (exact in bf16); one (L, 2) @
+                        # (L, R) contraction replaces the 128-row
+                        # masked-sum reduction.
+                        onehot = (ids_lvl == slot).astype(jnp.bfloat16)
+                        hi_f = jnp.floor(idcol * jnp.float32(1.0 / 128.0))
+                        hl = jnp.concatenate(
+                            [hi_f, idcol - hi_f * 128.0], axis=1
+                        ).astype(jnp.bfloat16)  # (L, 2)
+                        two = jax.lax.dot_general(
+                            hl, onehot, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (2, R)
+                        g = (
+                            two[0:1] * 128.0 + two[1:2]
+                        ).astype(jnp.int32)
+                    else:
+                        g = jnp.sum(
+                            jnp.where(ids_lvl == slot, idcol, 0.0),
+                            axis=0,
+                            keepdims=True,
+                        ).astype(jnp.int32)
+                    # split so the common unpack (pk & mask) + ch * sc
+                    # reconstructs g:  g = (g >> ID_BITS) * 2^ID_BITS
+                    #                    + (g & mask),  ch * sc matches
+                    # via the 2^ID_BITS // sc multiplier.
+                    return (
+                        (pk & _KEY_MASK) | (g & _ID_MASK),
+                        jax.lax.shift_right_logical(g, ID_BITS)
+                        * ((1 << ID_BITS) // sc),
+                    )
+
+                def _list_walk(lb_off, tcap):
+                    """Distance-ordered early-exit walk of the 128-slot
+                    level staged in tc_scratch (lbs read at lane
+                    lb_off + g*8).  ``tcap``: optional (1, R) per-ray
+                    strict-t upper bound from the already-merged previous
+                    levels (quantized up one key step), so fallback levels
+                    exit against hits the earlier levels already found.
+                    Returns the (8, R) packed running minima (band, strict).
+
+                    _WALK_SPLIT > 1: the exit compares against the worst
+                    best-hit across the WHOLE block; splitting the ray lanes
+                    into Q static sub-ranges (contiguous pixel rows of the
+                    tile — ridx is pixel-major) walks each with its own
+                    tighter exit.  Lane slices are static and 128-aligned."""
+                    n_groups = (jnp.minimum(cnt - lb_off, lvl_cap) + 7) >> 3
+                    nq = _WALK_SPLIT if R % (128 * _WALK_SPLIT) == 0 else 1
+                    rq = R // nq
+
+                    def quarter_walk(qi):
+                        sl_q = slice(qi * rq, (qi + 1) * rq)
+                        oxq, oyq = oxf[:, sl_q], oyf[:, sl_q]
+                        dxq, dyq = dxf[:, sl_q], dyf[:, sl_q]
+                        crq = crossf[:, sl_q]
+                        bdq = band_dsc[:, sl_q] if exact else None
+                        # per-ray exit cap: min(scene exit, previous-level
+                        # best t) — each min'd against this walk's own
+                        # running best in walk_cond (see _chunk_walk)
+                        capq = (
+                            texit[:, sl_q] * jnp.float32(1.00002)
+                            if texit is not None
+                            else None
+                        )
+                        if tcap is not None:
+                            tq = tcap[:, sl_q]
+                            capq = tq if capq is None else jnp.minimum(capq, tq)
+                        ids_8q = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, rq), 0
+                        )
+
+                        def groupq(i, pks):
+                            sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
+                            g_b, g_s = packed_min(
+                                tc_scratch[sl, 0:1],
+                                tc_scratch[sl, 1:2],
+                                tc_scratch[sl, 2:3],
+                                tc_scratch[sl, 3:4],
+                                tc_scratch[sl, 4:5],
+                                tc_scratch[sl, 5:6],
+                                ids_8q + i * 8,
+                                band=tc_scratch[sl, 6:7] if exact else None,
+                                reduce_rows=False,
+                                ox=oxq, oy=oyq, dx=dxq, dy=dyq, cross=crq,
+                                bdsc=bdq,
+                            )
+                            return (
+                                jnp.minimum(pks[0], g_b),
+                                jnp.minimum(pks[1], g_s),
+                            )
+
+                        def walk_cond(st):
+                            g, pk8b, pk8s = st
+                            best = jnp.min(pk8s, axis=0, keepdims=True)
+                            # bitcast the VECTOR then reduce — Mosaic
+                            # rejects scalar tpu.bitcast (i32 -> f32);
+                            # positive-float bit patterns are monotone so
+                            # max commutes.
+                            bt_up = jax.lax.bitcast_convert_type(
+                                (best & _KEY_MASK)
+                                + np.int32(1 << ID_BITS),
+                                f32,
+                            )
+                            if capq is not None:
+                                bt_up = jnp.minimum(bt_up, capq)
+                            worst = (
+                                jnp.max(bt_up) * jnp.float32(1.00001)
+                            )
+                            return (g < n_groups) & (
+                                cslb_ref[0, pid_w, lb_off + g * 8] < worst
+                            )
+
+                        def walk_body(st):
+                            g, pk8b, pk8s = st
+                            pk8b, pk8s = groupq(g, (pk8b, pk8s))
+                            return g + 1, pk8b, pk8s
+
+                        farq = jnp.full((8, rq), _FAR_PACKED, jnp.int32)
+                        _, qb, qs = jax.lax.while_loop(
+                            walk_cond, walk_body, (jnp.int32(0), farq, farq)
+                        )
+                        return qb, qs
+
+                    if nq == 1:
+                        return quarter_walk(0)
+                    parts = [quarter_walk(qi) for qi in range(nq)]
+                    return (
+                        jnp.concatenate([p[0] for p in parts], axis=1),
+                        jnp.concatenate([p[1] for p in parts], axis=1),
+                    )
 
                 def _cand_branch():
                     ids_8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
@@ -639,9 +814,9 @@ def _trace_kernel(
 
                     far8 = jnp.full((8, R), _FAR_PACKED, jnp.int32)
                     # capped lists (cnt can read cand_len + 1 = "dropped")
-                    # walk at most the cand_len slots that exist
-                    n_groups = (jnp.minimum(cnt, cand_len) + 7) >> 3
-                    if slot_mode or cand_len >= s_pad:
+                    # walk at most the lvl_cap level-0 slots that exist
+                    n_groups = (jnp.minimum(cnt, lvl_cap) + 7) >> 3
+                    if slot_mode or (cand_len >= s_pad and n_lvls == 1):
                         pk8_b, pk8_s = jax.lax.fori_loop(
                             0, n_groups, group, (far8, far8)
                         )
@@ -656,193 +831,104 @@ def _trace_kernel(
                         # chunk walk; primary rays only (this branch is
                         # bounce 0).  On lady_bug 1080p the sweep was 817 of
                         # 1178 ms with the full fori walk.
-                        #
-                        # _WALK_SPLIT > 1: the exit compares against the
-                        # worst best-hit across the WHOLE block; splitting
-                        # the ray lanes into Q static sub-ranges (contiguous
-                        # pixel rows of the tile — ridx is pixel-major) walks
-                        # each with its own tighter exit.  Lane slices are
-                        # static and 128-aligned.
-                        nq = _WALK_SPLIT if R % (128 * _WALK_SPLIT) == 0 else 1
-                        rq = R // nq
-
-                        def quarter_walk(qi):
-                            sl_q = slice(qi * rq, (qi + 1) * rq)
-                            oxq, oyq = oxf[:, sl_q], oyf[:, sl_q]
-                            dxq, dyq = dxf[:, sl_q], dyf[:, sl_q]
-                            crq = crossf[:, sl_q]
-                            bdq = band_dsc[:, sl_q] if exact else None
-                            # per-ray scene-exit bound (min'd against each
-                            # ray's best in walk_cond — see _chunk_walk)
-                            texq = (
-                                texit[:, sl_q] * jnp.float32(1.00002)
-                                if texit is not None
-                                else None
-                            )
-                            ids_8q = jax.lax.broadcasted_iota(
-                                jnp.int32, (8, rq), 0
-                            )
-
-                            def groupq(i, pks):
-                                sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
-                                g_b, g_s = packed_min(
-                                    tc_scratch[sl, 0:1],
-                                    tc_scratch[sl, 1:2],
-                                    tc_scratch[sl, 2:3],
-                                    tc_scratch[sl, 3:4],
-                                    tc_scratch[sl, 4:5],
-                                    tc_scratch[sl, 5:6],
-                                    ids_8q + i * 8,
-                                    band=tc_scratch[sl, 6:7] if exact else None,
-                                    reduce_rows=False,
-                                    ox=oxq, oy=oyq, dx=dxq, dy=dyq, cross=crq,
-                                    bdsc=bdq,
-                                )
-                                return (
-                                    jnp.minimum(pks[0], g_b),
-                                    jnp.minimum(pks[1], g_s),
-                                )
-
-                            def walk_cond(st):
-                                g, pk8b, pk8s = st
-                                best = jnp.min(pk8s, axis=0, keepdims=True)
-                                # bitcast the VECTOR then reduce — Mosaic
-                                # rejects scalar tpu.bitcast (i32 -> f32);
-                                # positive-float bit patterns are monotone so
-                                # max commutes.
-                                bt_up = jax.lax.bitcast_convert_type(
-                                    (best & _KEY_MASK)
-                                    + np.int32(1 << ID_BITS),
-                                    f32,
-                                )
-                                if texq is not None:
-                                    bt_up = jnp.minimum(bt_up, texq)
-                                worst = (
-                                    jnp.max(bt_up) * jnp.float32(1.00001)
-                                )
-                                return (g < n_groups) & (
-                                    cslb_ref[0, pid_w, g * 8] < worst
-                                )
-
-                            def walk_body(st):
-                                g, pk8b, pk8s = st
-                                pk8b, pk8s = groupq(g, (pk8b, pk8s))
-                                return g + 1, pk8b, pk8s
-
-                            farq = jnp.full((8, rq), _FAR_PACKED, jnp.int32)
-                            _, qb, qs = jax.lax.while_loop(
-                                walk_cond, walk_body, (jnp.int32(0), farq, farq)
-                            )
-                            return qb, qs
-
-                        if nq == 1:
-                            pk8_b, pk8_s = quarter_walk(0)
-                        else:
-                            parts = [quarter_walk(qi) for qi in range(nq)]
-                            pk8_b = jnp.concatenate(
-                                [p[0] for p in parts], axis=1
-                            )
-                            pk8_s = jnp.concatenate(
-                                [p[1] for p in parts], axis=1
-                            )
+                        pk8_b, pk8_s = _list_walk(0, None)
                     pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
                     pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
                     zero = jnp.zeros((1, R), jnp.int32)
                     if slot_mode:
                         # keys keep the SLOT: the gather is slot-space
                         return (pk_b, zero, pk_s, zero)
-                    # slot -> global id: one masked sum over the TC_ID row,
-                    # then split the id into (low ID_BITS, chunk) so the
-                    # common unpack best_i = (pk & mask) + ch * sc holds.
-                    idcol = tc_scratch[:, cand_mod.TC_ID : cand_mod.TC_ID + 1]
-                    ids_l = jax.lax.broadcasted_iota(
-                        jnp.int32, (cand_len, R), 0
-                    )
-
-                    def remap(pk):
-                        if _ABLATE_REMAP:  # attribution probe: slot ids ride
-                            return pk, jnp.zeros((1, R), jnp.int32)
-                        slot = pk & _ID_MASK
-                        if _REMAP_MXU:
-                            # hi/lo bf16 MXU remap: id = hi*128 + lo with
-                            # hi, lo < 256 (exact in bf16); one (L, 2) @
-                            # (L, R) contraction replaces the 128-row
-                            # masked-sum reduction.
-                            onehot = (ids_l == slot).astype(jnp.bfloat16)
-                            hi_f = jnp.floor(idcol * jnp.float32(1.0 / 128.0))
-                            hl = jnp.concatenate(
-                                [hi_f, idcol - hi_f * 128.0], axis=1
-                            ).astype(jnp.bfloat16)  # (L, 2)
-                            two = jax.lax.dot_general(
-                                hl, onehot, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )  # (2, R)
-                            g = (
-                                two[0:1] * 128.0 + two[1:2]
-                            ).astype(jnp.int32)
-                        else:
-                            g = jnp.sum(
-                                jnp.where(ids_l == slot, idcol, 0.0),
-                                axis=0,
-                                keepdims=True,
-                            ).astype(jnp.int32)
-                        # split so the common unpack (pk & mask) + ch * sc
-                        # reconstructs g:  g = (g >> ID_BITS) * 2^ID_BITS
-                        #                    + (g & mask),  ch * sc matches
-                        # via the 2^ID_BITS // sc multiplier.
-                        return (
-                            (pk & _KEY_MASK) | (g & _ID_MASK),
-                            jax.lax.shift_right_logical(g, ID_BITS)
-                            * ((1 << ID_BITS) // sc),
-                        )
-
-                    pk_b, ch_b = remap(pk_b)
-                    pk_s, ch_s = remap(pk_s)
+                    pk_b, ch_b = remap_slots(pk_b)
+                    pk_s, ch_s = remap_slots(pk_s)
                     return (pk_b, ch_b, pk_s, ch_s)
 
-                if cand_len >= s_pad or slot_mode:
+                if slot_mode or (cand_len >= s_pad and n_lvls == 1):
                     # Overflow impossible — lists hold every segment, or the
                     # caller certified max count <= cand_len (slot_mode) —
                     # so no cond (a traced lax.cond costs real time per
                     # wedge even on the untaken side).
                     sweep_st = _cand_branch()
                 else:
-                    # Capped distance-sorted list + exact HORIZON fallback:
-                    # ALWAYS walk the (truncated) list first — its nearest-
-                    # <= cand_len candidates resolve most rays — then
-                    # continue into the sorted chunk walk, seeded with the
-                    # list's state, only when candidates were dropped
-                    # (cnt > cand_len) AND the first dropped candidate's
-                    # lower bound (the horizon, lbs slot cand_len) still
-                    # beats some ray's current best hit.  Every dropped
-                    # segment has lb >= horizon, so horizon >= worst means
-                    # no dropped segment can win — the fallback is exact.
+                    # Capped distance-sorted lists + exact HORIZON
+                    # fallbacks: ALWAYS walk level 0 first — its nearest-
+                    # <= 128 candidates resolve most rays — then walk each
+                    # further LEVEL, and finally the sorted chunk walk,
+                    # seeded with the merged state, only when candidates
+                    # beyond what was walked so far (cnt > slots walked)
+                    # could still win: every dropped/deferred segment has
+                    # lb >= that boundary's horizon, so horizon >= worst
+                    # means none can win — each fallback step is exact.
                     # (Round 2 sent overflowed cells straight to the chunk
                     # walk; on lady_bug 1080p that walk was ~70% of the
                     # frame.)
-                    st0 = _cand_branch()
+                    st = _cand_branch()
                     if _ABLATE_OVERFLOW_FB:  # attribution probe
-                        sweep_st = st0
+                        sweep_st = st
                     else:
-                        bt_up = jax.lax.bitcast_convert_type(
-                            (st0[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
-                        )
-                        # per-ray min(best, scene-exit) before the block max
-                        # (see walk_cond): rays that exit the scene cannot
-                        # trigger the fallback for hits they can't see.
-                        if texit is not None:
-                            bt_up = jnp.minimum(
-                                bt_up, texit * jnp.float32(1.00002)
+                        def _worst_of(pk_s_row):
+                            # worst per-ray best t of the STRICT chain,
+                            # quantized UP one key step; per-ray
+                            # min(best, scene-exit) BEFORE the block max
+                            # (see _chunk_walk's walk_cond): rays that exit
+                            # the scene cannot trigger fallbacks for hits
+                            # they can't see.
+                            bt_up = jax.lax.bitcast_convert_type(
+                                (pk_s_row & _KEY_MASK) + np.int32(1 << ID_BITS),
+                                f32,
                             )
-                        worst = jnp.minimum(
-                            jnp.max(bt_up) * jnp.float32(1.00001), tb_full
-                        )
-                        need = (cnt > cand_len) & (
-                            cslb_ref[0, pid_w, cand_len] < worst
-                        )
-                        sweep_st = jax.lax.cond(
-                            need, _chunk_walk, lambda s: s, st0
-                        )
+                            if texit is not None:
+                                bt_up = jnp.minimum(
+                                    bt_up, texit * jnp.float32(1.00002)
+                                )
+                            return jnp.minimum(
+                                jnp.max(bt_up) * jnp.float32(1.00001), tb_full
+                            )
+
+                        for lvl in range(1, n_lvls):
+                            def _lvl_walk(st, lb_off=lvl * lvl_cap):
+                                tc_scratch[...] = _transpose_block(
+                                    tconsts_ref[
+                                        0, pid_w, :, lb_off : lb_off + lvl_cap
+                                    ]
+                                )
+                                # previous levels' per-ray strict best t,
+                                # quantized up: the level walk exits against
+                                # hits already found
+                                tcap = jax.lax.bitcast_convert_type(
+                                    (st[2] & _KEY_MASK)
+                                    + np.int32(1 << ID_BITS),
+                                    f32,
+                                )
+                                pk8_b, pk8_s = _list_walk(lb_off, tcap)
+                                pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
+                                pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
+                                pk_b, ch_b = remap_slots(pk_b)
+                                pk_s, ch_s = remap_slots(pk_s)
+                                # merge (strictly-less: equal quantized keys
+                                # keep the earlier level's nearer-lb winner,
+                                # matching intersect_chunk's update rule)
+                                upd_b = pk_b < st[0]
+                                upd_s = pk_s < st[2]
+                                return (
+                                    jnp.where(upd_b, pk_b, st[0]),
+                                    jnp.where(upd_b, ch_b, st[1]),
+                                    jnp.where(upd_s, pk_s, st[2]),
+                                    jnp.where(upd_s, ch_s, st[3]),
+                                )
+
+                            need_l = (cnt > lvl * lvl_cap) & (
+                                cslb_ref[0, pid_w, lvl * lvl_cap]
+                                < _worst_of(st[2])
+                            )
+                            st = jax.lax.cond(
+                                need_l, _lvl_walk, lambda s: s, st
+                            )
+                        if cand_len < s_pad:
+                            need = (cnt > cand_len) & (
+                                cslb_ref[0, pid_w, cand_len] < _worst_of(st[2])
+                            )
+                            st = jax.lax.cond(need, _chunk_walk, lambda s: s, st)
+                        sweep_st = st
             elif n_chunks == 1:
                 sweep_st = intersect_chunk(0, far_state())
             elif use_chunk_lists and _bounce == 0:
@@ -1563,10 +1649,12 @@ def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
 _CAND_TABLE_HBM_CAP = 6 << 30
 
 
-def _seg_table_bytes(n_blocks: int, n_wedges: int, g8: int, slot: bool) -> int:
-    per_cell = cand_mod.TC_ROWS * 128 * 4
+def _seg_table_bytes(
+    n_blocks: int, n_wedges: int, g8: int, slot: bool, cand_len: int = 128
+) -> int:
+    per_cell = cand_mod.TC_ROWS * cand_len * 4
     if slot:
-        per_cell += 2 * g8 * 128 * 2  # bf16 hi/lo shade rows
+        per_cell += 2 * g8 * cand_len * 2  # bf16 hi/lo shade rows
     return n_blocks * n_wedges * per_cell
 
 
@@ -1579,10 +1667,13 @@ def _accel_kind(
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
     if _DISABLE_CAND:
         return None
-    slot = min(scene.s_pad, 1 << ID_BITS) >= scene.s_pad
+    slot = scene.s_pad <= (1 << ID_BITS)
     if (
         cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
-        and _seg_table_bytes(n_blocks, n_wedges, g8, slot) <= _CAND_TABLE_HBM_CAP
+        and _seg_table_bytes(
+            n_blocks, n_wedges, g8, slot, _cand_len_for(scene.s_pad)
+        )
+        <= _CAND_TABLE_HBM_CAP
     ):
         return "seg"
     if n_chunks > 1:
@@ -1617,8 +1708,8 @@ def build_cand_tables(
     kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows)
     out = ()
     if kind == "seg":
-        cand_len = min(scene.s_pad, 1 << ID_BITS)
-        slot = cand_len >= scene.s_pad
+        cand_len = _cand_len_for(scene.s_pad)
+        slot = scene.s_pad <= (1 << ID_BITS)
         consts_t, shade_hl, counts, lbs = cand_mod.segment_candidates_t(
             scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
             camera.zoom_factor, camera.offset_x, camera.offset_y,
@@ -1631,7 +1722,9 @@ def build_cand_tables(
         # (slot mode); bigger scenes gather globally, skip its HBM, and
         # carry per-slot lower-bound distances for the early-exit sweep
         out = (consts_t, shade_hl, counts) if slot else (consts_t, counts, lbs)
-        if slot:
+        if slot or cand_len >= scene.s_pad:
+            # no chunk-walk fallback possible: the lists/levels hold
+            # every candidate
             return out
         # big scenes also ship chunk lists: the overflow fallback walks them
     if kind in ("seg", "chunk"):
@@ -1709,9 +1802,9 @@ def build_cand_grid(
     if kind is None:
         return None
     out = ()
+    cand_len = _cand_len_for(scene.s_pad)
     if kind == "seg":
-        cand_len = min(scene.s_pad, 1 << ID_BITS)
-        slot = cand_len >= scene.s_pad
+        slot = scene.s_pad <= (1 << ID_BITS)
         consts_t, shade_hl, counts, lbs = cand_mod.segment_candidates_t(
             scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
             1.0, 0.0, 0.0,
@@ -1725,7 +1818,7 @@ def build_cand_grid(
     if kind == "seg" and scene.s_pad <= (1 << ID_BITS):
         gl = int(out[2].max())  # one host sync, at build time
         out = narrow_cand_tables(out, max(gl, 1))
-    else:
+    elif kind != "seg" or cand_len < scene.s_pad:
         out = out + cand_mod.chunk_candidates(
             scene.chunk_bounds, w, h, 1.0, 0.0, 0.0,
             config.rays_per_pixel, sw, nx, ny,
@@ -1929,12 +2022,13 @@ def trace_sums_flat(
     use_cand = kind == "seg"
     # List length: everything fits for scenes up to 2^ID_BITS sub-segments
     # (no overflow cond in the kernel at all, and the winner gather runs in
-    # SLOT space — slot_mode); larger scenes cap at 2^ID_BITS slots (the
-    # slot must fit the packed key), remap slots to global ids post-sweep,
-    # and fall back to the sorted chunk walk on overflowed cells — so those
-    # scenes ship chunk lists alongside the segment lists.
-    cand_len = min(scene.s_pad, 1 << ID_BITS)
-    slot_mode = use_cand and cand_len >= scene.s_pad
+    # SLOT space — slot_mode); larger scenes carry _CAND_LEVELS 128-slot
+    # LEVELS (the slot must fit the packed key, so each level remaps slots
+    # to global ids post-sweep), and fall back to the sorted chunk walk only
+    # past the last level's horizon — those scenes ship chunk lists
+    # alongside the segment lists unless the levels hold everything.
+    cand_len = _cand_len_for(scene.s_pad)
+    slot_mode = use_cand and scene.s_pad <= (1 << ID_BITS)
     # ``cheap_prepass`` (progressive/interactive callers whose camera moves
     # every frame): building the per-cell slot shade table in the in-frame
     # prepass costs far more than the handful of global winner gathers it
@@ -2061,10 +2155,12 @@ def trace_sums_flat(
                 config.diffusion_curve_save,
                 cand_len=cand_len,
                 with_shade=slot_mode,
-                # Uncapped lists (cand_len >= s_pad) never need the
-                # distance sort: the walk covers every slot, and id order
-                # keeps slot ties == global-id ties == the JAX argmin's.
-                order="id" if cand_len >= scene.s_pad else "dist",
+                # Single-level uncapped lists never need the distance sort:
+                # the walk covers every slot, and id order keeps slot ties
+                # == global-id ties == the JAX argmin's.  Multi-level lists
+                # (s_pad > 128) always sort: the level walks' early exits
+                # and horizons read the lbs.
+                order="id" if scene.s_pad <= (1 << ID_BITS) else "dist",
             )
         if slot_mode and tshade.shape[-1] != gl:
             # narrow the slot-gather table to the certified width (callers
@@ -2093,14 +2189,17 @@ def trace_sums_flat(
                 memory_space=pltpu.SMEM,
             )
         )
-        if not slot_mode and cand_len < scene.s_pad:
+        if not slot_mode and scene.s_pad > (1 << ID_BITS):
             # per-slot lower-bound distances (SMEM, like the chunk lists'
             # clbs): slots arrive distance-sorted, so the sweep while-loop
             # stops at the first 8-slot group whose min lb exceeds the
-            # block's worst current closest hit.  Slot cand_len is the
-            # HORIZON (first dropped candidate's lb) gating the seeded
-            # chunk-walk fallback.  Uncapped non-slot lists (the in-frame
-            # low-wedge path) carry no lbs: the walk covers every slot.
+            # block's worst current closest hit.  Slot lvl*128 lbs are the
+            # HORIZONS (first deferred candidate's lb) gating each level
+            # walk and the seeded chunk-walk fallback.  Matches the
+            # kernel's ``capped`` flag — multi-level lists carry lbs even
+            # when the levels hold every candidate.  Uncapped non-slot
+            # lists (the in-frame low-wedge path) carry no lbs: the walk
+            # covers every slot.
             operands.append(clbslots)
             in_specs.append(
                 pl.BlockSpec(
@@ -2142,8 +2241,12 @@ def trace_sums_flat(
 
     scratch_shapes = [pltpu.VMEM((sc_, 8), jnp.float32)]  # ck_scratch
     if use_cand:
+        # one 128-slot LEVEL at a time is staged (multi-level lists restage
+        # per level inside the fallback conds)
         scratch_shapes.append(
-            pltpu.VMEM((cand_len, cand_mod.TC_ROWS), jnp.float32)
+            pltpu.VMEM(
+                (min(cand_len, 1 << ID_BITS), cand_mod.TC_ROWS), jnp.float32
+            )
         )
     sums = pl.pallas_call(
         kernel,

@@ -308,8 +308,8 @@ def test_parity_capped_candidate_lists_overflow():
     # ties common, a tolerated cross-path difference class.)
     rng = np.random.RandomState(7)
     curves = []
-    for i in range(40):
-        x0, y0 = rng.uniform(5, 58, 2)
+    for i in range(90):  # > _CAND_LEVELS x 128 sub-segments: the chunk-walk
+        x0, y0 = rng.uniform(5, 58, 2)  # fallback must really fire
         pts = [(x0, y0)]
         for _ in range(3):
             x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
@@ -318,13 +318,15 @@ def test_parity_capped_candidate_lists_overflow():
         curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
     scene = rtdc.load_scene_from_string(make_scene_xml(curves))
     dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
-    assert dev.s_pad > 128  # capped, non-slot lists
+    assert dev.s_pad > tp._cand_len_for(dev.s_pad)  # capped + chunk fallback
     tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
     assert tables is not None and len(tables) == 6  # seg lists + chunk lists
+    cand_len = tables[0].shape[-1]  # _CAND_LEVELS x 128 level slots
+    assert cand_len == tp._cand_len_for(dev.s_pad) and cand_len < dev.s_pad
     counts = np.asarray(tables[1])
-    assert counts.max() > 128, "test premise: some cell must overflow"
+    assert counts.max() > cand_len, "test premise: some cell must overflow"
     lbs = np.asarray(tables[2])
-    assert lbs.shape[-1] == 129  # cand_len slots + horizon
+    assert lbs.shape[-1] == cand_len + 1  # level slots + horizon
     assert (lbs[..., -1] < 1e30).any()  # some real horizons recorded
 
     img_p, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
@@ -357,7 +359,9 @@ def test_parity_capped_candidate_lists_overflow():
     dev2 = rtdc.build_device_scene(scene2, flatten_subdivisions=8)
     assert dev2.s_pad > 128
     t2 = tp.build_cand_tables(dev2, rtdc.Camera(), cfg)
-    assert np.asarray(t2[1]).max() > 128  # overflow here too
+    # capped multi-level lists (complete: 3 levels hold all ~384 subs, so
+    # no chunk lists ride — the level walks alone resolve every hit)
+    assert len(t2) == 3 and t2[0].shape[-1] >= dev2.s_pad
     img_j2, bm_j2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="jax")
     img_p2, bm_p2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="pallas")
     # near-vertical rays run almost parallel to the strands, so a couple of
@@ -404,6 +408,49 @@ def test_walk_split_bitwise(split):
         tp.trace_sums_flat.clear_cache()
     np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
     np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
+
+
+@pytest.mark.slow
+def test_cand_levels_bitwise():
+    """Multi-LEVEL capped lists (_CAND_LEVELS > 1): levels past the first
+    are walked only behind their own horizon conds, each remapped with its
+    own TC_ID row and merged.  Output must be BIT-IDENTICAL to the
+    single-level list + chunk-walk fallback (levels = 1): both resolve the
+    exact closest hit, level machinery may not change a single winner."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    rng = np.random.RandomState(23)
+    curves = []
+    for i in range(40):
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > 2 * 128  # at least two real levels at default levels
+    # premise: intermediate-level counts exist (cells whose candidates spill
+    # past level 0 but are not just "everything"), so level conds really run
+    tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
+    counts = np.asarray(tables[1])
+    assert ((counts > 128) & (counts <= tables[0].shape[-1])).any()
+    img_m, bm_m = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    saved = tp._CAND_LEVELS
+    tp._CAND_LEVELS = 1
+    tp.trace_sums_flat.clear_cache()
+    tp.build_cand_tables.clear_cache()
+    try:
+        img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._CAND_LEVELS = saved
+        tp.trace_sums_flat.clear_cache()
+        tp.build_cand_tables.clear_cache()
+    np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_1))
+    np.testing.assert_array_equal(np.asarray(bm_m), np.asarray(bm_1))
 
 
 @pytest.mark.slow
