@@ -159,19 +159,21 @@ _WALK_SPLIT = 1
 # horizon still beats some ray's best hit, and the chunk-walk fallback fires
 # only past the LAST level's horizon.  More levels trade table HBM + a
 # per-wedge cond for fewer chunk-walk fallbacks (the dominant dolphin cost
-# at 1 level: ~68% of the frame).
-_CAND_LEVELS = 3
+# at 1 level: ~68% of the frame).  None = auto by scene size (measured,
+# batch11: lady_bug-class scenes peak at 2 — extra level conds cost the
+# cells that never need them — while dolphin-class heavy overflow tails
+# keep improving through 4: 1256 -> 1087 ms).  Ints override (probes).
+_CAND_LEVELS = None
 
 
 def _cand_len_for(s_pad: int) -> int:
     """Candidate-list slot capacity for a scene: everything (slot mode) for
-    scenes within one 128-slot level, else _CAND_LEVELS levels (capped at
-    the scene size rounded up to whole levels)."""
+    scenes within one 128-slot level, else the auto/overridden level count
+    (capped at the scene size rounded up to whole levels)."""
     if s_pad <= (1 << ID_BITS):
         return s_pad
-    return (1 << ID_BITS) * min(
-        _CAND_LEVELS, -(-s_pad // (1 << ID_BITS))
-    )
+    levels = _CAND_LEVELS if _CAND_LEVELS else (2 if s_pad <= 4096 else 4)
+    return (1 << ID_BITS) * min(levels, -(-s_pad // (1 << ID_BITS)))
 
 
 def _choose_block(

@@ -359,9 +359,9 @@ def test_parity_capped_candidate_lists_overflow():
     dev2 = rtdc.build_device_scene(scene2, flatten_subdivisions=8)
     assert dev2.s_pad > 128
     t2 = tp.build_cand_tables(dev2, rtdc.Camera(), cfg)
-    # capped multi-level lists (complete: 3 levels hold all ~384 subs, so
-    # no chunk lists ride — the level walks alone resolve every hit)
-    assert len(t2) == 3 and t2[0].shape[-1] >= dev2.s_pad
+    # capped multi-level lists; chunk lists ride only when the levels do
+    # NOT hold every candidate (auto level count — see _cand_len_for)
+    assert len(t2) == (3 if t2[0].shape[-1] >= dev2.s_pad else 6)
     img_j2, bm_j2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="jax")
     img_p2, bm_p2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="pallas")
     # near-vertical rays run almost parallel to the strands, so a couple of
@@ -433,11 +433,10 @@ def test_cand_levels_bitwise():
     scene = rtdc.load_scene_from_string(make_scene_xml(curves))
     dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
     assert dev.s_pad > 2 * 128  # at least two real levels at default levels
-    # premise: intermediate-level counts exist (cells whose candidates spill
-    # past level 0 but are not just "everything"), so level conds really run
+    # premise: some cells spill past level 0, so the level conds really run
     tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
     counts = np.asarray(tables[1])
-    assert ((counts > 128) & (counts <= tables[0].shape[-1])).any()
+    assert (counts > 128).any()
     img_m, bm_m = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
     saved = tp._CAND_LEVELS
     tp._CAND_LEVELS = 1
