@@ -247,7 +247,8 @@ def xcorr_seeds(scene_path, cap_img, suppress_endcaps=False,
 def register_local(scene_path, cap_img, start, size=256, rpp=32, blur=False,
                    rounds=((0.2, 7), (0.06, 7), (0.02, 7), (0.006, 5),
                            (0.002, 5)),
-                   suppress_endcaps=False, pool=2, chunk=16):
+                   suppress_endcaps=False, pool=2, chunk=16,
+                   explicit_cams=None):
     """Sub-pixel camera registration: shrinking grid search around
     ``start`` = (zoom, off_x, off_y) at ``size``² resolution.
 
@@ -317,6 +318,16 @@ def register_local(scene_path, cap_img, start, size=256, rpp=32, blur=False,
 
     z, x, y = (float(v) for v in start)
     m = None
+    if explicit_cams is not None:
+        # constrained sweeps (e.g. the anchored endpoint registration of
+        # register_caps_anchored.py): evaluate a caller-built camera list
+        # first, then shrink around its best
+        cams = np.asarray(explicit_cams, np.float64)
+        mses = eval_cams(cams)
+        best = int(np.argmin(mses))
+        m, (z, x, y) = float(mses[best]), (float(cams[best, 0]),
+                                           float(cams[best, 1]),
+                                           float(cams[best, 2]))
     for shrink, n in rounds:
         span = size * z  # world span at the current zoom
         zs = z * np.exp(np.linspace(-shrink, shrink, n))
@@ -440,7 +451,23 @@ def part_caps(results):
         rows[f"{name}_registered_lowpass3"] = round(
             psnr(lowpass(ours), lowpass(ref)), 2
         )
+        # Regional decomposition: the residual is NOT uniform — the flat
+        # color region (lower-right quadrant, past the curve) matches to
+        # ~46 dB, while the left half carries the captures' deterministic
+        # sampling banding (fixed per-pixel direction sets, an artifact our
+        # stratified AA sampler cannot reproduce sample-for-sample; the
+        # no-AA reproduction attempt scored LOWER — sample offsets differ).
+        rows[f"{name}_flat_quadrant"] = round(
+            psnr(ours[280:, 280:], ref[280:, 280:]), 2
+        )
+        rows[f"{name}_left_half"] = round(
+            psnr(ours[:, :256], ref[:, :256]), 2
+        )
         rows[f"{name}_registered_cam"] = reg
+        rows[f"{name}_mc_floor"] = round(
+            psnr(ours, our_render("line.xml", cam, rpp=128, blur=False,
+                                  suppress_endcaps=sup, seed=1)), 2
+        )
         # feature check: the suppression state must matter — the same
         # camera with the OPPOSITE cap state should score worse.
         other = our_render("line.xml", cam, rpp=128, blur=False,

@@ -132,11 +132,15 @@ class TrainState(NamedTuple):
 
 def create_train_state(
     rng_key, height: int, width: int, lr=1e-3, aux_channels: int = 2,
-    arch: str = "cnn",
+    arch: str = "cnn", base: int | None = None,
 ):
     """``lr`` may be a float or an optax schedule (the trainer passes a
-    cosine decay).  ``arch``: "cnn" (plain residual stack) or "unet"."""
-    model = UNetDenoiser() if arch == "unet" else DenoiserNet()
+    cosine decay).  ``arch``: "cnn" (plain residual stack) or "unet".
+    ``base``: channel width override (UNet ``base`` / CNN ``features``)."""
+    if arch == "unet":
+        model = UNetDenoiser(**({"base": base} if base else {}))
+    else:
+        model = DenoiserNet(**({"features": base} if base else {}))
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     aux = jnp.zeros((1, height, width, aux_channels), jnp.float32)
     params = model.init(rng_key, dummy, dummy, aux)

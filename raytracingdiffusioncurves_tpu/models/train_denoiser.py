@@ -157,7 +157,7 @@ def _psnr_noisy(data) -> float:
 
 
 def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
-          lr=2e-3, seed=0, arch="cnn"):
+          lr=2e-3, seed=0, arch="cnn", base=None):
     # data_path: one .npz or a comma-separated list (concatenated).
     parts = [dict(np.load(p)) for p in str(data_path).split(",")]
     data = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
@@ -167,7 +167,7 @@ def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
     model, state, tx = dn.create_train_state(
-        jax.random.key(seed), crop, crop, sched, arch=arch)
+        jax.random.key(seed), crop, crop, sched, arch=arch, base=base)
 
     best = (-1.0, state.params)
     for step in range(steps):
@@ -213,6 +213,8 @@ def main(argv=None):
     t.add_argument("--crop", type=int, default=64)
     t.add_argument("--lr", type=float, default=2e-3)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--base", type=int, default=None,
+                   help="channel width override (UNet base / CNN features)")
     t.add_argument("--arch", default="cnn", choices=("cnn", "unet"),
                    help="unet: multi-scale encoder/decoder (wider receptive "
                    "field; needs --crop a multiple of 4)")
@@ -239,7 +241,7 @@ def main(argv=None):
 
             clear_backends()
         train(args.data, args.val, args.out, args.steps, args.batch, args.crop,
-              args.lr, args.seed, arch=args.arch)
+              args.lr, args.seed, arch=args.arch, base=args.base)
 
 
 if __name__ == "__main__":
