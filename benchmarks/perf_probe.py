@@ -443,6 +443,41 @@ PROBES = {
         ))
         for lv in (1, 2, 3, 4)
     },
+    # fresh stage split at the exact config3 defaults (levels auto = 2)
+    **{
+        f"lb_s05_{ab}": (lambda ab=ab: time_trace(
+            f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+            frames=3, hoist=True, min_sub=2, sagitta=0.5,
+            ablate=None if ab == "full" else ab,
+            label=f"lb1080_256_s05_{ab}",
+        ))
+        for ab in ("full", "entry", "intersect", "gather")
+    },
+    "lb_s05_rb4k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, rays_per_block=4096,
+        label="lb1080_256_s05_rb4k",
+    ),
+    "lb_s05_sw8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=8,
+        label="lb1080_256_s05_sw8",
+    ),
+    "lb_s05_noremap": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, ablate_remap=True,
+        label="lb1080_256_s05_noremap",
+    ),
+    "lb_s05_mxuremap": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, remap_mxu=True,
+        label="lb1080_256_s05_mxuremap",
+    ),
+    "lb_s05_nooffb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, ablate_offb=True,
+        label="lb1080_256_s05_nooffb",
+    ),
     "lb_s05_l3_nooffb": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5, cand_levels=3,

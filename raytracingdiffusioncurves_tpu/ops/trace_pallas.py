@@ -654,19 +654,27 @@ def _trace_kernel(
                 ids_lvl = jax.lax.broadcasted_iota(jnp.int32, (lvl_cap, R), 0)
 
                 def remap_slots(pk):
-                    """slot -> global id for the CURRENTLY STAGED level: one
-                    masked sum over its TC_ID row, then split the id into
-                    (low ID_BITS, chunk) so the common unpack
-                    best_i = (pk & mask) + ch * sc holds."""
+                    """slot -> global id for the CURRENTLY STAGED level,
+                    then split the id into (low ID_BITS, chunk) so the
+                    common unpack best_i = (pk & mask) + ch * sc holds.
+
+                    Hierarchical one-hot (round 3): slot = 8*g + k, so
+                    id = sum_{g,k} [g == slot>>3][k == slot&7] idcol[8g+k]
+                    — a (16, R) + an (8, R) one-hot build replace the flat
+                    (128, R) masked sum, which measured ~93 ms of lady_bug
+                    config3's 518 (batch13 noremap).  The id rides the MXU
+                    as bf16 hi/lo halves (exact: hi, lo < 256 for every
+                    s_pad <= CAND_MAX_SPAD = 2^15)."""
                     if _ABLATE_REMAP:  # attribution probe: slot ids ride
                         return pk, jnp.zeros((1, R), jnp.int32)
-                    idcol = tc_scratch[:, cand_mod.TC_ID : cand_mod.TC_ID + 1]
                     slot = pk & _ID_MASK
                     if _REMAP_MXU:
-                        # hi/lo bf16 MXU remap: id = hi*128 + lo with
-                        # hi, lo < 256 (exact in bf16); one (L, 2) @
-                        # (L, R) contraction replaces the 128-row
-                        # masked-sum reduction.
+                        # flat hi/lo bf16 MXU remap (probe A/B): one
+                        # (L, 2) @ (L, R) contraction over the full
+                        # (L, R) one-hot.
+                        idcol = tc_scratch[
+                            :, cand_mod.TC_ID : cand_mod.TC_ID + 1
+                        ]
                         onehot = (ids_lvl == slot).astype(jnp.bfloat16)
                         hi_f = jnp.floor(idcol * jnp.float32(1.0 / 128.0))
                         hl = jnp.concatenate(
@@ -680,8 +688,41 @@ def _trace_kernel(
                             two[0:1] * 128.0 + two[1:2]
                         ).astype(jnp.int32)
                     else:
+                        # (8, 16) id table: [k, g] = idcol[8g + k]
+                        # (static sublane slices of the scratch)
+                        idcol8 = jnp.concatenate(
+                            [
+                                tc_scratch[
+                                    i * 8 : (i + 1) * 8,
+                                    cand_mod.TC_ID : cand_mod.TC_ID + 1,
+                                ]
+                                for i in range(lvl_cap // 8)
+                            ],
+                            axis=1,
+                        )
+                        hi8 = jnp.floor(idcol8 * jnp.float32(1.0 / 128.0))
+                        lo8 = idcol8 - hi8 * 128.0
+                        a_g = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (lvl_cap // 8, R), 0
+                            )
+                            == jax.lax.shift_right_logical(slot, 3)
+                        ).astype(jnp.bfloat16)  # (16, R) group one-hot
+                        dims = (((1,), (0,)), ((), ()))
+                        chi = jax.lax.dot_general(
+                            hi8.astype(jnp.bfloat16), a_g, dims,
+                            preferred_element_type=jnp.float32,
+                        )  # (8, R)
+                        clo = jax.lax.dot_general(
+                            lo8.astype(jnp.bfloat16), a_g, dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                        b_k = (
+                            jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
+                            == (slot & 7)
+                        )  # (8, R) sub-row one-hot
                         g = jnp.sum(
-                            jnp.where(ids_lvl == slot, idcol, 0.0),
+                            jnp.where(b_k, chi * 128.0 + clo, 0.0),
                             axis=0,
                             keepdims=True,
                         ).astype(jnp.int32)
