@@ -473,6 +473,16 @@ PROBES = {
         frames=3, hoist=True, min_sub=2, sagitta=0.5, remap_mxu=True,
         label="lb1080_256_s05_mxuremap",
     ),
+    "lb_s05_nofb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        exact_ablate="no_fallback", label="lb1080_256_s05_nofb",
+    ),
+    "lb_s05_legacy": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        exact_ablate="legacy_refine", label="lb1080_256_s05_legacy",
+    ),
     "lb_s05_nooffb": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5, ablate_offb=True,
