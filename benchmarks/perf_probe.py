@@ -441,8 +441,13 @@ PROBES = {
             frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
             cand_levels=lv, label=f"dol1080_64_s05_sw2_l{lv}",
         ))
-        for lv in (1, 2, 3, 4)
+        for lv in (1, 2, 3, 4, 6, 8)
     },
+    "lb_s05_q2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, walk_split=2,
+        label="lb1080_256_s05_q2",
+    ),
     # fresh stage split at the exact config3 defaults (levels auto = 2)
     **{
         f"lb_s05_{ab}": (lambda ab=ab: time_trace(
