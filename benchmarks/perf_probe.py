@@ -29,7 +29,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                wedge_samples=None, cheap=False, bisect_iters=None,
                dim_semantics=None, walk_split=None, wedge_cap=None,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
-               remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None):
+               remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
+               cwalk_split=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -47,6 +48,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas.WEDGE_SAMPLES_MULTICHUNK = wedge_samples
     if walk_split is not None:
         trace_pallas._WALK_SPLIT = walk_split
+    if cwalk_split is not None:
+        trace_pallas._CWALK_SPLIT = cwalk_split
     if wedge_cap is not None:
         cand_mod.CAND_MAX_WEDGES = wedge_cap
     if scene_horizon is not None:
@@ -146,6 +149,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         refine.BISECT_ITERS = bi_saved
         trace_pallas._DIM_SEMANTICS = "arbitrary"
         trace_pallas._WALK_SPLIT = 1
+        trace_pallas._CWALK_SPLIT = 1
         cand_mod.CAND_MAX_WEDGES = wc_saved
         trace_pallas._SCENE_HORIZON = True
         trace_pallas._ABLATE_REMAP = False
@@ -458,6 +462,42 @@ PROBES = {
         ))
         for ab in ("full", "entry", "intersect", "gather")
     },
+    # --- batch 14: fallback/cond structure probes (ALL exact-output) ---
+    "lb_s05_fbnc": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        exact_ablate="fb_nocond", label="lb1080_256_s05_fbnc",
+    ),
+    "lb_s05_isonc": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        exact_ablate="iso_nocond", label="lb1080_256_s05_isonc",
+    ),
+    "lb_s05_rb1024": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, rays_per_block=1024,
+        label="lb1080_256_s05_rb1024",
+    ),
+    "lb_s05_cw2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, cwalk_split=2,
+        label="lb1080_256_s05_cw2",
+    ),
+    "dol_s05_cw2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cwalk_split=2, label="dol1080_64_s05_sw2_cw2",
+    ),
+    "dol_s05_cw4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cwalk_split=4, label="dol1080_64_s05_sw2_cw4",
+    ),
+    "dol_s05_cw8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cwalk_split=8, label="dol1080_64_s05_sw2_cw8",
+    ),
     "lb_s05_rb4k": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5, rays_per_block=4096,

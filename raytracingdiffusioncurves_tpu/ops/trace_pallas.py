@@ -154,6 +154,16 @@ _SCENE_HORIZON = True
 # lists without an exit).
 _WALK_SPLIT = 1
 
+# Same idea for the sorted CHUNK walk (the deep-overflow fallback): its
+# early exit compares each chunk's lower bound against the worst best-hit
+# across the WHOLE block, so one background ray (best t = scene exit) forces
+# the walk to visit every chunk out to the scene horizon on behalf of rays
+# that settled long ago.  Splitting the ray lanes into Q static sub-ranges
+# (contiguous pixel rows — ridx is pixel-major, so background regions
+# cluster by sub-range) walks each with its own tighter exit.  Dolphin-class
+# scenes spend >half the frame in this walk (batch13: 516 of 1087 ms).
+_CWALK_SPLIT = 1
+
 # Capped-list LEVELS for dense scenes (s_pad > 128): each level holds 128
 # distance-sorted slots; levels past the first are walked only when their
 # horizon still beats some ray's best hit, and the chunk-walk fallback fires
@@ -580,43 +590,114 @@ def _trace_kernel(
                     # ``st0``: seed state — the capped-candidate-list walk's
                     # result continues into the chunk walk (re-sweeping a
                     # listed segment is an idempotent min), so the early
-                    # exit starts tight.
+                    # exit starts tight.  _CWALK_SPLIT > 1: walk Q static
+                    # lane sub-ranges independently, each with its own
+                    # early exit (see the knob's comment).
                     count = ccnt_ref[0, pid_w, 0]
+                    nq = _CWALK_SPLIT if R % (128 * _CWALK_SPLIT) == 0 else 1
+                    rq = R // nq
 
-                    def walk_cond(state):
-                        i, st = state
-                        # worst per-ray best t of the STRICT chain (>= the
-                        # band chain's per ray, so the early exit is
-                        # conservative for both), quantized UP one key step;
-                        # primary rays are unit-length to ~5e-7
-                        # (fastmath.sincos), covered by the 1e-5 slack.
-                        # PER-RAY min(best, scene-exit) BEFORE the block max:
-                        # a ray that leaves the scene quickly cannot force
-                        # walks on behalf of its FAR best (nothing past its
-                        # exit is hittable) — strictly tighter than the
-                        # block-max texit clamp, still exact.
-                        bt_up = jax.lax.bitcast_convert_type(
-                            (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS), f32
+                    def sub_walk(qi, stq):
+                        """Walk the chunk list for lanes [qi*rq, (qi+1)*rq)
+                        only.  stq: 4-tuple of (1, rq) rows."""
+                        sl_q = slice(qi * rq, (qi + 1) * rq)
+                        oxq, oyq = oxf[:, sl_q], oyf[:, sl_q]
+                        dxq, dyq = dxf[:, sl_q], dyf[:, sl_q]
+                        crq = crossf[:, sl_q]
+                        bdq = band_dsc[:, sl_q] if exact else None
+                        texq = (
+                            texit[:, sl_q] * jnp.float32(1.00002)
+                            if texit is not None
+                            else None
                         )
-                        if texit is not None:
-                            bt_up = jnp.minimum(
-                                bt_up, texit * jnp.float32(1.00002)
+                        ids_q = (
+                            ids_sc
+                            if nq == 1
+                            else jax.lax.broadcasted_iota(
+                                jnp.int32, (sc, rq), 0
                             )
-                        worst = jnp.minimum(
-                            jnp.max(bt_up) * jnp.float32(1.00001), tb_full
                         )
-                        return (i < count) & (clbs_ref[0, pid_w, i] < worst)
 
-                    def walk_body(state):
-                        i, st = state
-                        st = intersect_chunk(cids_ref[0, pid_w, i], st)
-                        return i + 1, st
+                        def ic_q(c, st):
+                            pk_b, ch_b, pk_s, ch_s = st
+                            ck_scratch[...] = _transpose_block(
+                                consts_t3_ref[c]
+                            )
+                            c_b, c_s = packed_min(
+                                ck_scratch[:, 0:1],
+                                ck_scratch[:, 1:2],
+                                ck_scratch[:, 2:3],
+                                ck_scratch[:, 3:4],
+                                ck_scratch[:, 4:5],
+                                ck_scratch[:, 5:6],
+                                ids_q,
+                                band=ck_scratch[:, 6:7] if exact else None,
+                                ox=oxq, oy=oyq, dx=dxq, dy=dyq, cross=crq,
+                                bdsc=bdq,
+                            )
+                            upd_b = c_b < pk_b
+                            upd_s = c_s < pk_s
+                            return (
+                                jnp.where(upd_b, c_b, pk_b),
+                                jnp.where(upd_b, c, ch_b),
+                                jnp.where(upd_s, c_s, pk_s),
+                                jnp.where(upd_s, c, ch_s),
+                            )
 
-                    _, st = jax.lax.while_loop(
-                        walk_cond, walk_body,
-                        (jnp.int32(0), far_state() if st0 is None else st0),
+                        def walk_cond(state):
+                            i, st = state
+                            # worst per-ray best t of the STRICT chain (>=
+                            # the band chain's per ray, so the early exit is
+                            # conservative for both), quantized UP one key
+                            # step; primary rays are unit-length to ~5e-7
+                            # (fastmath.sincos), covered by the 1e-5 slack.
+                            # PER-RAY min(best, scene-exit) BEFORE the max:
+                            # a ray that leaves the scene quickly cannot
+                            # force walks on behalf of its FAR best (nothing
+                            # past its exit is hittable) — strictly tighter
+                            # than the block-max texit clamp, still exact.
+                            bt_up = jax.lax.bitcast_convert_type(
+                                (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS),
+                                f32,
+                            )
+                            if texq is not None:
+                                bt_up = jnp.minimum(bt_up, texq)
+                            worst = jnp.minimum(
+                                jnp.max(bt_up) * jnp.float32(1.00001),
+                                tb_full,
+                            )
+                            return (i < count) & (
+                                clbs_ref[0, pid_w, i] < worst
+                            )
+
+                        def walk_body(state):
+                            i, st = state
+                            st = ic_q(cids_ref[0, pid_w, i], st)
+                            return i + 1, st
+
+                        _, st = jax.lax.while_loop(
+                            walk_cond, walk_body, (jnp.int32(0), stq)
+                        )
+                        return st
+
+                    if nq == 1:
+                        return sub_walk(
+                            0, far_state() if st0 is None else st0
+                        )
+                    parts = []
+                    for qi in range(nq):
+                        sl_q = slice(qi * rq, (qi + 1) * rq)
+                        if st0 is None:
+                            far = jnp.full((1, rq), _FAR_PACKED, jnp.int32)
+                            zero = jnp.zeros((1, rq), jnp.int32)
+                            stq = (far, zero, far, zero)
+                        else:
+                            stq = tuple(s[:, sl_q] for s in st0)
+                        parts.append(sub_walk(qi, stq))
+                    return tuple(
+                        jnp.concatenate([p[k] for p in parts], axis=1)
+                        for k in range(4)
                     )
-                    return st
 
             if use_cand and _bounce == 0:
                 # --- candidate-list closest hit (ops/candidates.py) ---

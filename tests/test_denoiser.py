@@ -11,6 +11,7 @@ from raytracingdiffusioncurves_tpu.ops import denoise as denoise_ops
 from raytracingdiffusioncurves_tpu.ops import flow as flow_ops
 
 
+@pytest.mark.slow  # UNet train-step jit dominates (14 s); full gate runs it
 def test_train_step_reduces_loss_on_fixed_batch():
     model, state, tx = dn.create_train_state(jax.random.key(0), 32, 32, lr=3e-3)
     key = jax.random.key(1)

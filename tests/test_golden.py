@@ -39,7 +39,12 @@ def render(path):
     return np.asarray(img)
 
 
-@pytest.mark.parametrize("name", sorted(SCENES))
+@pytest.mark.parametrize(
+    "name",
+    # portal is the one interpret-heavy golden (15 s); the full gate runs it
+    [pytest.param(n, marks=pytest.mark.slow) if n == "portal" else n
+     for n in sorted(SCENES)],
+)
 def test_golden(name, ref_xml_dir):
     golden = np.load(os.path.join(GOLDEN_DIR, f"{name}_48.npy"))
     img = render(str(ref_xml_dir / SCENES[name]))

@@ -155,7 +155,8 @@ def test_parity_multichunk_portals():
 @pytest.mark.parametrize(
     "rpp",
     [pytest.param(1, marks=pytest.mark.slow),
-     pytest.param(4, marks=pytest.mark.slow), 32],
+     pytest.param(4, marks=pytest.mark.slow), 8,
+     pytest.param(32, marks=pytest.mark.slow)],
 )
 def test_parity_rpp_blocking(rpp):
     """Exercises the R / px_per_program blocking math for awkward fan sizes."""
@@ -405,6 +406,44 @@ def test_walk_split_bitwise(split):
         img_s, bm_s = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
     finally:
         tp._WALK_SPLIT = 1
+        tp.trace_sums_flat.clear_cache()
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
+    np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("split", [2, 4])
+def test_cwalk_split_bitwise(split):
+    """_CWALK_SPLIT lane-split CHUNK walk (the deep-overflow fallback):
+    each static lane sub-range walks the sorted chunk list with its OWN
+    early exit.  Per-sub-range exits are conservative exactly as the
+    whole-block exit is, so output must be BIT-IDENTICAL to the unsplit
+    walk — the split may not change a single winner."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    rng = np.random.RandomState(7)
+    curves = []
+    for i in range(90):  # > levels x 128 sub-segments: the chunk walk fires
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > tp._cand_len_for(dev.s_pad)  # chunk fallback reachable
+    tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
+    assert (np.asarray(tables[1]) > tables[0].shape[-1]).any()  # really fires
+    img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    tp._CWALK_SPLIT = split
+    tp.trace_sums_flat.clear_cache()
+    try:
+        img_s, bm_s = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._CWALK_SPLIT = 1
         tp.trace_sums_flat.clear_cache()
     np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
     np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
