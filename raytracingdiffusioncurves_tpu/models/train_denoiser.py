@@ -60,6 +60,10 @@ TRAIN_SCENES = (
     "DiffusionCurvePack/roses_spirales.xml",
     "DiffusionCurvePack/behindthecurtain.xml",
     "DiffusionCurvePack/fille.xml",
+    # round-3 additions (denoiser +1 dB push): the two remaining pack
+    # scenes the trainer never saw — dense geometry diversity
+    "DiffusionCurvePack/dolphin.xml",
+    "DiffusionCurvePack/lady_bug1024.xml",
 )
 
 
@@ -89,7 +93,9 @@ def generate(scene_names, out_path, size=192, cams_per_scene=6, seed=0,
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     rng = np.random.default_rng(seed)
-    rpp_levels = (4, 8, 16, 32)
+    # rpp 64 rides so the net sees near-clean inputs too (production
+    # configs denoise up to 256 rpp; conditioning is aux's noise channel)
+    rpp_levels = (4, 8, 16, 32, 64)
     rows = {"noisy": [], "warped_prev": [], "aux": [], "target": []}
     frame = 0
     for name in scene_names:

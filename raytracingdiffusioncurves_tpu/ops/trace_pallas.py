@@ -131,6 +131,19 @@ _ABLATE_OVERFLOW_FB = False
 # < 256, integers below 2^8 are exact in bf16).  Output-identical; probed.
 _REMAP_MXU = False
 
+# Two-phase final-winner gather for exact-silhouette global-gather scenes:
+# phase 1 gathers only the GEOM_ROWS geometry rows of the band winner (the
+# strict-test + root-isolation inputs), the rejection decision picks the
+# final winner id per ray, and phase 2 gathers the full shade+consts row
+# ONCE at that id.  vs the round-2/3 split path this removes the per-wedge
+# strict-fallback lax.cond (measured net-negative: batch14 lb_s05 fbnc
+# 498.8 vs full 507.1 ms) and 2*(G8-GEOM_ROWS) of the 4*G8 rows a
+# fallback-taking block used to gather.  Output-identical (parity-pinned).
+_TWO_PHASE = True
+# Fixed geometry-row order of the phase-1 table: EX, EY, C1, P0X, P0Y,
+# ctrl x0,y0..x3,y3, T0, DT, BAND.
+GEOM_ROWS = 16
+
 # In-frame (non-hoisted) prepasses build the per-cell slot shade table only
 # when at least this many wedges will gather from it; below the threshold
 # the global-gather path wins (see trace_sums_flat).
@@ -260,6 +273,7 @@ def _trace_kernel(
     gather_rows: int = dev.ALLT_ROWS,  # compact row count (hi half)
     slot_mode: bool = False,  # winner gather from the candidate SLOT space
     gather_len: int = 128,  # slot one-hot length (>= every cell's count)
+    two_phase: bool = False,  # phase-1 geometry gather + final-winner gather
 ):
     # Candidate tables (transposed layout, ops/candidates.py):
     # tconsts_ref (1, W, TC_ROWS, L) f32 sweep consts + global-id row;
@@ -271,6 +285,9 @@ def _trace_kernel(
     # big candidate-list scenes: overflowed cells then fall back to the
     # sorted chunk walk instead of sweeping every chunk.
     refs = list(refs)
+    # two_phase: (G, 2*GEOM_ROWS, 128) bf16 hi/lo geometry-row subset of
+    # allt_hl (same chunking) for the phase-1 band-winner gather
+    geom_hl_ref = refs.pop(0) if two_phase else None
     if use_cand:
         tc_scratch = refs.pop()  # (L, TC_ROWS) f32 VMEM scratch (trailing)
         tconsts_ref = refs.pop(0)
@@ -1208,6 +1225,27 @@ def _trace_kernel(
                     acc2 = jax.lax.fori_loop(i_lo, i_hi + 1, gather_chunk, acc2)
                 return acc2[:gather_rows] + acc2[gather_rows:]
 
+            def gather_geom(bi):
+                """Phase-1 one-hot MXU gather of the winners' GEOM_ROWS
+                geometry rows only (two_phase)."""
+                ids_local = jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0)
+
+                def gchunk(c, acc2):
+                    onehot = (ids_local == bi - c * gsc).astype(jnp.bfloat16)
+                    return acc2 + jax.lax.dot_general(
+                        geom_hl_ref[c], onehot, dims,
+                        preferred_element_type=f32,
+                    )
+
+                acc2 = jnp.zeros((2 * GEOM_ROWS, R), f32)
+                if n_gchunks == 1:
+                    acc2 = gchunk(0, acc2)
+                else:
+                    i_lo = jnp.min(bi) // gsc
+                    i_hi = jnp.max(bi) // gsc
+                    acc2 = jax.lax.fori_loop(i_lo, i_hi + 1, gchunk, acc2)
+                return acc2[:GEOM_ROWS] + acc2[GEOM_ROWS:]
+
             if use_cand and slot_mode and _bounce == 0:
                 # Slot-space gather: the winner's compact shade rows come
                 # from THIS wedge's candidate slot table, so the one-hot is
@@ -1284,6 +1322,39 @@ def _trace_kernel(
                     rw["cx"], rw["cy"], rw["tau0"], ox, oy, dx, dy,
                     rw["t_chord"], min_hit,
                 )
+
+            def winner_geom(bi, hitv):
+                """Phase-1 winner rows from the GEOM_ROWS-row geometry
+                table (two_phase): same derived quantities as winner_rows,
+                bit-identical values (the subset table carries the same
+                hi/lo bf16 splits), no shade rows."""
+                geo = gather_geom(bi)
+
+                def ga(i):
+                    return unflat(geo[i : i + 1, :])
+
+                gex, gey, gc1 = ga(0), ga(1), ga(2)
+                gp0x, gp0y = ga(3), ga(4)
+                gdenom = dx * gey - dy * gex
+                ginv = jnp.where(gdenom == 0.0, 0.0, 1.0 / gdenom)
+                gnum_t = gc1 - ox * gey + oy * gex
+                gnum_s = dy * gp0x - dx * gp0y + (oy * dx - ox * dy)
+                s_chord = jnp.clip(gnum_s * ginv, 0.0, 1.0)
+                gt0, gdt = ga(13), ga(14)
+                return {
+                    "gex": gex,
+                    "gey": gey,
+                    "gdenom": gdenom,
+                    "gnum_t": gnum_t,
+                    "gnum_s": gnum_s,
+                    "t_chord": jnp.where(hitv, gnum_t * ginv, 1.0),
+                    "gt0": gt0,
+                    "gdt": gdt,
+                    "cx": tuple(ga(5 + 2 * i) for i in range(4)),
+                    "cy": tuple(ga(6 + 2 * i) for i in range(4)),
+                    "tau0": gt0 + s_chord * gdt,
+                    "band": ga(15),
+                }
 
             def band_margin(rw):
                 # Window margin = the parameter reach of the capsule band
@@ -1460,6 +1531,65 @@ def _trace_kernel(
                     jax.lax.cond(any_graze, _graze, _clean)
                 )
                 hit = hit_m > 0
+            elif exact and two_phase:
+                # --- two-phase final-winner gather (global-gather path) ---
+                # Phase 1: GEOM_ROWS-row gather at the BAND winner feeds the
+                # strict test and root isolation (under the any_graze cond —
+                # pure arithmetic, no gathers in the traced branches).  The
+                # rejection decision then picks each ray's FINAL winner id,
+                # and phase 2 gathers the full shade+consts row once at it.
+                # Replaces the split path's per-wedge fallback cond + second
+                # full gather (see _TWO_PHASE).  Output-identical.
+                hit_s = unflat(hit32_s) > 0
+                rwg = winner_geom(best_i, hit)
+                margin = band_margin(rwg)
+                strict = strict_accept(rwg)
+
+                def _iso2():
+                    tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                        refine.refine_hit_exact(
+                            rwg["cx"], rwg["cy"], rwg["tau0"],
+                            rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
+                            rwg["t_chord"], min_hit, margin=margin,
+                        )
+                    )
+                    return (
+                        tau_i, t_i, dbx_i, dby_i,
+                        (clean_ray | conv_i).astype(jnp.int32),
+                    )
+
+                def _allclean():
+                    z = jnp.zeros(RSHP, f32)
+                    # all-clean wedge: conv identically true, and the iso
+                    # outputs are never selected (sel covers every ray)
+                    return z, z, z, z, jnp.ones(RSHP, jnp.int32)
+
+                tau_i, t_i, dbx_i, dby_i, conv32 = jax.lax.cond(
+                    any_graze, _iso2, _allclean
+                )
+                hit_pre = hit
+                rejected = hit & ~((conv32 > 0) | strict)
+                use_s = rejected & hit_s
+                hit = (hit & ~rejected) | use_s
+                use_f = flat(use_s.astype(jnp.int32)) > 0
+                bi_f = jnp.where(use_f, best_i_s, best_i)
+                # band rays (incl. rejected-to-miss) keep the band chord t;
+                # fallback rays take the strict chain's (true on use_s, so
+                # the select is a pure OR — Mosaic-safe, no i1 where)
+                hitv2 = use_s | hit_pre
+                rw = winner_rows(bi_f, hitv2)
+                acc = rw["acc"]
+                tau_n, t_n, _, _, dbx_n, dby_n = newton(rw)
+                # clean rays: phase-2 newton == phase-1 newton bit-for-bit
+                # (same row values); fallback rays: the cheap refine is the
+                # strict-chain rule (guaranteed crossing); graze-accepted
+                # rays keep the isolation result.
+                sel = clean_ray | use_s
+                tau = jnp.where(sel, tau_n, tau_i)
+                t_ref = jnp.where(sel, t_n, t_i)
+                dbx = jnp.where(sel, dbx_n, dbx_i)
+                dby = jnp.where(sel, dby_n, dby_i)
+                t_chord, gt0, gdt = rw["t_chord"], rw["gt0"], rw["gdt"]
             elif not exact:
                 ev = eval_winner(best_i, hit)
                 acc, tau, t_ref, dbx, dby, t_chord, gt0, gdt = (
@@ -2182,6 +2312,16 @@ def trace_sums_flat(
     else:
         gl = cand_len
 
+    # Two-phase final-winner gather (see _TWO_PHASE): only when some exact
+    # global-gather path will actually run — slot-mode portal-free scenes
+    # never leave the fused slot path, so skip the extra operand there.
+    two_phase = (
+        config.exact_silhouettes
+        and _EXACT_ABLATE is None
+        and _TWO_PHASE
+        and (n_traces > 1 or not slot_mode)
+    )
+
     kernel = functools.partial(
         _trace_kernel,
         width=w,
@@ -2201,6 +2341,7 @@ def trace_sums_flat(
         gather_rows=gather_rows,
         slot_mode=slot_mode,
         gather_len=gl,
+        two_phase=two_phase,
     )
 
     # bf16 hi/lo split of the compact rows, chunked 3-D for aligned dynamic
@@ -2248,6 +2389,21 @@ def trace_sums_flat(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
+    if two_phase:
+        # GEOM_ROWS-row hi/lo subset of allt_hl (identical chunking and
+        # bf16 splits, so phase-1 reconstruction is bit-identical to the
+        # full gather's) in the kernel's fixed geometry-row order.
+        gsel = jnp.asarray(
+            [rmap[dev.ALLT_CONSTS + i] for i in range(5)]
+            + [rmap[dev.ALLT_SRC_CTRL + i] for i in range(8)]
+            + [rmap[dev.ALLT_T0], rmap[dev.ALLT_DT], rmap[dev.ALLT_BAND]],
+            jnp.int32,
+        )
+        geom_hl = jnp.concatenate(
+            [allt_hi[:, gsel, :], allt_lo[:, gsel, :]], axis=1
+        )
+        operands.append(geom_hl)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     if use_cand:
         # Candidate prepass (ops/candidates.py): precomputed per camera via
         # build_cand_tables when the caller hoists it, else fused under the
