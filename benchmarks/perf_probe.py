@@ -30,7 +30,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                dim_semantics=None, walk_split=None, wedge_cap=None,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
                remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
-               cwalk_split=None, two_phase=None):
+               cwalk_split=None, two_phase=None, remap_pair=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -52,6 +52,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._CWALK_SPLIT = cwalk_split
     if two_phase is not None:
         trace_pallas._TWO_PHASE = two_phase
+    if remap_pair is not None:
+        trace_pallas._REMAP_PAIR = remap_pair
     if wedge_cap is not None:
         cand_mod.CAND_MAX_WEDGES = wedge_cap
     if scene_horizon is not None:
@@ -153,6 +155,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._WALK_SPLIT = 1
         trace_pallas._CWALK_SPLIT = 1
         trace_pallas._TWO_PHASE = True
+        trace_pallas._REMAP_PAIR = True
         cand_mod.CAND_MAX_WEDGES = wc_saved
         trace_pallas._SCENE_HORIZON = True
         trace_pallas._ABLATE_REMAP = False
@@ -475,6 +478,11 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         two_phase=False, label="dol1080_64_s05_sw2_tp0",
+    ),
+    "lb_s05_rp0": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, remap_pair=False,
+        label="lb1080_256_s05_rp0",
     ),
     # --- batch 14: fallback/cond structure probes (ALL exact-output) ---
     "lb_s05_fbnc": lambda: time_trace(

@@ -131,6 +131,11 @@ _ABLATE_OVERFLOW_FB = False
 # < 256, integers below 2^8 are exact in bf16).  Output-identical; probed.
 _REMAP_MXU = False
 
+# Both sweep chains' slot->global remaps ride ONE lane-concatenated (1, 2R)
+# pass per level (half the one-hot builds/contractions).  Off switch for
+# A/B probes only; output-identical.
+_REMAP_PAIR = True
+
 # Two-phase final-winner gather for exact-silhouette global-gather scenes:
 # phase 1 gathers only the GEOM_ROWS geometry rows of the band winner (the
 # strict-test + root-isolation inputs), the rejection decision picks the
@@ -749,12 +754,12 @@ def _trace_kernel(
                     tconsts_ref[0, pid_w, :, :lvl_cap]
                 )  # (lvl_cap, TC_ROWS)
 
-                ids_lvl = jax.lax.broadcasted_iota(jnp.int32, (lvl_cap, R), 0)
-
                 def remap_slots(pk):
                     """slot -> global id for the CURRENTLY STAGED level,
                     then split the id into (low ID_BITS, chunk) so the
                     common unpack best_i = (pk & mask) + ch * sc holds.
+                    Lane-width generic: both chains ride ONE (1, 2R) pass
+                    (remap_pair) — same data, half the op count.
 
                     Hierarchical one-hot (round 3): slot = 8*g + k, so
                     id = sum_{g,k} [g == slot>>3][k == slot&7] idcol[8g+k]
@@ -764,7 +769,7 @@ def _trace_kernel(
                     as bf16 hi/lo halves (exact: hi, lo < 256 for every
                     s_pad <= CAND_MAX_SPAD = 2^15)."""
                     if _ABLATE_REMAP:  # attribution probe: slot ids ride
-                        return pk, jnp.zeros((1, R), jnp.int32)
+                        return pk, jnp.zeros_like(pk)
                     slot = pk & _ID_MASK
                     if _REMAP_MXU:
                         # flat hi/lo bf16 MXU remap (probe A/B): one
@@ -773,7 +778,10 @@ def _trace_kernel(
                         idcol = tc_scratch[
                             :, cand_mod.TC_ID : cand_mod.TC_ID + 1
                         ]
-                        onehot = (ids_lvl == slot).astype(jnp.bfloat16)
+                        ids_n = jax.lax.broadcasted_iota(
+                            jnp.int32, (lvl_cap, slot.shape[1]), 0
+                        )
+                        onehot = (ids_n == slot).astype(jnp.bfloat16)
                         hi_f = jnp.floor(idcol * jnp.float32(1.0 / 128.0))
                         hl = jnp.concatenate(
                             [hi_f, idcol - hi_f * 128.0], axis=1
@@ -802,10 +810,10 @@ def _trace_kernel(
                         lo8 = idcol8 - hi8 * 128.0
                         a_g = (
                             jax.lax.broadcasted_iota(
-                                jnp.int32, (lvl_cap // 8, R), 0
+                                jnp.int32, (lvl_cap // 8, slot.shape[1]), 0
                             )
                             == jax.lax.shift_right_logical(slot, 3)
-                        ).astype(jnp.bfloat16)  # (16, R) group one-hot
+                        ).astype(jnp.bfloat16)  # (16, N) group one-hot
                         dims = (((1,), (0,)), ((), ()))
                         chi = jax.lax.dot_general(
                             hi8.astype(jnp.bfloat16), a_g, dims,
@@ -816,9 +824,11 @@ def _trace_kernel(
                             preferred_element_type=jnp.float32,
                         )
                         b_k = (
-                            jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (8, slot.shape[1]), 0
+                            )
                             == (slot & 7)
-                        )  # (8, R) sub-row one-hot
+                        )  # (8, N) sub-row one-hot
                         g = jnp.sum(
                             jnp.where(b_k, chi * 128.0 + clo, 0.0),
                             axis=0,
@@ -832,6 +842,19 @@ def _trace_kernel(
                         (pk & _KEY_MASK) | (g & _ID_MASK),
                         jax.lax.shift_right_logical(g, ID_BITS)
                         * ((1 << ID_BITS) // sc),
+                    )
+
+                def remap_pair(pk_b, pk_s):
+                    """Both chains through ONE remap pass: the keys ride
+                    concatenated lanes (1, 2R), halving the one-hot builds
+                    and MXU contractions (remap_slots is lane-generic).
+                    Output-identical to two separate passes."""
+                    if not _REMAP_PAIR:
+                        return remap_slots(pk_b) + remap_slots(pk_s)
+                    pk2 = jnp.concatenate([pk_b, pk_s], axis=1)
+                    pk2m, ch2 = remap_slots(pk2)
+                    return (
+                        pk2m[:, :R], ch2[:, :R], pk2m[:, R:], ch2[:, R:]
                     )
 
                 def _list_walk(lb_off, tcap):
@@ -979,9 +1002,7 @@ def _trace_kernel(
                     if slot_mode:
                         # keys keep the SLOT: the gather is slot-space
                         return (pk_b, zero, pk_s, zero)
-                    pk_b, ch_b = remap_slots(pk_b)
-                    pk_s, ch_s = remap_slots(pk_s)
-                    return (pk_b, ch_b, pk_s, ch_s)
+                    return remap_pair(pk_b, pk_s)
 
                 if slot_mode or (cand_len >= s_pad and n_lvls == 1):
                     # Overflow impossible — lists hold every segment, or the
@@ -1043,8 +1064,9 @@ def _trace_kernel(
                                 pk8_b, pk8_s = _list_walk(lb_off, tcap)
                                 pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
                                 pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
-                                pk_b, ch_b = remap_slots(pk_b)
-                                pk_s, ch_s = remap_slots(pk_s)
+                                pk_b, ch_b, pk_s, ch_s = remap_pair(
+                                    pk_b, pk_s
+                                )
                                 # merge (strictly-less: equal quantized keys
                                 # keep the earlier level's nearer-lb winner,
                                 # matching intersect_chunk's update rule)
