@@ -239,7 +239,60 @@ def time_postprocess(w, h, frames=30, label="", denoise=True, blur=True,
     return ms
 
 
+def time_post_c3(frames=20, label="c3_post", denoiser=True, blur=True):
+    """Time config3's REAL denoise+blur tail (lady_bug 1080p, shipped UNet
+    weights, the scene's real blur map) — the non-trace share of the
+    516.7 ms run_all frame (batch16)."""
+    import glob
+
+    from raytracingdiffusioncurves_tpu.models import denoiser as dn
+    from raytracingdiffusioncurves_tpu.models import renderer
+
+    scene = rtdc.load_scene(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml"
+    ).with_size(1920, 1088)
+    dev = rtdc.build_device_scene(scene, min_subdivisions=2, max_sagitta=0.5)
+    config = rtdc.RenderConfig(
+        rays_per_pixel=256, use_blur=blur, use_denoiser=denoiser
+    )
+    img, bmap = rtdc.trace_image(dev, rtdc.Camera(), config, backend="pallas")
+    dnp = None
+    if denoiser:
+        cands = sorted(glob.glob("weights/denoiser*.msgpack"),
+                       key=lambda p: -os.path.getmtime(p))
+        dnp = dn.load_params(cands[0]) if cands else None
+    state = rtdc.init_frame_state(1920, 1088)
+
+    @jax.jit
+    def run_n(img0, bm, n):
+        def body(i, carry):
+            im, prev = carry
+            out, nxt = renderer._postprocess(
+                im + i * 0.0, bm, state._replace(prev_image=prev),
+                config, dev, None, dnp,
+            )
+            return out, nxt
+
+        return jax.lax.fori_loop(0, n, body, (img0, img0))
+
+    img4 = jnp.concatenate(
+        [img[..., :3], jnp.ones(img.shape[:2] + (1,), jnp.float32)], axis=-1
+    ) if img.shape[-1] == 3 else img
+    out, _ = run_n(img4, bmap, 1)
+    float(out[0, 0, 0])
+    t0 = time.perf_counter()
+    out, _ = run_n(img4, bmap, frames)
+    float(out[0, 0, 0])
+    ms = (time.perf_counter() - t0) * 1000 / frames
+    print(json.dumps({"label": label, "ms": round(ms, 2)}), flush=True)
+    return ms
+
+
 PROBES = {
+    # --- config3 tail decomposition (lady_bug 1080p, shipped weights) ---
+    "c3_post": lambda: time_post_c3(label="c3_post"),
+    "c3_post_noblur": lambda: time_post_c3(label="c3_post_noblur", blur=False),
+    "c3_post_nodn": lambda: time_post_c3(label="c3_post_nodn", denoiser=False),
     # --- config4 decomposition (arch 1080p, 8 rpp progressive trace) ---
     "c4_hoist": lambda: time_trace(
         f"{XMLS}/arch.xml", 1920, 1088, 8, frames=20, hoist=True,

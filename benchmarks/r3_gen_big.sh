@@ -11,6 +11,6 @@ rm -f /tmp/gen_big_done
 
 timeout 14400 python -m raytracingdiffusioncurves_tpu.models.train_denoiser \
   gen --out weights/denoise_data_r3b.npz --val-out weights/denoise_val_r3b.npz \
-  --cams 45 --seed 0 > $R/gen_r3b.log 2>&1
+  --cams 45 --seed 0 --backend jax > $R/gen_r3b.log 2>&1
 
 touch /tmp/gen_big_done
