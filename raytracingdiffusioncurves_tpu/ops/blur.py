@@ -28,7 +28,15 @@ MINUM_SIGMA = 1e-6
 
 
 def _variable_gauss_1d(image: jax.Array, sigma: jax.Array, radius: int, axis: int) -> jax.Array:
-    """One blur pass along ``axis`` (0 = vertical, 1 = horizontal)."""
+    """One blur pass along ``axis`` (0 = vertical, 1 = horizontal).
+
+    Incremental Gaussian weights: gauss_k = e1^(k^2) with e1 =
+    exp(-1/sig^2), advanced by g_{k+1} = g_k * e1^(2k+1) — ONE exp per
+    pixel per pass instead of one per tap (2*radius+1 of them; at
+    config3's radius-21 blur the exps were the pass's dominant op), and
+    the +-k tap pair shares its weight.  Matches the reference formula
+    exp(-k^2/(sigma+1e-6)^2) to ~radius*2^-24 relative (sequential mults),
+    far inside the 2e-5 parity bar (tests/test_blur.py)."""
     sig = sigma + MINUM_SIGMA
     inv_sig_sq = 1.0 / (sig * sig)
     k_half = jnp.ceil(3.0 * sigma)  # per-pixel half-width, from raw sigma
@@ -38,17 +46,23 @@ def _variable_gauss_1d(image: jax.Array, sigma: jax.Array, radius: int, axis: in
     padded = jnp.pad(image, pad_widths, mode="edge")
 
     h, w = image.shape[0], image.shape[1]
-    accum = jnp.zeros_like(image)
-    wsum = jnp.zeros(image.shape[:2], image.dtype)
-    for k in range(-radius, radius + 1):
-        if axis == 0:
-            shifted = jax.lax.dynamic_slice_in_dim(padded, k + radius, h, axis=0)
-        else:
-            shifted = jax.lax.dynamic_slice_in_dim(padded, k + radius, w, axis=1)
-        gauss = jnp.exp(-(k * k) * inv_sig_sq)
-        gauss = jnp.where(jnp.abs(k) <= k_half, gauss, 0.0)
-        accum = accum + shifted * gauss[..., None]
-        wsum = wsum + gauss
+    n = h if axis == 0 else w
+
+    def shift(k):
+        return jax.lax.dynamic_slice_in_dim(padded, k + radius, n, axis=axis)
+
+    e1 = jnp.exp(-inv_sig_sq)
+    e2 = e1 * e1
+    accum = image.astype(jnp.float32)  # k = 0 tap, weight 1
+    wsum = jnp.ones(image.shape[:2], jnp.float32)
+    g = e1  # gauss_1
+    m = e1 * e2  # e1^(2k+1) at k = 1
+    for k in range(1, radius + 1):
+        gk = jnp.where(k <= k_half, g, 0.0)
+        accum = accum + (shift(k) + shift(-k)) * gk[..., None]
+        wsum = wsum + 2.0 * gk
+        g = g * m
+        m = m * e2
     return accum / wsum[..., None]
 
 
