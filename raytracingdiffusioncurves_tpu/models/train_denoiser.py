@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -88,29 +89,63 @@ def sample_example(dev, rng: np.random.Generator, size: int, backend: str, frame
 
 
 def generate(scene_names, out_path, size=192, cams_per_scene=6, seed=0,
-             backend=None):
-    """Render a dataset: every scene x camera x noise level, saved float16."""
+             backend=None, chunk_cams=9):
+    """Render a dataset: every scene x camera x noise level, saved float16.
+
+    Checkpointed per (scene, camera-chunk): each chunk's examples land in
+    `<out_path>.shards/` the moment they finish, and existing shards are
+    skipped on re-run — a timeout-killed gen resumes where it stopped
+    instead of losing hours of renders (the round-3 45-cam regen died at
+    the 4 h timeout with nothing written).  The RNG is re-seeded per chunk
+    so a resumed run draws the same cameras it would have drawn fresh.
+    """
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "jax"
-    rng = np.random.default_rng(seed)
     # rpp 64 rides so the net sees near-clean inputs too (production
     # configs denoise up to 256 rpp; conditioning is aux's noise channel)
     rpp_levels = (4, 8, 16, 32, 64)
-    rows = {"noisy": [], "warped_prev": [], "aux": [], "target": []}
-    frame = 0
-    for name in scene_names:
-        path = os.path.join(XMLS, name)
-        scene = load_scene(path)
-        scene = scene.with_size(size, size)
+    shard_dir = str(out_path) + ".shards"
+    os.makedirs(shard_dir, exist_ok=True)
+    shard_paths = []
+    # (index, name) pairs keep shard names / RNG seeds stable under --scenes
+    # filtering (indices are positions in the full scene list).
+    pairs = (list(scene_names.items()) if isinstance(scene_names, dict)
+             else list(enumerate(scene_names)))
+    for si, name in pairs:
+        slug = name.replace("/", "_").removesuffix(".xml")
+        chunks = [(c0, min(c0 + chunk_cams, cams_per_scene))
+                  for c0 in range(0, cams_per_scene, chunk_cams)]
+        scene_shards = [os.path.join(shard_dir, f"{si:02d}_{slug}.{c0:03d}.npz")
+                        for c0, _ in chunks]
+        shard_paths += scene_shards
+        if all(os.path.exists(p) for p in scene_shards):
+            print(f"{name}: all shards exist, skipping", flush=True)
+            continue
+        t0 = time.time()
+        scene = load_scene(os.path.join(XMLS, name)).with_size(size, size)
         dev = build_device_scene(scene, flatten_subdivisions=8)
-        for c in range(cams_per_scene):
-            rpp = int(rpp_levels[c % len(rpp_levels)])
-            b = sample_example(dev, rng, size, backend, frame=frame, rpp_lo=rpp)
-            for k in rows:
-                rows[k].append(np.asarray(b[k][0], np.float16))
-            frame += 7
-        print(f"{name}: {cams_per_scene} examples", flush=True)
-    np.savez_compressed(out_path, **{k: np.stack(v) for k, v in rows.items()})
+        for (c0, c1), sp in zip(chunks, scene_shards):
+            if os.path.exists(sp):
+                continue
+            rng = np.random.default_rng([seed, si, c0])
+            rows = {"noisy": [], "warped_prev": [], "aux": [], "target": []}
+            for c in range(c0, c1):
+                rpp = int(rpp_levels[c % len(rpp_levels)])
+                b = sample_example(dev, rng, size, backend,
+                                   frame=si * 1000 + c * 7, rpp_lo=rpp)
+                for k in rows:
+                    rows[k].append(np.asarray(b[k][0], np.float16))
+            tmp = sp + ".tmp.npz"
+            np.savez_compressed(tmp, **{k: np.stack(v) for k, v in rows.items()})
+            os.replace(tmp, sp)
+            print(f"  {name} cams {c0}:{c1} done ({time.time() - t0:.0f}s)",
+                  flush=True)
+        print(f"{name}: {cams_per_scene} examples ({time.time() - t0:.0f}s)",
+              flush=True)
+    data = [dict(np.load(p)) for p in shard_paths]
+    np.savez_compressed(out_path,
+                        **{k: np.concatenate([d[k] for d in data])
+                           for k in data[0]})
     print(f"wrote {out_path}")
 
 
@@ -210,6 +245,10 @@ def main(argv=None):
     g.add_argument("--backend", default=None, choices=("jax", "pallas"),
                    help="trace backend (default: pallas on TPU, else jax); "
                    "jax-on-TPU skips the per-scene Pallas kernel compiles")
+    g.add_argument("--scenes", default=None,
+                   help="comma-separated substring filter over TRAIN_SCENES "
+                   "(val gen is skipped when set); scene indices keep their "
+                   "TRAIN_SCENES positions so shards/seeds stay stable")
     t = sub.add_parser("train", help="train on a rendered dataset")
     t.add_argument("--data", required=True)
     t.add_argument("--val", default=None)
@@ -233,9 +272,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
-        generate(TRAIN_SCENES, args.out, args.size, args.cams, args.seed,
+        scenes = TRAIN_SCENES
+        if args.scenes:
+            keys = args.scenes.split(",")
+            scenes = {i: n for i, n in enumerate(TRAIN_SCENES)
+                      if any(k in n for k in keys)}
+        generate(scenes, args.out, args.size, args.cams, args.seed,
                  backend=args.backend)
-        if args.val_out:
+        if args.val_out and not args.scenes:
             generate(VAL_SCENES, args.val_out, args.size, max(args.cams // 2, 2),
                      args.seed + 1, backend=args.backend)
     else:
