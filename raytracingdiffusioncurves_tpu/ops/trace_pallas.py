@@ -529,18 +529,25 @@ def _trace_kernel(
                 # (positive floats only) stays valid.
                 sm = num_s * r
                 tmr = jnp.maximum((num_t - q * sm * (1.0 - sm)) * r, 1e-30)
+                # Packed (t | local id) key built ONCE and shared by both
+                # chains (the old per-chain where(ok, t, FAR) -> bitcast
+                # repeated the 3-op packing); rejected lanes take the packed
+                # FAR constant directly.  Output-identical: a miss lane used
+                # to carry FARPACK|id, which never beats the FARPACK running-
+                # minimum seed (equal t-bits, lower id wins).  NaN tmr lanes
+                # (denom = 0 -> r = inf) are always rejected lanes in both
+                # forms.  Positive float bit patterns order as ints.
+                pk_raw = (
+                    jax.lax.bitcast_convert_type(tmr, jnp.int32) & _KEY_MASK
+                ) | ids
 
                 def pmin(ok):
-                    tm = jnp.where(ok, tmr, FAR)
-                    # Packed (t | local id) keys: positive float bit patterns
-                    # order as ints.  ``reduce_rows`` False keeps the (n, R)
-                    # block — the candidate walk accumulates (8, R) running
-                    # minima at full sublane rate and reduces ONCE per wedge
-                    # ((1, R) rows use 1 of 8 sublanes; per-group reductions
-                    # were ~1/3 of the sweep stage).
-                    pk = (
-                        jax.lax.bitcast_convert_type(tm, jnp.int32) & _KEY_MASK
-                    ) | ids
+                    # ``reduce_rows`` False keeps the (n, R) block — the
+                    # candidate walk accumulates (8, R) running minima at
+                    # full sublane rate and reduces ONCE per wedge ((1, R)
+                    # rows use 1 of 8 sublanes; per-group reductions were
+                    # ~1/3 of the sweep stage).
+                    pk = jnp.where(ok, pk_raw, _FAR_PACKED)
                     if not reduce_rows:
                         return pk  # (n, R) i32
                     return jnp.min(pk, axis=0, keepdims=True)  # (1, R) i32
@@ -815,14 +822,17 @@ def _trace_kernel(
                             == jax.lax.shift_right_logical(slot, 3)
                         ).astype(jnp.bfloat16)  # (16, N) group one-hot
                         dims = (((1,), (0,)), ((), ()))
-                        chi = jax.lax.dot_general(
-                            hi8.astype(jnp.bfloat16), a_g, dims,
-                            preferred_element_type=jnp.float32,
-                        )  # (8, R)
-                        clo = jax.lax.dot_general(
-                            lo8.astype(jnp.bfloat16), a_g, dims,
-                            preferred_element_type=jnp.float32,
-                        )
+                        # hi and lo halves stacked into ONE MXU pass (M pads
+                        # to 128 regardless, so two 8-row matmuls cost twice
+                        # the single 16-row one); both halves stay exact in
+                        # bf16 (< 256 each for every s_pad <= 2^15).
+                        hl16 = jnp.concatenate([hi8, lo8], axis=0).astype(
+                            jnp.bfloat16
+                        )  # (16, 16)
+                        two16 = jax.lax.dot_general(
+                            hl16, a_g, dims, preferred_element_type=jnp.float32
+                        )  # (16, R)
+                        chi, clo = two16[:8], two16[8:]
                         b_k = (
                             jax.lax.broadcasted_iota(
                                 jnp.int32, (8, slot.shape[1]), 0
@@ -938,13 +948,33 @@ def _trace_kernel(
                             )
 
                         def walk_body(st):
+                            # PAIRED body: two slot groups per exit check —
+                            # the check's sublane min + cross-lane max
+                            # reduction costs a sizable fraction of a group
+                            # sweep, and over-walking is exact (parked slots
+                            # are guaranteed misses; the staged level always
+                            # holds lvl_cap//8 groups, so the clamped g+1
+                            # stays in scratch bounds — re-walking the last
+                            # group is an idempotent min).
                             g, pk8b, pk8s = st
                             pk8b, pk8s = groupq(g, (pk8b, pk8s))
-                            return g + 1, pk8b, pk8s
+                            pk8b, pk8s = groupq(
+                                jnp.minimum(g + 1, lvl_cap // 8 - 1),
+                                (pk8b, pk8s),
+                            )
+                            return g + 2, pk8b, pk8s
 
+                        # First pair peeled OUTSIDE the loop: short lists
+                        # (the common cell: p50 candidate count is tiny)
+                        # then pay ZERO exit reductions; n_groups >= 1 is
+                        # guaranteed by the callers (wedge skip / need_l),
+                        # and group 1 over-walks safely when n_groups == 1.
                         farq = jnp.full((8, rq), _FAR_PACKED, jnp.int32)
+                        st0 = (jnp.int32(2),) + groupq(
+                            1, groupq(0, (farq, farq))
+                        )
                         _, qb, qs = jax.lax.while_loop(
-                            walk_cond, walk_body, (jnp.int32(0), farq, farq)
+                            walk_cond, walk_body, st0
                         )
                         return qb, qs
 
