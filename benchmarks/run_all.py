@@ -63,6 +63,44 @@ def _time_frames(run, state, frames):
     return 1000.0 * (time.perf_counter() - t0) / frames
 
 
+def _time_frames_chained(run2, state, frames, *args):
+    """Chained protocol (headline/config4 class, bench.py:74-112): ``frames``
+    full frames run inside ONE jit, sequential through the FrameState data
+    dependency, one host read at the end — measures device execution, not
+    the single-client tunnel's ~40 ms/dispatch RTT that a local deployment
+    would not pay.  Device arrays (accel tables, denoiser params) ride as
+    jit ARGUMENTS: closure-captured constants are baked into the HLO and
+    blow the remote-compile request limit for round-3 slot tables.
+
+    Returns (chained_ms, per_dispatch_ms) — the honest per-dispatch mean
+    (each frame a separate tunnel round trip) rides alongside."""
+    image, st = run2(state, *args)
+    float(image[0, 0, 0])
+
+    @jax.jit
+    def run_n(img, st, n, *a):
+        def body(i, carry):
+            _, st = carry
+            return run2(st, *a)
+
+        return jax.lax.fori_loop(0, n, body, (img, st))
+
+    img, _ = run_n(image, st, 1, *args)
+    float(img[0, 0, 0])
+    t0 = time.perf_counter()
+    img, _ = run_n(image, st, frames, *args)
+    float(img[0, 0, 0])
+    chained = 1000.0 * (time.perf_counter() - t0) / frames
+
+    per = []
+    for _ in range(min(frames, 5)):
+        t1 = time.perf_counter()
+        image, st = run2(st, *args)
+        float(image[0, 0, 0])
+        per.append(1000.0 * (time.perf_counter() - t1))
+    return chained, sum(per) / len(per)
+
+
 def _emit(name, ms, baseline_ms=None, extra=None):
     rec = {"metric": name, "value": round(ms, 3), "unit": "ms"}
     if baseline_ms:
@@ -115,13 +153,15 @@ def config3(backend, frames):
     cands = sorted(glob.glob("weights/denoiser*.msgpack"),
                    key=lambda p: -__import__("os").path.getmtime(p))
     dnp = dn.load_params(cands[0]) if cands else None
-    run = lambda st: rtdc.render_frame(
+    run = lambda st, tb, dnp: rtdc.render_frame(
         dev, cam, st, cfg, backend=backend, cand_tables=tb, gather_len=gl,
         denoiser_params=dnp)
-    ms = _time_frames(run, rtdc.init_frame_state(1920, 1088), frames)
+    ms, disp = _time_frames_chained(
+        run, rtdc.init_frame_state(1920, 1088), frames, tb, dnp)
     # 1088 rows, not 1080: the tiled trace covers whole 8-row bands and the
     # mesh shards whole rows; the metric name says so (VERDICT r1 weak #6).
-    _emit("ms_per_frame_ladybug1920x1088_256rpp_denoise", ms, extra={"rows": 1088})
+    _emit("ms_per_frame_ladybug1920x1088_256rpp_denoise", ms,
+          extra={"rows": 1088, "per_dispatch_ms": round(disp, 3)})
 
 
 def config4(backend, frames):
