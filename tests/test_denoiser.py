@@ -139,3 +139,35 @@ def test_warp_separable_matches_generic():
     a = np.asarray(flow_ops.warp_by_flow(img, fl))
     b = np.asarray(flow_ops.warp_separable(img, fl))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+@pytest.mark.slow  # ~55 s: 9 small renders (3 cams x 3 images, rpp up to 256)
+def test_dataset_gen_shard_resume(tmp_path):
+    """Dataset gen checkpoints per (scene, cam-chunk) shard, and a resumed
+    run (missing final npz and one shard) reproduces the dataset BITWISE —
+    the per-chunk RNG re-seed guarantees a resumed run draws the same
+    cameras a fresh one would (models/train_denoiser.py generate)."""
+    import os
+
+    from raytracingdiffusioncurves_tpu.models import train_denoiser as td
+    from conftest import make_scene_xml, simple_curve
+
+    xml_path = tmp_path / "scene.xml"
+    xml_path.write_text(
+        make_scene_xml([simple_curve([(10, 14), (30, 25), (40, 40), (50, 52)])], 32, 32)
+    )
+    out = tmp_path / "d.npz"
+    # scene index 2 in the dict: shard names/seeds follow the index
+    kw = dict(size=32, cams_per_scene=3, seed=5, backend="jax", chunk_cams=2)
+    td.generate({2: str(xml_path)}, str(out), **kw)
+    ref = dict(np.load(out))
+    assert ref["noisy"].shape[0] == 3
+    shards = sorted((tmp_path / "d.npz.shards").iterdir())
+    assert len(shards) == 2  # cam chunks 0:2 and 2:3
+    # resume: final npz gone, second shard gone -> only that chunk re-renders
+    os.remove(out)
+    os.remove(shards[1])
+    td.generate({2: str(xml_path)}, str(out), **kw)
+    new = dict(np.load(out))
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], new[k])
