@@ -288,7 +288,125 @@ def time_post_c3(frames=20, label="c3_post", denoiser=True, blur=True):
     return ms
 
 
+def time_unet_variants(which="asis", label="unet", h=1088, w=1920):
+    """Shape-level timing of UNet-inference design points at config3's
+    resolution (random weights — conv wall time depends only on shapes).
+
+    asis: the shipped UNetDenoiser(base=24) bf16 forward (~30 ms of the
+    459.2 ms chained config3 frame, batch18 c3_post decomposition).
+    s2d:  space-to-depth packed equivalent COST model — all spatial dims
+    halved, channels x4, 3x3 kernels (a strict FLOP superset of the exact
+    phase-split transform, 4x the FLOPs at 4x the MXU lane utilization).
+    f32:  the same net with f32 convs (is bf16 actually buying anything?).
+    half: UNet run at half resolution (a retrain-needed design point)."""
+    from flax import linen as nn
+
+    from raytracingdiffusioncurves_tpu.models import denoiser as dn
+
+    bf = jnp.bfloat16
+
+    class PackedNet(nn.Module):
+        base: int = 96  # 4 x 24
+
+        @nn.compact
+        def __call__(self, x):
+            c = self.base
+
+            def conv(x, ch, name, stride=1):
+                return nn.relu(nn.Conv(ch, (3, 3), (stride, stride),
+                                       padding="SAME", dtype=bf, name=name)(x))
+
+            e0 = conv(conv(x, c, "enc0a"), c, "enc0b")
+            e1 = conv(conv(e0, 2 * c, "enc1a", stride=2), 2 * c, "enc1b")
+            e2 = conv(conv(e1, 4 * c, "enc2a", stride=2), 4 * c, "enc2b")
+
+            def up(x, like):
+                n, hh, ww, _ = like.shape
+                return jax.image.resize(x, (n, hh, ww, x.shape[-1]), "nearest")
+
+            d1 = conv(jnp.concatenate([up(e2, e1), e1], -1), 2 * c, "dec1")
+            d0 = conv(jnp.concatenate([up(d1, e0), e0], -1), c, "dec0")
+            return nn.Conv(12, (3, 3), padding="SAME", dtype=bf, name="out")(d0)
+
+    key = jax.random.PRNGKey(0)
+    if which == "s2d":
+        x = jnp.zeros((1, h // 2, w // 2, 44), jnp.float32)
+        model = PackedNet()
+        params = model.init(key, x)
+        fn = jax.jit(lambda p, v: model.apply(p, v))
+        args = (params, x)
+    elif which == "half":
+        z3 = jnp.zeros((1, h // 2, w // 2, 3), jnp.float32)
+        z2 = jnp.zeros((1, h // 2, w // 2, 2), jnp.float32)
+        model = dn.UNetDenoiser()
+        params = model.init(key, z3, z3, z2)
+        fn = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c))
+        args = (params, z3, z3, z2)
+    else:  # asis / f32
+        z3 = jnp.zeros((1, h, w, 3), jnp.float32)
+        z2 = jnp.zeros((1, h, w, 2), jnp.float32)
+        model = dn.UNetDenoiser()
+        params = model.init(key, z3, z3, z2)
+        if which == "f32":
+            fp = jnp.float32
+
+            class F32Wrap(nn.Module):
+                """UNetDenoiser topology with f32 convs."""
+
+                @nn.compact
+                def __call__(self, a, b, c):
+                    base = 24
+
+                    def conv(x, ch, name, stride=1):
+                        return nn.relu(nn.Conv(
+                            ch, (3, 3), (stride, stride), padding="SAME",
+                            dtype=fp, name=name,
+                        )(x))
+
+                    analytic = jax.vmap(dn.analytic_baseline)(a, b)
+                    x = jnp.concatenate([a, b, analytic, c], -1)
+                    e0 = conv(conv(x, base, "enc0a"), base, "enc0b")
+                    e1 = conv(conv(e0, 2 * base, "enc1a", stride=2),
+                              2 * base, "enc1b")
+                    e2 = conv(conv(e1, 4 * base, "enc2a", stride=2),
+                              4 * base, "enc2b")
+
+                    def up(x, like):
+                        n, hh, ww, _ = like.shape
+                        return jax.image.resize(
+                            x, (n, hh, ww, x.shape[-1]), "nearest")
+
+                    d1 = conv(jnp.concatenate([up(e2, e1), e1], -1),
+                              2 * base, "dec1")
+                    d0 = conv(jnp.concatenate([up(d1, e0), e0], -1),
+                              base, "dec0")
+                    out = nn.Conv(3, (3, 3), padding="SAME", dtype=fp,
+                                  name="out")(d0)
+                    return analytic + out
+
+            model = F32Wrap()
+            params = model.init(key, z3, z3, z2)
+        fn = jax.jit(lambda p, a, b, c: model.apply(p, a, b, c))
+        args = (params, z3, z3, z2)
+
+    out = fn(*args)
+    float(out[0, 0, 0, 0])  # sync warmup through the tunnel
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        out = fn(*args)
+    float(out[0, 0, 0, 0])
+    ms = (time.perf_counter() - t0) * 1000 / n
+    print(json.dumps({"label": label, "ms": round(ms, 2)}), flush=True)
+    return ms
+
+
 PROBES = {
+    # --- UNet inference design points (config3 tail, batch18: CNN ~30 ms) ---
+    "unet_asis": lambda: time_unet_variants("asis", "unet_asis_1080"),
+    "unet_s2d": lambda: time_unet_variants("s2d", "unet_s2d_1080"),
+    "unet_f32": lambda: time_unet_variants("f32", "unet_f32_1080"),
+    "unet_half": lambda: time_unet_variants("half", "unet_half_1080"),
     # --- config3 tail decomposition (lady_bug 1080p, shipped weights) ---
     "c3_post": lambda: time_post_c3(label="c3_post"),
     "c3_post_noblur": lambda: time_post_c3(label="c3_post_noblur", blur=False),
@@ -577,6 +695,19 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5, rays_per_block=4096,
         label="lb1080_256_s05_rb4k",
+    ),
+    # rb8k/dol_rb4k: re-probe block size at the post-batch17 operating point
+    # (415 ms full, entry 34.8) — with per-wedge fixed costs now ~8% of the
+    # frame, fewer/bigger programs may win where they were neutral at 518.
+    "lb_s05_rb8k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, rays_per_block=8192,
+        label="lb1080_256_s05_rb8k",
+    ),
+    "dol_s05_rb4k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        rays_per_block=4096, label="dol1080_64_s05_sw2_rb4k",
     ),
     "lb_s05_sw8": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
