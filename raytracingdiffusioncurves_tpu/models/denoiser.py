@@ -213,6 +213,153 @@ def net_for_params(params):
     return DenoiserNet(features=features, depth=depth)
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth packed UNet inference.
+#
+# Measured (batch18/20, 1920x1088): the bf16 UNet forward costs ~31 ms of the
+# config3 frame and is NOT MXU-bound (f32 == bf16 at 31.1 ms) — with 24
+# channels against 128 MXU lanes the full-resolution convs are layout-bound.
+# Running the SAME math on 2x2 space-to-depth tensors (half the pixels, 4x
+# the channels, phase-structured 3x3 kernels) measures 20.0 ms even though
+# the packed kernels carry 4x the nominal FLOPs (75% structural zeros).
+#
+# The transform is exact at the product level: every bf16 multiply of the
+# plain forward appears in the packed forward (the extra kernel entries are
+# zeros), only the f32 accumulation ORDER inside each conv changes, so
+# outputs agree to ~1 bf16 ulp (pinned by tests/test_denoiser.py).  Only the
+# full-resolution layers change shape: enc0a/enc0b/dec0/out become packed
+# stride-1 convs, enc1a consumes the packed tensor directly as a stride-1
+# conv, and the nearest-neighbor up(d1) becomes phase replication (channel
+# concat).  enc1b/enc2a/enc2b/dec1 already run at half/quarter resolution
+# with 48-96 channels and keep their original form.
+# ---------------------------------------------------------------------------
+
+PACKED_UNET_INFERENCE = True  # module flag so probes/tests can A/B
+
+
+def _space_to_depth(x):
+    """(N, H, W, C) -> (N, H/2, W/2, 4C), phase-major channels
+    ((dy*2+dx)*C + c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x):
+    """Inverse of _space_to_depth."""
+    n, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h2, w2, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h2, 2 * w2, c)
+
+
+def _pack_kernel_s1(k, groups):
+    """Packed kernel for a full-res stride-1 3x3 SAME conv.
+
+    ``k``: (3, 3, Cin, Cout).  ``groups``: the full-res input channel group
+    sizes (the packed input concatenates each group's own phase-major
+    space-to-depth block, e.g. [48, 24] for dec0's concat(up(d1), e0)).
+    Output layout is phase-major single-group: (a*2+b)*Cout + co.
+
+    Derivation: y[2i+a, 2j+b] = sum_kappa k[ku, kv] x[2i+a+ku-1, ...] and
+    2i + (a+ku-1) = 2(i+U) + dy with U = (a+ku-1)>>1, dy = (a+ku-1)&1 — each
+    (a, ku) lands in a distinct packed tap/sub-row, so the assembled kernel
+    has no collisions and 75% structural zeros."""
+    cin, cout = k.shape[2], k.shape[3]
+    offs = np.cumsum([0] + list(groups))
+    assert offs[-1] == cin, (groups, cin)
+    kp = jnp.zeros((3, 3, 4 * cin, 4 * cout), k.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            po = (a * 2 + b) * cout
+            for ku in range(3):
+                ru = a + ku - 1
+                u, dy = (ru >> 1) + 1, ru & 1
+                for kv in range(3):
+                    rv = b + kv - 1
+                    v, dx = (rv >> 1) + 1, rv & 1
+                    for g, cg in enumerate(groups):
+                        base = 4 * offs[g] + (dy * 2 + dx) * cg
+                        kp = kp.at[
+                            u, v, base : base + cg, po : po + cout
+                        ].set(k[ku, kv, offs[g] : offs[g] + cg, :])
+    return kp
+
+
+def _pack_kernel_s2(k, cin):
+    """Packed kernel for a full-res stride-2 3x3 SAME conv consuming the
+    packed tensor as a stride-1 conv (output is already half-res, plain
+    channels).  jax SAME at stride 2 pads (0, 1): y[i] = sum_kappa
+    k[kappa] x[2i+kappa], so 2i+kappa = 2(i+U)+dy with U = kappa>>1."""
+    cout = k.shape[3]
+    kp = jnp.zeros((3, 3, 4 * cin, cout), k.dtype)
+    for ku in range(3):
+        u, dy = (ku >> 1) + 1, ku & 1
+        for kv in range(3):
+            v, dx = (kv >> 1) + 1, kv & 1
+            base = (dy * 2 + dx) * cin
+            kp = kp.at[u, v, base : base + cin, :].set(k[ku, kv])
+    return kp
+
+
+def apply_unet_packed(params, noisy, warped_prev, aux, analytic=None):
+    """UNetDenoiser forward via the space-to-depth packed layout (exact to
+    accumulation order; see the block comment above).  H and W must be
+    even (apply_denoiser's pad-to-4 guarantees it)."""
+    bf = jnp.bfloat16
+    p = params["params"]
+    if analytic is None:
+        analytic = jax.vmap(analytic_baseline)(noisy, warped_prev)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def kb(name):
+        lay = p[name]
+        return lay["kernel"].astype(bf), lay["bias"].astype(bf)
+
+    def conv_plain(x, name, stride=1, act=True):
+        k, b = kb(name)
+        y = jax.lax.conv_general_dilated(
+            x, k, (stride, stride), "SAME", dimension_numbers=dn
+        ) + b
+        return nn.relu(y) if act else y
+
+    def conv_packed(x, name, groups, act=True):
+        k, b = kb(name)
+        y = jax.lax.conv_general_dilated(
+            x, _pack_kernel_s1(k, groups), (1, 1), "SAME",
+            dimension_numbers=dn,
+        ) + jnp.tile(b, 4)
+        return nn.relu(y) if act else y
+
+    x = jnp.concatenate([noisy, warped_prev, analytic, aux], -1).astype(bf)
+    cin0 = x.shape[-1]
+    xp = _space_to_depth(x)
+    e0 = conv_packed(conv_packed(xp, "enc0a", [cin0]), "enc0b",
+                     [p["enc0a"]["bias"].shape[0]])
+    base = p["enc0a"]["bias"].shape[0]
+    k1a, b1a = kb("enc1a")
+    e1 = nn.relu(
+        jax.lax.conv_general_dilated(
+            e0, _pack_kernel_s2(k1a, base), (1, 1), "SAME",
+            dimension_numbers=dn,
+        ) + b1a
+    )
+    e1 = conv_plain(e1, "enc1b")
+    e2 = conv_plain(conv_plain(e1, "enc2a", stride=2), "enc2b")
+
+    def up(x, like):
+        n, h, w, _ = like.shape
+        return jax.image.resize(x, (n, h, w, x.shape[-1]), "nearest")
+
+    d1 = conv_plain(jnp.concatenate([up(e2, e1), e1], -1), "dec1")
+    # nearest 2x upsample of d1 == phase replication in the packed layout
+    d1_rep = jnp.concatenate([d1] * 4, -1)
+    d0 = conv_packed(jnp.concatenate([d1_rep, e0], -1), "dec0",
+                     [d1.shape[-1], base])
+    outp = conv_packed(d0, "out", [base], act=False)
+    return analytic + _depth_to_space(outp).astype(jnp.float32)
+
+
 def apply_denoiser(
     model, params, image, warped_prev, blur_map, mix: float = 1.0,
     noise: float = 0.0, frame=None,
@@ -235,15 +382,18 @@ def apply_denoiser(
     # UNet strides need H, W divisible by 4: reflect-pad, predict, crop.
     h, w = noisy.shape[:2]
     ph, pw = (-h) % 4, (-w) % 4
-    if (ph or pw) and isinstance(model, UNetDenoiser):
+    is_unet = isinstance(model, UNetDenoiser)
+    if is_unet and PACKED_UNET_INFERENCE:
+        apply = lambda *a: apply_unet_packed(params, *a)  # noqa: E731
+    else:
+        apply = lambda *a: model.apply(params, *a)  # noqa: E731
+    if (ph or pw) and is_unet:
         pad = ((0, ph), (0, pw), (0, 0))
         args = [jnp.pad(v, pad, mode="reflect")
                 for v in (noisy, prev, aux, analytic)]
-        pred = model.apply(params, *[v[None] for v in args])[0, :h, :w]
+        pred = apply(*[v[None] for v in args])[0, :h, :w]
     else:
-        pred = model.apply(
-            params, noisy[None], prev[None], aux[None], analytic[None]
-        )[0]
+        pred = apply(noisy[None], prev[None], aux[None], analytic[None])[0]
     alpha = jnp.ones(image.shape[:2] + (1,), jnp.float32)
     denoised = jnp.concatenate([pred, alpha], axis=-1)
     return denoised + (image - denoised) * (1.0 - mix)

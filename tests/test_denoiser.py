@@ -124,6 +124,53 @@ def test_shipped_weights_load_and_apply():
         assert np.isfinite(np.asarray(out)).all(), p
 
 
+def test_packed_unet_matches_plain_forward():
+    """The space-to-depth packed UNet inference path (the config3 tail
+    optimization: full-res convs are layout-bound at 24 channels, so the
+    same math runs on half-res 4x-channel tensors) reproduces the plain
+    module forward to ~1 bf16 ulp — every bf16 product is identical, only
+    f32 accumulation order inside each conv changes."""
+    key = jax.random.PRNGKey(3)
+    h, w = 16, 24
+    model = dn.UNetDenoiser(base=8)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    noisy = jax.random.uniform(k1, (1, h, w, 3))
+    prev = jax.random.uniform(k2, (1, h, w, 3))
+    aux = jax.random.uniform(k3, (1, h, w, 2))
+    params = model.init(k4, noisy, prev, aux)
+    plain = np.asarray(model.apply(params, noisy, prev, aux))
+    packed = np.asarray(dn.apply_unet_packed(params, noisy, prev, aux))
+    assert np.abs(plain - packed).max() < 2e-3  # ~1 ulp of bf16 at O(1)
+    # and apply_denoiser routes the UNet through it (flag on by default)
+    assert dn.PACKED_UNET_INFERENCE
+
+
+def test_packed_unet_odd_size_via_apply_denoiser():
+    """apply_denoiser's reflect-pad-to-4 path composes with the packed
+    forward: odd image sizes produce identical results with the packed
+    path on and off (same 1-ulp class tolerance)."""
+    params = dn.load_params("weights/denoiser_r3.msgpack")
+    model = dn.net_for_params(params)
+    if not isinstance(model, dn.UNetDenoiser):
+        pytest.skip("shipped weights are not a UNet")
+    key = jax.random.PRNGKey(7)
+    image = jnp.concatenate(
+        [jax.random.uniform(key, (23, 37, 3)), jnp.ones((23, 37, 1))], -1
+    )
+    bmap = jnp.zeros((23, 37))
+    saved = dn.PACKED_UNET_INFERENCE
+    try:
+        dn.PACKED_UNET_INFERENCE = True
+        a = np.asarray(dn.apply_denoiser(model, params, image, image, bmap,
+                                         frame=1))
+        dn.PACKED_UNET_INFERENCE = False
+        b = np.asarray(dn.apply_denoiser(model, params, image, image, bmap,
+                                         frame=1))
+    finally:
+        dn.PACKED_UNET_INFERENCE = saved
+    assert np.abs(a - b).max() < 2e-3
+
+
 def test_warp_separable_matches_generic():
     """The MXU separable warp must match the generic gather warp on every
     flow this renderer produces (zoom + pan accumulations,
