@@ -30,7 +30,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                dim_semantics=None, walk_split=None, wedge_cap=None,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
                remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
-               cwalk_split=None, two_phase=None, remap_pair=None):
+               cwalk_split=None, two_phase=None, remap_pair=None,
+               cwalk_pair=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -50,10 +51,12 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._WALK_SPLIT = walk_split
     if cwalk_split is not None:
         trace_pallas._CWALK_SPLIT = cwalk_split
+    if cwalk_pair is not None:
+        trace_pallas._CWALK_PAIR = cwalk_pair
     if two_phase is not None:
         trace_pallas._TWO_PHASE = two_phase
-    if remap_pair is not None:
-        trace_pallas._REMAP_PAIR = remap_pair
+    # remap_pair / remap_mxu: historical knobs of the removed post-walk
+    # remap (ids now tracked in-walk); accepted so old probe defs stay valid.
     if wedge_cap is not None:
         cand_mod.CAND_MAX_WEDGES = wedge_cap
     if scene_horizon is not None:
@@ -62,8 +65,6 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_REMAP = ablate_remap
     if ablate_offb is not None:
         trace_pallas._ABLATE_OVERFLOW_FB = ablate_offb
-    if remap_mxu is not None:
-        trace_pallas._REMAP_MXU = remap_mxu
     cl_saved = trace_pallas._CAND_LEVELS
     if cand_levels is not None:
         trace_pallas._CAND_LEVELS = cand_levels
@@ -154,13 +155,12 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._DIM_SEMANTICS = "arbitrary"
         trace_pallas._WALK_SPLIT = 1
         trace_pallas._CWALK_SPLIT = 1
+        trace_pallas._CWALK_PAIR = 1
         trace_pallas._TWO_PHASE = True
-        trace_pallas._REMAP_PAIR = True
         cand_mod.CAND_MAX_WEDGES = wc_saved
         trace_pallas._SCENE_HORIZON = True
         trace_pallas._ABLATE_REMAP = False
         trace_pallas._ABLATE_OVERFLOW_FB = False
-        trace_pallas._REMAP_MXU = False
         if cand_levels is not None:
             trace_pallas._CAND_LEVELS = cl_saved
             trace_pallas.build_cand_tables.clear_cache()
@@ -680,6 +680,22 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         cwalk_split=2, label="dol1080_64_s05_sw2_cw2",
+    ),
+    # --- batch 23: paired chunk-walk body (exit reductions amortized) ---
+    "dol_s05_cp2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cwalk_pair=2, label="dol1080_64_s05_sw2_cp2",
+    ),
+    "dol_s05_cp4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cwalk_pair=4, label="dol1080_64_s05_sw2_cp4",
+    ),
+    "lb_s05_cp2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, cwalk_pair=2,
+        label="lb1080_256_s05_cp2",
     ),
     "dol_s05_cw4": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,

@@ -450,6 +450,43 @@ def test_cwalk_split_bitwise(split):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("pair", [2, 4])
+def test_cwalk_pair_bitwise(pair):
+    """_CWALK_PAIR chunk-walk body (N chunks swept per exit check): the
+    clamped repeat of the final chunk is an idempotent min and parked
+    entries are guaranteed misses, so output must be BIT-IDENTICAL to the
+    single-chunk body — over-walking may not change a single winner."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    rng = np.random.RandomState(7)
+    curves = []
+    for i in range(90):  # > levels x 128 sub-segments: the chunk walk fires
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > tp._cand_len_for(dev.s_pad)  # chunk fallback reachable
+    tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
+    assert (np.asarray(tables[1]) > tables[0].shape[-1]).any()  # really fires
+    img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    tp._CWALK_PAIR = pair
+    tp.trace_sums_flat.clear_cache()
+    try:
+        img_s, bm_s = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._CWALK_PAIR = 1
+        tp.trace_sums_flat.clear_cache()
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
+    np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
+
+
+@pytest.mark.slow
 def test_cand_levels_bitwise():
     """Multi-LEVEL capped lists (_CAND_LEVELS > 1): levels past the first
     are walked only behind their own horizon conds, each remapped with its
