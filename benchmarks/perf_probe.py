@@ -31,7 +31,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
                remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
                cwalk_split=None, two_phase=None, remap_pair=None,
-               cwalk_pair=None):
+               cwalk_pair=None, phase1_cond=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -53,6 +53,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._CWALK_SPLIT = cwalk_split
     if cwalk_pair is not None:
         trace_pallas._CWALK_PAIR = cwalk_pair
+    if phase1_cond is not None:
+        trace_pallas._PHASE1_COND = phase1_cond
     if two_phase is not None:
         trace_pallas._TWO_PHASE = two_phase
     # remap_pair / remap_mxu: historical knobs of the removed post-walk
@@ -156,6 +158,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._WALK_SPLIT = 1
         trace_pallas._CWALK_SPLIT = 1
         trace_pallas._CWALK_PAIR = 1
+        trace_pallas._PHASE1_COND = False
         trace_pallas._TWO_PHASE = True
         cand_mod.CAND_MAX_WEDGES = wc_saved
         trace_pallas._SCENE_HORIZON = True
@@ -691,6 +694,18 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         cwalk_pair=4, label="dol1080_64_s05_sw2_cp4",
+    ),
+    # --- batch 24: phase-1 block under the graze cond (gather in-branch;
+    # Mosaic crash risk contained by --isolate) ---
+    "lb_s05_p1c": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, phase1_cond=True,
+        label="lb1080_256_s05_p1c",
+    ),
+    "dol_s05_p1c": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        phase1_cond=True, label="dol1080_64_s05_sw2_p1c",
     ),
     "lb_s05_cp2": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,

@@ -140,6 +140,12 @@ _TWO_PHASE = True
 # Fixed geometry-row order of the phase-1 table: EX, EY, C1, P0X, P0Y,
 # ctrl x0,y0..x3,y3, T0, DT, BAND.
 GEOM_ROWS = 16
+# Move the ENTIRE phase-1 block (geometry gather + strict test + root
+# isolation) under the per-wedge any_graze cond: all-clean wedges (the
+# majority) then skip the GEOM gather too, not just the isolation
+# arithmetic.  Violates the "no gathers inside traced branches" Mosaic
+# rule of thumb — probe-only until measured safe (output-identical).
+_PHASE1_COND = False
 
 # In-frame (non-hoisted) prepasses build the per-cell slot shade table only
 # when at least this many wedges will gather from it; below the threshold
@@ -1600,34 +1606,60 @@ def _trace_kernel(
                 # Replaces the split path's per-wedge fallback cond + second
                 # full gather (see _TWO_PHASE).  Output-identical.
                 hit_s = unflat(hit32_s) > 0
-                rwg = winner_geom(best_i, hit)
-                margin = band_margin(rwg)
-                strict = strict_accept(rwg)
-
-                def _iso2():
-                    tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
-                        refine.refine_hit_exact(
-                            rwg["cx"], rwg["cy"], rwg["tau0"],
-                            rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
-                            rwg["t_chord"], min_hit, margin=margin,
+                if _PHASE1_COND:
+                    # probe variant: the WHOLE phase-1 block (gather incl.)
+                    # under the graze cond — all-clean wedges skip it all
+                    def _graze1():
+                        rwg = winner_geom(best_i, hit)
+                        tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                            refine.refine_hit_exact(
+                                rwg["cx"], rwg["cy"], rwg["tau0"],
+                                rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
+                                rwg["t_chord"], min_hit,
+                                margin=band_margin(rwg),
+                            )
                         )
-                    )
-                    return (
-                        tau_i, t_i, dbx_i, dby_i,
-                        (clean_ray | conv_i).astype(jnp.int32),
-                    )
+                        conv = clean_ray | conv_i
+                        rej = hit & ~(conv | strict_accept(rwg))
+                        return tau_i, t_i, dbx_i, dby_i, rej.astype(jnp.int32)
 
-                def _allclean():
-                    z = jnp.zeros(RSHP, f32)
-                    # all-clean wedge: conv identically true, and the iso
-                    # outputs are never selected (sel covers every ray)
-                    return z, z, z, z, jnp.ones(RSHP, jnp.int32)
+                    def _clean1():
+                        z = jnp.zeros(RSHP, f32)
+                        return z, z, z, z, jnp.zeros(RSHP, jnp.int32)
 
-                tau_i, t_i, dbx_i, dby_i, conv32 = jax.lax.cond(
-                    any_graze, _iso2, _allclean
-                )
+                    tau_i, t_i, dbx_i, dby_i, rej32 = jax.lax.cond(
+                        any_graze, _graze1, _clean1
+                    )
+                    rejected = rej32 > 0
+                else:
+                    rwg = winner_geom(best_i, hit)
+                    margin = band_margin(rwg)
+                    strict = strict_accept(rwg)
+
+                    def _iso2():
+                        tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                            refine.refine_hit_exact(
+                                rwg["cx"], rwg["cy"], rwg["tau0"],
+                                rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
+                                rwg["t_chord"], min_hit, margin=margin,
+                            )
+                        )
+                        return (
+                            tau_i, t_i, dbx_i, dby_i,
+                            (clean_ray | conv_i).astype(jnp.int32),
+                        )
+
+                    def _allclean():
+                        z = jnp.zeros(RSHP, f32)
+                        # all-clean wedge: conv identically true, and the iso
+                        # outputs are never selected (sel covers every ray)
+                        return z, z, z, z, jnp.ones(RSHP, jnp.int32)
+
+                    tau_i, t_i, dbx_i, dby_i, conv32 = jax.lax.cond(
+                        any_graze, _iso2, _allclean
+                    )
+                    rejected = hit & ~((conv32 > 0) | strict)
                 hit_pre = hit
-                rejected = hit & ~((conv32 > 0) | strict)
                 use_s = rejected & hit_s
                 hit = (hit & ~rejected) | use_s
                 use_f = flat(use_s.astype(jnp.int32)) > 0

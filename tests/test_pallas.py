@@ -450,6 +450,41 @@ def test_cwalk_split_bitwise(split):
 
 
 @pytest.mark.slow
+def test_phase1_cond_bitwise():
+    """_PHASE1_COND moves the whole phase-1 block (geometry gather + strict
+    test + root isolation) under the per-wedge graze cond.  All-clean wedges
+    produce zero iso outputs that the final selects never read, and graze
+    wedges compute exactly the hoisted path's values — output must be
+    BIT-IDENTICAL to the hoisted phase-1 (default)."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    rng = np.random.RandomState(7)
+    curves = []
+    for i in range(90):
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > 128  # non-slot: the two-phase path really runs
+    img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    tp._PHASE1_COND = True
+    tp.trace_sums_flat.clear_cache()
+    try:
+        img_c, bm_c = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._PHASE1_COND = False
+        tp.trace_sums_flat.clear_cache()
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_c))
+    np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_c))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("pair", [2, 4])
 def test_cwalk_pair_bitwise(pair):
     """_CWALK_PAIR chunk-walk body (N chunks swept per exit check): the
