@@ -198,7 +198,7 @@ def _psnr_noisy(data) -> float:
 
 
 def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
-          lr=2e-3, seed=0, arch="cnn", base=None):
+          lr=2e-3, seed=0, arch="cnn", base=None, ema_decay=0.999):
     # data_path: one .npz or a comma-separated list (concatenated).
     parts = [dict(np.load(p)) for p in str(data_path).split(",")]
     data = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
@@ -210,17 +210,31 @@ def train(data_path, val_path, out_path, steps=4000, batch=32, crop=64,
     model, state, tx = dn.create_train_state(
         jax.random.key(seed), crop, crop, sched, arch=arch, base=base)
 
+    # EMA of the weights alongside raw SGD iterates: the smoothed params
+    # usually score a tenth or two higher on val PSNR; best-val selection
+    # below picks whichever candidate wins, so EMA can only help.
+    ema = state.params
+    ema_step = jax.jit(
+        lambda e, p: jax.tree.map(
+            lambda a, b: a * ema_decay + b * (1.0 - ema_decay), e, p
+        )
+    )
+
     best = (-1.0, state.params)
     for step in range(steps):
         b = _crop_batch(data, rng, batch, crop)
         state, loss = dn.train_step(model, tx, state, b)
+        ema = ema_step(ema, state.params)
         if step % 250 == 0 or step == steps - 1:
             msg = f"step {step}: loss {float(loss):.5f}"
             if val is not None:
                 vp = _psnr_vs_target(model, state.params, val)
-                msg += f"  val_psnr {vp:.2f}"
+                vp_e = _psnr_vs_target(model, ema, val)
+                msg += f"  val_psnr {vp:.2f}  ema {vp_e:.2f}"
                 if vp > best[0]:
                     best = (vp, jax.tree.map(np.asarray, state.params))
+                if vp_e > best[0]:
+                    best = (vp_e, jax.tree.map(np.asarray, ema))
             print(msg, flush=True)
 
     params = best[1] if best[0] > 0 else state.params
