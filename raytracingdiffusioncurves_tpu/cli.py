@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "bootstraps on tunneled hosts; this flag is the reliable "
                    "way to keep a render off a busy single-client TPU)")
     p.add_argument("--viewer", action="store_true", help="open the interactive viewer")
+    p.add_argument("--http-viewer", type=int, default=None, metavar="PORT",
+                   help="serve the live MJPEG viewer on this port (0 = auto)")
     p.add_argument("--devices", type=int, default=0, help="shard across N devices (0 = single)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler device trace of the timed frames")
@@ -195,6 +197,17 @@ def main(argv=None) -> int:
 
         run_viewer(dev, config, camera, backend=args.backend, tables=scene,
                    denoiser_params=denoiser_params)
+        return 0
+
+    if args.http_viewer is not None:
+        from .viewer import InteractiveSession
+        from .viewer_http import HttpViewer
+
+        session = InteractiveSession(
+            dev, config, camera, backend=args.backend,
+            denoiser_params=denoiser_params,
+        )
+        HttpViewer(session, port=args.http_viewer).serve_forever()
         return 0
 
     import contextlib
