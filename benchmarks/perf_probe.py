@@ -31,7 +31,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
                remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
                cwalk_split=None, two_phase=None, remap_pair=None,
-               cwalk_pair=None, phase1_cond=None):
+               cwalk_pair=None, phase1_cond=None, lwalk_pair=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -43,6 +43,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
     ws_saved = trace_pallas.WEDGE_SAMPLES_MULTICHUNK
     bi_saved = refine.BISECT_ITERS
     wc_saved = cand_mod.CAND_MAX_WEDGES
+    cp_saved = trace_pallas._CWALK_PAIR
+    lp_saved = trace_pallas._LWALK_PAIR
     if bisect_iters is not None:
         refine.BISECT_ITERS = bisect_iters
     if wedge_samples is not None:
@@ -53,12 +55,16 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._CWALK_SPLIT = cwalk_split
     if cwalk_pair is not None:
         trace_pallas._CWALK_PAIR = cwalk_pair
+    if lwalk_pair is not None:
+        trace_pallas._LWALK_PAIR = lwalk_pair
     if phase1_cond is not None:
         trace_pallas._PHASE1_COND = phase1_cond
     if two_phase is not None:
         trace_pallas._TWO_PHASE = two_phase
-    # remap_pair / remap_mxu: historical knobs of the removed post-walk
-    # remap (ids now tracked in-walk); accepted so old probe defs stay valid.
+    if remap_mxu is not None:
+        trace_pallas._REMAP_MXU = remap_mxu
+    if remap_pair is not None:
+        trace_pallas._REMAP_PAIR = remap_pair
     if wedge_cap is not None:
         cand_mod.CAND_MAX_WEDGES = wedge_cap
     if scene_horizon is not None:
@@ -157,9 +163,12 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._DIM_SEMANTICS = "arbitrary"
         trace_pallas._WALK_SPLIT = 1
         trace_pallas._CWALK_SPLIT = 1
-        trace_pallas._CWALK_PAIR = 1
+        trace_pallas._CWALK_PAIR = cp_saved
+        trace_pallas._LWALK_PAIR = lp_saved
         trace_pallas._PHASE1_COND = False
         trace_pallas._TWO_PHASE = True
+        trace_pallas._REMAP_MXU = False
+        trace_pallas._REMAP_PAIR = True
         cand_mod.CAND_MAX_WEDGES = wc_saved
         trace_pallas._SCENE_HORIZON = True
         trace_pallas._ABLATE_REMAP = False
@@ -694,6 +703,47 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         cwalk_pair=4, label="dol1080_64_s05_sw2_cp4",
+    ),
+    # --- batch 26: walk pairing on the RESTORED post-walk-remap kernel ---
+    "dol_s05_cp8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cwalk_pair=8, label="dol1080_64_s05_sw2_cp8",
+    ),
+    "lb_s05_cp4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, cwalk_pair=4,
+        label="lb1080_256_s05_cp4",
+    ),
+    "lb_s05_lp4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, lwalk_pair=4,
+        label="lb1080_256_s05_lp4",
+    ),
+    "lb_s05_cp2_lp4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, cwalk_pair=2,
+        lwalk_pair=4, label="lb1080_256_s05_cp2_lp4",
+    ),
+    "dol_s05_lp4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        lwalk_pair=4, label="dol1080_64_s05_sw2_lp4",
+    ),
+    "lb_s05_lp8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, lwalk_pair=8,
+        label="lb1080_256_s05_lp8",
+    ),
+    "dol_s05_lp8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        lwalk_pair=8, label="dol1080_64_s05_sw2_lp8",
+    ),
+    "dol_s05_cp8_lp4": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cwalk_pair=8, lwalk_pair=4, label="dol1080_64_s05_sw2_cp8_lp4",
     ),
     # --- batch 24: phase-1 block under the graze cond (gather in-branch;
     # Mosaic crash risk contained by --isolate) ---

@@ -122,11 +122,19 @@ _TILED_REDUCE = True
 # strict-fallback gather.  Attribution only — output is WRONG at silhouettes.
 _EXACT_ABLATE = None
 # Dense-scene attribution knobs (output WRONG where they bite — probes only):
-# skip the in-walk winner-id tracking (all-zero ids then ride, measuring the
-# sweep without the tracking selects) / skip the seeded chunk-walk
-# continuation for overflowed cells.
+# skip the slot->global id remap after the capped-list walk / skip the seeded
+# chunk-walk continuation for overflowed cells.
 _ABLATE_REMAP = False
 _ABLATE_OVERFLOW_FB = False
+# Slot->global remap implementation: False = 128-row masked-sum reduction,
+# True = hi/lo bf16 one-hot MXU contraction (exact: id = hi*128 + lo, both
+# < 256, integers below 2^8 are exact in bf16).  Output-identical; probed.
+_REMAP_MXU = False
+
+# Both sweep chains' slot->global remaps ride ONE lane-concatenated (1, 2R)
+# pass per level (half the one-hot builds/contractions).  Off switch for
+# A/B probes only; output-identical.
+_REMAP_PAIR = True
 
 # Two-phase final-winner gather for exact-silhouette global-gather scenes:
 # phase 1 gathers only the GEOM_ROWS geometry rows of the band winner (the
@@ -180,11 +188,22 @@ _WALK_SPLIT = 1
 # scenes spend >half the frame in this walk (batch13: 516 of 1087 ms).
 _CWALK_SPLIT = 1
 
-# Chunks swept per chunk-walk exit check (the list walk's paired-body trick,
-# batch17: the exit's sublane min + cross-lane max reduction costs a sizable
-# fraction of a chunk sweep).  Over-walking is exact — the clamped repeat of
-# the last chunk is an idempotent min.  2 = paired (probe first).
-_CWALK_PAIR = 1
+# Chunks swept per chunk-walk exit check (the list walk's paired-body trick:
+# the exit's sublane min + cross-lane max reduction costs a sizable fraction
+# of a chunk sweep).  Over-walking is exact — the clamped repeat of the last
+# chunk is an idempotent min.  Measured (batch26/28, restored-remap kernel):
+# dolphin 1080p x 64rpp 844.9 -> 820.0 (cp4) -> 814.8 (cp8), and cp8 stacks
+# with the list-walk pairing (744.1 combined); lady_bug neutral (its cells
+# rarely overflow past the last level).
+_CWALK_PAIR = 8
+
+# Slot GROUPS swept per list-walk exit check (the capped-level walk's
+# analogue of _CWALK_PAIR; batch17 shipped a hardcoded pair of 2).
+# Over-walking is exact — parked slots are guaranteed misses and clamped
+# repeats of the last group are idempotent minima.  Measured (batch26/28):
+# 4 wins on BOTH dense headliners (lady_bug 414.6 -> 408.2, dolphin
+# 844.9 -> 774.6); 8 over-walks lady_bug (436.0).
+_LWALK_PAIR = 4
 
 # Capped-list LEVELS for dense scenes (s_pad > 128): each level holds 128
 # distance-sorted slots; levels past the first are walked only when their
@@ -619,16 +638,13 @@ def _trace_kernel(
                 # beyond-CAND_MAX_SPAD scenes, and as the overflow fallback
                 # for candidate-list cells (vs round 2's first cut: a loop
                 # over EVERY chunk, which dominated lady_bug's frame).
-                def _chunk_walk(st0=None, track_gid=False):
+                def _chunk_walk(st0=None):
                     # ``st0``: seed state — the capped-candidate-list walk's
                     # result continues into the chunk walk (re-sweeping a
                     # listed segment is an idempotent min), so the early
-                    # exit starts tight.  ``track_gid``: the seed state's
-                    # rows 1/3 carry winner GLOBAL ids (the capped-list
-                    # path) instead of chunk ids — updates then write
-                    # c * sc + in-chunk id.  _CWALK_SPLIT > 1: walk Q
-                    # static lane sub-ranges independently, each with its
-                    # own early exit (see the knob's comment).
+                    # exit starts tight.  _CWALK_SPLIT > 1: walk Q static
+                    # lane sub-ranges independently, each with its own
+                    # early exit (see the knob's comment).
                     count = ccnt_ref[0, pid_w, 0]
                     nq = _CWALK_SPLIT if R % (128 * _CWALK_SPLIT) == 0 else 1
                     rq = R // nq
@@ -673,16 +689,11 @@ def _trace_kernel(
                             )
                             upd_b = c_b < pk_b
                             upd_s = c_s < pk_s
-                            if track_gid:
-                                nid_b = c * sc + (c_b & _ID_MASK)
-                                nid_s = c * sc + (c_s & _ID_MASK)
-                            else:
-                                nid_b = nid_s = c
                             return (
                                 jnp.where(upd_b, c_b, pk_b),
-                                jnp.where(upd_b, nid_b, ch_b),
+                                jnp.where(upd_b, c, ch_b),
                                 jnp.where(upd_s, c_s, pk_s),
-                                jnp.where(upd_s, nid_s, ch_s),
+                                jnp.where(upd_s, c, ch_s),
                             )
 
                         def walk_cond(state):
@@ -767,15 +778,13 @@ def _trace_kernel(
                 # (slot order == ascending global id == the JAX argmin's
                 # tie-break).  slot_mode: the winner's shade row is gathered
                 # from the per-wedge slot table with a gather_len-row
-                # one-hot; otherwise the walk TRACKS the winner's global id
-                # alongside the key (the staged TC_ID column, selected on
-                # every key update — see reduce_gid).
+                # one-hot; otherwise slots remap to global ids post-sweep.
                 #
                 # Multi-LEVEL capped lists (round 3): dense scenes carry
                 # n_lvls x 128 distance-sorted slots; only the first 128
                 # (level 0) are walked unconditionally.  Each further level
-                # is walked — staged into the same scratch, its ids tracked
-                # from its own TC_ID row, merged — only when candidates beyond
+                # is walked — staged into the same scratch, remapped with
+                # its own TC_ID row, merged — only when candidates beyond
                 # the previous levels could still win (same horizon logic
                 # as the chunk-walk fallback, per level).  The seeded chunk
                 # walk then fires only past the LAST level's horizon: on
@@ -791,37 +800,110 @@ def _trace_kernel(
                     tconsts_ref[0, pid_w, :, :lvl_cap]
                 )  # (lvl_cap, TC_ROWS)
 
-                def reduce_gid(pk8, gid8):
-                    """(8, N) running minima -> ((1, N) key, (1, N) i32
-                    winner global id).  The walks track each sublane's
-                    running winner id alongside its key (a compare + two
-                    selects per 8-slot group — replacing the round-3
-                    post-walk hierarchical remap, whose per-(wedge, level)
-                    small-matmul fixed costs measured 68 ms of lady_bug
-                    config3's 415 ms trace).  The equality select here is
-                    exact: non-FAR keys are unique across sublanes (the
-                    slot rides the low key bits and slot % 8 == sublane),
-                    and all-FAR lanes carry all-zero tracked ids."""
-                    pk = jnp.min(pk8, axis=0, keepdims=True)
-                    gid = jnp.sum(
-                        jnp.where(pk8 == pk, gid8, 0.0),
-                        axis=0, keepdims=True,
-                    )
-                    return pk, gid.astype(jnp.int32)
+                def remap_slots(pk):
+                    """slot -> global id for the CURRENTLY STAGED level,
+                    then split the id into (low ID_BITS, chunk) so the
+                    common unpack best_i = (pk & mask) + ch * sc holds.
+                    Lane-width generic: both chains ride ONE (1, 2R) pass
+                    (remap_pair) — same data, half the op count.
 
-                def _emit(st):
-                    """(pk, gid) state -> the common unpack format: the
-                    global id's low ID_BITS ride the key, the high bits
-                    ride the ch row scaled so best_i = (pk & mask) + ch*sc
-                    reconstructs gid.  Ids >= 2^ID_BITS only occur for
-                    s_pad > 2^ID_BITS scenes, where sc == SEG_CHUNK and
-                    the multiplier is exact."""
-                    mult = (1 << ID_BITS) // sc
+                    Hierarchical one-hot (round 3): slot = 8*g + k, so
+                    id = sum_{g,k} [g == slot>>3][k == slot&7] idcol[8g+k]
+                    — a (16, R) + an (8, R) one-hot build replace the flat
+                    (128, R) masked sum, which measured ~93 ms of lady_bug
+                    config3's 518 (batch13 noremap).  The id rides the MXU
+                    as bf16 hi/lo halves (exact: hi, lo < 256 for every
+                    s_pad <= CAND_MAX_SPAD = 2^15)."""
+                    if _ABLATE_REMAP:  # attribution probe: slot ids ride
+                        return pk, jnp.zeros_like(pk)
+                    slot = pk & _ID_MASK
+                    if _REMAP_MXU:
+                        # flat hi/lo bf16 MXU remap (probe A/B): one
+                        # (L, 2) @ (L, R) contraction over the full
+                        # (L, R) one-hot.
+                        idcol = tc_scratch[
+                            :, cand_mod.TC_ID : cand_mod.TC_ID + 1
+                        ]
+                        ids_n = jax.lax.broadcasted_iota(
+                            jnp.int32, (lvl_cap, slot.shape[1]), 0
+                        )
+                        onehot = (ids_n == slot).astype(jnp.bfloat16)
+                        hi_f = jnp.floor(idcol * jnp.float32(1.0 / 128.0))
+                        hl = jnp.concatenate(
+                            [hi_f, idcol - hi_f * 128.0], axis=1
+                        ).astype(jnp.bfloat16)  # (L, 2)
+                        two = jax.lax.dot_general(
+                            hl, onehot, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (2, R)
+                        g = (
+                            two[0:1] * 128.0 + two[1:2]
+                        ).astype(jnp.int32)
+                    else:
+                        # (8, 16) id table: [k, g] = idcol[8g + k]
+                        # (static sublane slices of the scratch)
+                        idcol8 = jnp.concatenate(
+                            [
+                                tc_scratch[
+                                    i * 8 : (i + 1) * 8,
+                                    cand_mod.TC_ID : cand_mod.TC_ID + 1,
+                                ]
+                                for i in range(lvl_cap // 8)
+                            ],
+                            axis=1,
+                        )
+                        hi8 = jnp.floor(idcol8 * jnp.float32(1.0 / 128.0))
+                        lo8 = idcol8 - hi8 * 128.0
+                        a_g = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (lvl_cap // 8, slot.shape[1]), 0
+                            )
+                            == jax.lax.shift_right_logical(slot, 3)
+                        ).astype(jnp.bfloat16)  # (16, N) group one-hot
+                        dims = (((1,), (0,)), ((), ()))
+                        # hi and lo halves stacked into ONE MXU pass (M pads
+                        # to 128 regardless, so two 8-row matmuls cost twice
+                        # the single 16-row one); both halves stay exact in
+                        # bf16 (< 256 each for every s_pad <= 2^15).
+                        hl16 = jnp.concatenate([hi8, lo8], axis=0).astype(
+                            jnp.bfloat16
+                        )  # (16, 16)
+                        two16 = jax.lax.dot_general(
+                            hl16, a_g, dims, preferred_element_type=jnp.float32
+                        )  # (16, R)
+                        chi, clo = two16[:8], two16[8:]
+                        b_k = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (8, slot.shape[1]), 0
+                            )
+                            == (slot & 7)
+                        )  # (8, N) sub-row one-hot
+                        g = jnp.sum(
+                            jnp.where(b_k, chi * 128.0 + clo, 0.0),
+                            axis=0,
+                            keepdims=True,
+                        ).astype(jnp.int32)
+                    # split so the common unpack (pk & mask) + ch * sc
+                    # reconstructs g:  g = (g >> ID_BITS) * 2^ID_BITS
+                    #                    + (g & mask),  ch * sc matches
+                    # via the 2^ID_BITS // sc multiplier.
                     return (
-                        (st[0] & _KEY_MASK) | (st[1] & _ID_MASK),
-                        jax.lax.shift_right_logical(st[1], ID_BITS) * mult,
-                        (st[2] & _KEY_MASK) | (st[3] & _ID_MASK),
-                        jax.lax.shift_right_logical(st[3], ID_BITS) * mult,
+                        (pk & _KEY_MASK) | (g & _ID_MASK),
+                        jax.lax.shift_right_logical(g, ID_BITS)
+                        * ((1 << ID_BITS) // sc),
+                    )
+
+                def remap_pair(pk_b, pk_s):
+                    """Both chains through ONE remap pass: the keys ride
+                    concatenated lanes (1, 2R), halving the one-hot builds
+                    and MXU contractions (remap_slots is lane-generic).
+                    Output-identical to two separate passes."""
+                    if not _REMAP_PAIR:
+                        return remap_slots(pk_b) + remap_slots(pk_s)
+                    pk2 = jnp.concatenate([pk_b, pk_s], axis=1)
+                    pk2m, ch2 = remap_slots(pk2)
+                    return (
+                        pk2m[:, :R], ch2[:, :R], pk2m[:, R:], ch2[:, R:]
                     )
 
                 def _list_walk(lb_off, tcap):
@@ -831,9 +913,7 @@ def _trace_kernel(
                     strict-t upper bound from the already-merged previous
                     levels (quantized up one key step), so fallback levels
                     exit against hits the earlier levels already found.
-                    Returns the (8, R) packed running minima (band, strict)
-                    plus the (8, R) f32 tracked winner GLOBAL ids (the
-                    staged TC_ID column selected on every key update).
+                    Returns the (8, R) packed running minima (band, strict).
 
                     _WALK_SPLIT > 1: the exit compares against the worst
                     best-hit across the WHOLE block; splitting the ray lanes
@@ -880,33 +960,13 @@ def _trace_kernel(
                                 ox=oxq, oy=oyq, dx=dxq, dy=dyq, cross=crq,
                                 bdsc=bdq,
                             )
-                            if _ABLATE_REMAP:  # probe: no id tracking
-                                return (
-                                    jnp.minimum(pks[0], g_b),
-                                    jnp.minimum(pks[1], g_s),
-                                    pks[2],
-                                    pks[3],
-                                )
-                            # Track the winner's GLOBAL id in-walk: the
-                            # staged scratch's TC_ID column broadcast over
-                            # lanes, selected wherever the key updates.
-                            # Re-walked groups (the paired body's clamped
-                            # g+1) find equal keys, never strictly less,
-                            # so the tracking is idempotent like the min.
-                            idc = tc_scratch[
-                                sl, cand_mod.TC_ID : cand_mod.TC_ID + 1
-                            ]
-                            upd_b = g_b < pks[0]
-                            upd_s = g_s < pks[1]
                             return (
-                                jnp.where(upd_b, g_b, pks[0]),
-                                jnp.where(upd_s, g_s, pks[1]),
-                                jnp.where(upd_b, idc, pks[2]),
-                                jnp.where(upd_s, idc, pks[3]),
+                                jnp.minimum(pks[0], g_b),
+                                jnp.minimum(pks[1], g_s),
                             )
 
                         def walk_cond(st):
-                            g, pk8b, pk8s = st[:3]
+                            g, pk8b, pk8s = st
                             best = jnp.min(pk8s, axis=0, keepdims=True)
                             # bitcast the VECTOR then reduce — Mosaic
                             # rejects scalar tpu.bitcast (i32 -> f32);
@@ -927,48 +987,48 @@ def _trace_kernel(
                             )
 
                         def walk_body(st):
-                            # PAIRED body: two slot groups per exit check —
-                            # the check's sublane min + cross-lane max
-                            # reduction costs a sizable fraction of a group
-                            # sweep, and over-walking is exact (parked slots
-                            # are guaranteed misses; the staged level always
-                            # holds lvl_cap//8 groups, so the clamped g+1
-                            # stays in scratch bounds — re-walking the last
-                            # group is an idempotent min).
-                            g = st[0]
-                            pks = groupq(g, st[1:])
-                            pks = groupq(
-                                jnp.minimum(g + 1, lvl_cap // 8 - 1), pks
-                            )
-                            return (g + 2,) + pks
+                            # PAIRED body (_LWALK_PAIR groups per exit
+                            # check) — the check's sublane min + cross-lane
+                            # max reduction costs a sizable fraction of a
+                            # group sweep, and over-walking is exact (parked
+                            # slots are guaranteed misses; the staged level
+                            # always holds lvl_cap//8 groups, so clamped
+                            # indices stay in scratch bounds — re-walking
+                            # the last group is an idempotent min).
+                            g, pk8b, pk8s = st
+                            pk8b, pk8s = groupq(g, (pk8b, pk8s))
+                            for _p in range(1, _LWALK_PAIR):
+                                pk8b, pk8s = groupq(
+                                    jnp.minimum(g + _p, lvl_cap // 8 - 1),
+                                    (pk8b, pk8s),
+                                )
+                            return g + _LWALK_PAIR, pk8b, pk8s
 
                         # First pair peeled OUTSIDE the loop: short lists
                         # (the common cell: p50 candidate count is tiny)
                         # then pay ZERO exit reductions; n_groups >= 1 is
                         # guaranteed by the callers (wedge skip / need_l),
-                        # and group 1 over-walks safely when n_groups == 1.
+                        # and later peel groups over-walk safely when
+                        # n_groups is small (static clamp).
                         farq = jnp.full((8, rq), _FAR_PACKED, jnp.int32)
-                        zq = jnp.zeros((8, rq), f32)
-                        st0 = (jnp.int32(2),) + groupq(
-                            1, groupq(0, (farq, farq, zq, zq))
+                        stq = (farq, farq)
+                        for _p in range(_LWALK_PAIR):
+                            stq = groupq(min(_p, lvl_cap // 8 - 1), stq)
+                        st0 = (jnp.int32(_LWALK_PAIR),) + stq
+                        _, qb, qs = jax.lax.while_loop(
+                            walk_cond, walk_body, st0
                         )
-                        st_f = jax.lax.while_loop(walk_cond, walk_body, st0)
-                        return st_f[1:]
+                        return qb, qs
 
                     if nq == 1:
                         return quarter_walk(0)
                     parts = [quarter_walk(qi) for qi in range(nq)]
-                    return tuple(
-                        jnp.concatenate([p[k] for p in parts], axis=1)
-                        for k in range(4)
+                    return (
+                        jnp.concatenate([p[0] for p in parts], axis=1),
+                        jnp.concatenate([p[1] for p in parts], axis=1),
                     )
 
                 def _cand_branch():
-                    """Level-0 sweep.  slot_mode keeps SLOT ids in the keys
-                    (the gather is slot-space, zero ch rows); every other
-                    case tracks the winners' GLOBAL ids in-walk and returns
-                    (pk_b, gid_b, pk_s, gid_s) — _emit converts to the
-                    common unpack format after levels/fallbacks merge."""
                     ids_8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
 
                     def group(i, pks):
@@ -986,44 +1046,15 @@ def _trace_kernel(
                         )
                         # full-sublane-rate (8, R) running minima; ONE
                         # sublane reduction per wedge after the walk
-                        if slot_mode or _ABLATE_REMAP:
-                            return (
-                                jnp.minimum(pks[0], g_b),
-                                jnp.minimum(pks[1], g_s),
-                            ) + tuple(pks[2:])
-                        idc = tc_scratch[
-                            sl, cand_mod.TC_ID : cand_mod.TC_ID + 1
-                        ]
-                        upd_b = g_b < pks[0]
-                        upd_s = g_s < pks[1]
-                        return (
-                            jnp.where(upd_b, g_b, pks[0]),
-                            jnp.where(upd_s, g_s, pks[1]),
-                            jnp.where(upd_b, idc, pks[2]),
-                            jnp.where(upd_s, idc, pks[3]),
-                        )
+                        return jnp.minimum(pks[0], g_b), jnp.minimum(pks[1], g_s)
 
                     far8 = jnp.full((8, R), _FAR_PACKED, jnp.int32)
                     # capped lists (cnt can read cand_len + 1 = "dropped")
                     # walk at most the lvl_cap level-0 slots that exist
                     n_groups = (jnp.minimum(cnt, lvl_cap) + 7) >> 3
-                    if slot_mode:
+                    if slot_mode or (cand_len >= s_pad and n_lvls == 1):
                         pk8_b, pk8_s = jax.lax.fori_loop(
                             0, n_groups, group, (far8, far8)
-                        )
-                        zero = jnp.zeros((1, R), jnp.int32)
-                        # keys keep the SLOT: the gather is slot-space
-                        return (
-                            jnp.min(pk8_b, axis=0, keepdims=True),
-                            zero,
-                            jnp.min(pk8_s, axis=0, keepdims=True),
-                            zero,
-                        )
-                    z8 = jnp.zeros((8, R), f32)
-                    if cand_len >= s_pad and n_lvls == 1:
-                        # lists hold every segment: cond-free fori walk
-                        pk8_b, pk8_s, gid8_b, gid8_s = jax.lax.fori_loop(
-                            0, n_groups, group, (far8, far8, z8, z8)
                         )
                     else:
                         # Distance-ordered early-exit walk (dense scenes):
@@ -1036,19 +1067,21 @@ def _trace_kernel(
                         # chunk walk; primary rays only (this branch is
                         # bounce 0).  On lady_bug 1080p the sweep was 817 of
                         # 1178 ms with the full fori walk.
-                        pk8_b, pk8_s, gid8_b, gid8_s = _list_walk(0, None)
-                    pk_b, gid_b = reduce_gid(pk8_b, gid8_b)
-                    pk_s, gid_s = reduce_gid(pk8_s, gid8_s)
-                    return (pk_b, gid_b, pk_s, gid_s)
+                        pk8_b, pk8_s = _list_walk(0, None)
+                    pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
+                    pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
+                    zero = jnp.zeros((1, R), jnp.int32)
+                    if slot_mode:
+                        # keys keep the SLOT: the gather is slot-space
+                        return (pk_b, zero, pk_s, zero)
+                    return remap_pair(pk_b, pk_s)
 
-                if slot_mode:
-                    # Overflow impossible — the caller certified max count
-                    # <= cand_len — so no cond (a traced lax.cond costs
-                    # real time per wedge even on the untaken side).
+                if slot_mode or (cand_len >= s_pad and n_lvls == 1):
+                    # Overflow impossible — lists hold every segment, or the
+                    # caller certified max count <= cand_len (slot_mode) —
+                    # so no cond (a traced lax.cond costs real time per
+                    # wedge even on the untaken side).
                     sweep_st = _cand_branch()
-                elif cand_len >= s_pad and n_lvls == 1:
-                    # lists hold every segment: no levels, no fallback
-                    sweep_st = _emit(_cand_branch())
                 else:
                     # Capped distance-sorted lists + exact HORIZON
                     # fallbacks: ALWAYS walk level 0 first — its nearest-
@@ -1064,7 +1097,7 @@ def _trace_kernel(
                     # frame.)
                     st = _cand_branch()
                     if _ABLATE_OVERFLOW_FB:  # attribution probe
-                        sweep_st = _emit(st)
+                        sweep_st = st
                     else:
                         def _worst_of(pk_s_row):
                             # worst per-ray best t of the STRICT chain,
@@ -1100,11 +1133,12 @@ def _trace_kernel(
                                     + np.int32(1 << ID_BITS),
                                     f32,
                                 )
-                                pk8_b, pk8_s, gid8_b, gid8_s = _list_walk(
-                                    lb_off, tcap
+                                pk8_b, pk8_s = _list_walk(lb_off, tcap)
+                                pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
+                                pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
+                                pk_b, ch_b, pk_s, ch_s = remap_pair(
+                                    pk_b, pk_s
                                 )
-                                pk_b, gid_b = reduce_gid(pk8_b, gid8_b)
-                                pk_s, gid_s = reduce_gid(pk8_s, gid8_s)
                                 # merge (strictly-less: equal quantized keys
                                 # keep the earlier level's nearer-lb winner,
                                 # matching intersect_chunk's update rule)
@@ -1112,9 +1146,9 @@ def _trace_kernel(
                                 upd_s = pk_s < st[2]
                                 return (
                                     jnp.where(upd_b, pk_b, st[0]),
-                                    jnp.where(upd_b, gid_b, st[1]),
+                                    jnp.where(upd_b, ch_b, st[1]),
                                     jnp.where(upd_s, pk_s, st[2]),
-                                    jnp.where(upd_s, gid_s, st[3]),
+                                    jnp.where(upd_s, ch_s, st[3]),
                                 )
 
                             need_l = (cnt > lvl * lvl_cap) & (
@@ -1128,13 +1162,8 @@ def _trace_kernel(
                             need = (cnt > cand_len) & (
                                 cslb_ref[0, pid_w, cand_len] < _worst_of(st[2])
                             )
-                            st = jax.lax.cond(
-                                need,
-                                lambda s: _chunk_walk(s, track_gid=True),
-                                lambda s: s,
-                                st,
-                            )
-                        sweep_st = _emit(st)
+                            st = jax.lax.cond(need, _chunk_walk, lambda s: s, st)
+                        sweep_st = st
             elif n_chunks == 1:
                 sweep_st = intersect_chunk(0, far_state())
             elif use_chunk_lists and _bounce == 0:
@@ -2368,8 +2397,8 @@ def trace_sums_flat(
     # List length: everything fits for scenes up to 2^ID_BITS sub-segments
     # (no overflow cond in the kernel at all, and the winner gather runs in
     # SLOT space — slot_mode); larger scenes carry _CAND_LEVELS 128-slot
-    # LEVELS (the slot must fit the packed key; the walk tracks each
-    # winner's global id from the TC_ID row), and fall back to the sorted chunk walk only
+    # LEVELS (the slot must fit the packed key, so each level remaps slots
+    # to global ids post-sweep), and fall back to the sorted chunk walk only
     # past the last level's horizon — those scenes ship chunk lists
     # alongside the segment lists unless the levels hold everything.
     cand_len = _cand_len_for(scene.s_pad)

@@ -485,12 +485,13 @@ def test_phase1_cond_bitwise():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("pair", [2, 4])
+@pytest.mark.parametrize("pair", [1, 4])
 def test_cwalk_pair_bitwise(pair):
     """_CWALK_PAIR chunk-walk body (N chunks swept per exit check): the
     clamped repeat of the final chunk is an idempotent min and parked
-    entries are guaranteed misses, so output must be BIT-IDENTICAL to the
-    single-chunk body — over-walking may not change a single winner."""
+    entries are guaranteed misses, so output must be BIT-IDENTICAL across
+    pairings (baseline = the shipped default) — over-walking may not
+    change a single winner."""
     from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
 
     cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
@@ -510,12 +511,49 @@ def test_cwalk_pair_bitwise(pair):
     tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
     assert (np.asarray(tables[1]) > tables[0].shape[-1]).any()  # really fires
     img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    saved = tp._CWALK_PAIR
     tp._CWALK_PAIR = pair
     tp.trace_sums_flat.clear_cache()
     try:
         img_s, bm_s = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
     finally:
-        tp._CWALK_PAIR = 1
+        tp._CWALK_PAIR = saved
+        tp.trace_sums_flat.clear_cache()
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
+    np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pair", [1, 8])
+def test_lwalk_pair_bitwise(pair):
+    """_LWALK_PAIR list-walk body (N slot groups swept per exit check):
+    parked slots are guaranteed misses and clamped repeats of the last
+    group are idempotent minima, so any pairing must be BIT-IDENTICAL to
+    the shipped default — over-walking may not change a single winner."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    rng = np.random.RandomState(11)
+    curves = []
+    for i in range(60):  # > 128 sub-segments: capped level walks fire
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > 128  # capped, non-slot lists: the list walk runs
+    img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    saved = tp._LWALK_PAIR
+    tp._LWALK_PAIR = pair
+    tp.trace_sums_flat.clear_cache()
+    try:
+        img_s, bm_s = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._LWALK_PAIR = saved
         tp.trace_sums_flat.clear_cache()
     np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_s))
     np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_s))
