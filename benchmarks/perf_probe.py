@@ -31,7 +31,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                scene_horizon=None, ablate_remap=None, ablate_offb=None,
                remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
                cwalk_split=None, two_phase=None, remap_pair=None,
-               cwalk_pair=None, phase1_cond=None, lwalk_pair=None):
+               cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
+               gather_reuse=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -45,6 +46,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
     wc_saved = cand_mod.CAND_MAX_WEDGES
     cp_saved = trace_pallas._CWALK_PAIR
     lp_saved = trace_pallas._LWALK_PAIR
+    gr_saved = trace_pallas._GATHER_REUSE
     if bisect_iters is not None:
         refine.BISECT_ITERS = bisect_iters
     if wedge_samples is not None:
@@ -57,6 +59,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._CWALK_PAIR = cwalk_pair
     if lwalk_pair is not None:
         trace_pallas._LWALK_PAIR = lwalk_pair
+    if gather_reuse is not None:
+        trace_pallas._GATHER_REUSE = gather_reuse
     if phase1_cond is not None:
         trace_pallas._PHASE1_COND = phase1_cond
     if two_phase is not None:
@@ -165,6 +169,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._CWALK_SPLIT = 1
         trace_pallas._CWALK_PAIR = cp_saved
         trace_pallas._LWALK_PAIR = lp_saved
+        trace_pallas._GATHER_REUSE = gr_saved
         trace_pallas._PHASE1_COND = False
         trace_pallas._TWO_PHASE = True
         trace_pallas._REMAP_MXU = False
@@ -739,6 +744,31 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         lwalk_pair=8, label="dol1080_64_s05_sw2_lp8",
+    ),
+    # --- batch 30: wedge granularity (sw8 measured 656.8 on lb; sw2 never
+    # probed there — halves each cell's angular span at 2x the wedge count
+    # and a 2x-taller tile; dol sw1 likewise untried) ---
+    "lb_s05_sw2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        label="lb1080_256_s05_sw2",
+    ),
+    "dol_s05_sw1": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=1,
+        label="dol1080_64_s05_sw1",
+    ),
+    # --- batch 31: factored multi-chunk gather one-hot (A/B: reuse OFF =
+    # the round-2 fresh-compare build) ---
+    "lb_s05_ngre": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, gather_reuse=False,
+        label="lb1080_256_s05_ngre",
+    ),
+    "dol_s05_ngre": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        gather_reuse=False, label="dol1080_64_s05_sw2_ngre",
     ),
     "dol_s05_cp8_lp4": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,

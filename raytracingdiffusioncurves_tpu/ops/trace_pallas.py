@@ -136,6 +136,17 @@ _REMAP_MXU = False
 # A/B probes only; output-identical.
 _REMAP_PAIR = True
 
+# Multi-chunk winner gathers CAN factor the per-chunk one-hot as
+# (loop-invariant low-7-bit one-hot) x (per-chunk (1, R) chunk mask): the
+# (128, R) i32 compare + select pair per chunk step becomes one bf16
+# broadcast multiply.  Output-identical (a global id matches chunk c's
+# local iota iff its high bits equal c) — but MEASURED SLOWER everywhere
+# (batch31: lady_bug 429.3 vs 406.2, dolphin 762.7 vs 740.4; headline
+# 38.6 vs 32.1 ms, batch29 vs batch25): the bf16 broadcast multiply sits
+# on the VPU's critical path between the MXU issues, while the fresh
+# compare+select pipelines with them.  Kept as a probe lever only.
+_GATHER_REUSE = False
+
 # Two-phase final-winner gather for exact-silhouette global-gather scenes:
 # phase 1 gathers only the GEOM_ROWS geometry rows of the band winner (the
 # strict-test + root-isolation inputs), the rejection decision picks the
@@ -235,14 +246,20 @@ def _choose_block(
     W wedges/pixel). R = PXB * SW, a multiple of 128; PXB a multiple of
     TILE_W so every block covers whole tile rows (tile_h >= 1 for any
     rays_per_block/rays_per_pixel combination).  ``dense`` (scenes beyond
-    CAND_MAX_SPAD, i.e. on the sorted chunk walk): smaller blocks mean
-    tighter origin circles AND a tighter per-block worst-t early exit —
-    measured 7.2 -> 4.1 s on dolphin 1080p x 64 rpp at 1024 rays/block,
-    far above the extra program-entry cost."""
-    sw = math.gcd(rpp, WEDGE_SAMPLES_MULTICHUNK if multi_chunk else WEDGE_SAMPLES)
-    w = rpp // sw
+    DENSE_SPAD padded sub-segments): smaller blocks mean tighter origin
+    circles AND a tighter per-block worst-t early exit — measured
+    7.2 -> 4.1 s on dolphin 1080p x 64 rpp at 1024 rays/block, far above
+    the extra program-entry cost — and the wedge narrows to 2 samples
+    (halving each cell's angular candidate span): dolphin sw4 1917 ->
+    sw2 1559 ms at the adaptive-flattening state, re-confirmed at the
+    shipped defaults (sw1 841.0 vs sw2 742.8, batch30).  Non-dense
+    scenes keep sw4 — lady_bug at sw2 measured 1612 vs 408.8 (batch30)."""
+    base = WEDGE_SAMPLES_MULTICHUNK if multi_chunk else WEDGE_SAMPLES
     if dense:
+        base = min(base, 2)
         rays_per_block = min(rays_per_block, 1024)
+    sw = math.gcd(rpp, base)
+    w = rpp // sw
     if w > 32:
         # High-wedge configs carry a (W, L, C) candidate block per program;
         # alongside the (R, PXB) reduction one-hot it overflows the 16 MB
@@ -1293,51 +1310,72 @@ def _trace_kernel(
             gsc = 128  # gather chunk width (bf16 lane tile); tables are 3-D
             n_gchunks = allt_hl_ref.shape[0]
 
-            def gather_global(bi):
-                """One-hot MXU gather of the winners' compact table rows."""
+            gsc_sh = gsc.bit_length() - 1
+
+            def _gather_any(bi, tab_ref, m_rows):
+                """One-hot MXU gather of the winners' rows from a chunked
+                (G, m_rows, gsc) hi/lo table.  Multi-chunk spans factor the
+                per-chunk one-hot as (loop-invariant low-bit one-hot) x
+                (per-chunk chunk mask) — one bf16 broadcast multiply per
+                chunk step instead of a fresh (gsc, R) i32 compare + select
+                (_GATHER_REUSE; output-identical: a global id matches chunk
+                c's local iota iff its high bits equal c)."""
                 # (bf16 compares for the one-hot build were tried — 2-packed
                 # VREGs would halve the build — but this Mosaic rejects them;
                 # i32 compare + bf16 select it is.)
                 ids_local = jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0)
-
-                def gather_chunk(c, acc2):
-                    onehot = (ids_local == bi - c * gsc).astype(
-                        jnp.bfloat16
-                    )  # (gsc, R)
-                    return acc2 + jax.lax.dot_general(
-                        allt_hl_ref[c], onehot, dims, preferred_element_type=f32
-                    )
-
-                acc2 = jnp.zeros((2 * gather_rows, R), f32)
+                acc2 = jnp.zeros((m_rows, R), f32)
                 if n_gchunks == 1:
-                    acc2 = gather_chunk(0, acc2)
+
+                    def gather_chunk(c, acc2):
+                        onehot = (ids_local == bi - c * gsc).astype(
+                            jnp.bfloat16
+                        )  # (gsc, R)
+                        return acc2 + jax.lax.dot_general(
+                            tab_ref[c], onehot, dims,
+                            preferred_element_type=f32,
+                        )
+
+                    return gather_chunk(0, acc2)
+                # coherent blocks hit few chunks: gather only the chunk
+                # range spanned by the winning sub-segment ids
+                i_lo = jnp.min(bi) >> gsc_sh
+                i_hi = jnp.max(bi) >> gsc_sh
+                if _GATHER_REUSE:
+                    lo_oh = (ids_local == (bi & (gsc - 1))).astype(
+                        jnp.bfloat16
+                    )  # (gsc, R), loop-invariant
+                    bi_hi = jax.lax.shift_right_logical(bi, gsc_sh)
+
+                    def gather_chunk(c, acc2):
+                        onehot = lo_oh * (bi_hi == c).astype(jnp.bfloat16)
+                        return acc2 + jax.lax.dot_general(
+                            tab_ref[c], onehot, dims,
+                            preferred_element_type=f32,
+                        )
+
                 else:
-                    # coherent blocks hit few chunks: gather only the chunk
-                    # range spanned by the winning sub-segment ids
-                    i_lo = jnp.min(bi) // gsc
-                    i_hi = jnp.max(bi) // gsc
-                    acc2 = jax.lax.fori_loop(i_lo, i_hi + 1, gather_chunk, acc2)
+
+                    def gather_chunk(c, acc2):
+                        onehot = (ids_local == bi - c * gsc).astype(
+                            jnp.bfloat16
+                        )
+                        return acc2 + jax.lax.dot_general(
+                            tab_ref[c], onehot, dims,
+                            preferred_element_type=f32,
+                        )
+
+                return jax.lax.fori_loop(i_lo, i_hi + 1, gather_chunk, acc2)
+
+            def gather_global(bi):
+                """One-hot MXU gather of the winners' compact table rows."""
+                acc2 = _gather_any(bi, allt_hl_ref, 2 * gather_rows)
                 return acc2[:gather_rows] + acc2[gather_rows:]
 
             def gather_geom(bi):
                 """Phase-1 one-hot MXU gather of the winners' GEOM_ROWS
                 geometry rows only (two_phase)."""
-                ids_local = jax.lax.broadcasted_iota(jnp.int32, (gsc, R), 0)
-
-                def gchunk(c, acc2):
-                    onehot = (ids_local == bi - c * gsc).astype(jnp.bfloat16)
-                    return acc2 + jax.lax.dot_general(
-                        geom_hl_ref[c], onehot, dims,
-                        preferred_element_type=f32,
-                    )
-
-                acc2 = jnp.zeros((2 * GEOM_ROWS, R), f32)
-                if n_gchunks == 1:
-                    acc2 = gchunk(0, acc2)
-                else:
-                    i_lo = jnp.min(bi) // gsc
-                    i_hi = jnp.max(bi) // gsc
-                    acc2 = jax.lax.fori_loop(i_lo, i_hi + 1, gchunk, acc2)
+                acc2 = _gather_any(bi, geom_hl_ref, 2 * GEOM_ROWS)
                 return acc2[:GEOM_ROWS] + acc2[GEOM_ROWS:]
 
             if use_cand and slot_mode and _bounce == 0:

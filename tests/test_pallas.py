@@ -165,6 +165,22 @@ def test_parity_rpp_blocking(rpp):
     assert_parity(j, p)
 
 
+def test_choose_block_dense_narrows_wedge():
+    """Dense scenes (s_pad > DENSE_SPAD) auto-pick 2-sample wedges and
+    1024-ray blocks — the measured dolphin-class optimum (batch30: sw2
+    742.8 vs sw1 841.0 vs sw4-era 1917; non-dense lady_bug keeps sw4,
+    sw2 there measured 1612 vs 408.8)."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    r, pxb, sw, w = tp._choose_block(64, 4096, multi_chunk=True, dense=True)
+    assert sw == 2 and r == pxb * sw and r <= 1024
+    r4, pxb4, sw4, w4 = tp._choose_block(256, 4096, multi_chunk=True)
+    assert sw4 == 4  # non-dense multi-chunk keeps the 4-sample wedge
+    # rpp that 2 does not divide: gcd keeps SW a divisor of rpp
+    _, _, sw_odd, _ = tp._choose_block(9, 4096, multi_chunk=True, dense=True)
+    assert 9 % sw_odd == 0
+
+
 @pytest.mark.slow
 def test_parity_segment_candidates():
     """A 64-sub-segment single-chunk scene at rpp=32 activates the
