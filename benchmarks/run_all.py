@@ -151,7 +151,8 @@ def config3(backend, frames):
     from raytracingdiffusioncurves_tpu.models import denoiser as dn
 
     cands = sorted(glob.glob("weights/denoiser*.msgpack"),
-                   key=lambda p: -__import__("os").path.getmtime(p))
+                   key=lambda p: (__import__("os").path.getmtime(p), p),
+                   reverse=True)
     dnp = dn.load_params(cands[0]) if cands else None
     run = lambda st, tb, dnp: rtdc.render_frame(
         dev, cam, st, cfg, backend=backend, cand_tables=tb, gather_len=gl,

@@ -143,8 +143,11 @@ def main(argv=None) -> int:
             import glob as _glob
 
             root = os.path.join(os.path.dirname(__file__), "..", "weights")
+            # mtime picks the newest checkpoint; the name tie-break keeps
+            # the choice deterministic on fresh checkouts (equal mtimes)
             cands = sorted(_glob.glob(os.path.join(root, "denoiser*.msgpack")),
-                           key=os.path.getmtime, reverse=True)
+                           key=lambda p: (os.path.getmtime(p), p),
+                           reverse=True)
             if cands:
                 denoiser_params = dn.load_params(cands[0])
 

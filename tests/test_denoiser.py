@@ -149,7 +149,7 @@ def test_packed_unet_odd_size_via_apply_denoiser():
     """apply_denoiser's reflect-pad-to-4 path composes with the packed
     forward: odd image sizes produce identical results with the packed
     path on and off (same 1-ulp class tolerance)."""
-    params = dn.load_params("weights/denoiser_r3.msgpack")
+    params = dn.load_params("weights/denoiser_r3d.msgpack")
     model = dn.net_for_params(params)
     if not isinstance(model, dn.UNetDenoiser):
         pytest.skip("shipped weights are not a UNet")
