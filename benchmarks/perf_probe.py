@@ -32,7 +32,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
                cwalk_split=None, two_phase=None, remap_pair=None,
                cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
-               gather_reuse=None):
+               gather_reuse=None, ablate_remap_table=None, gspan1=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -61,6 +61,10 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._LWALK_PAIR = lwalk_pair
     if gather_reuse is not None:
         trace_pallas._GATHER_REUSE = gather_reuse
+    if ablate_remap_table is not None:
+        trace_pallas._ABLATE_REMAP_TABLE = ablate_remap_table
+    if gspan1 is not None:
+        trace_pallas._ABLATE_GATHER_SPAN1 = gspan1
     if phase1_cond is not None:
         trace_pallas._PHASE1_COND = phase1_cond
     if two_phase is not None:
@@ -170,6 +174,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._CWALK_PAIR = cp_saved
         trace_pallas._LWALK_PAIR = lp_saved
         trace_pallas._GATHER_REUSE = gr_saved
+        trace_pallas._ABLATE_REMAP_TABLE = False
+        trace_pallas._ABLATE_GATHER_SPAN1 = False
         trace_pallas._PHASE1_COND = False
         trace_pallas._TWO_PHASE = True
         trace_pallas._REMAP_MXU = False
@@ -757,6 +763,31 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=1,
         label="dol1080_64_s05_sw1",
+    ),
+    # --- batch 33: config3 tail decomposition (timing-only ablations) ---
+    # chl: the remap's hierarchical id-table build (16 sublane slices +
+    # hi/lo split) replaced by a constant — the table-build share of the
+    # 68 ms remap attribution.  gspan1: winner gathers walk one chunk —
+    # the span share vs fixed per-gather cost of the 146 ms gather block.
+    "lb_s05_chl": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        ablate_remap_table=True, label="lb1080_256_s05_chl",
+    ),
+    "lb_s05_gspan1": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, gspan1=True,
+        label="lb1080_256_s05_gspan1",
+    ),
+    "dol_s05_chl": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        ablate_remap_table=True, label="dol1080_64_s05_sw2_chl",
+    ),
+    "dol_s05_gspan1": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        gspan1=True, label="dol1080_64_s05_sw2_gspan1",
     ),
     # --- batch 31: factored multi-chunk gather one-hot (A/B: reuse OFF =
     # the round-2 fresh-compare build) ---

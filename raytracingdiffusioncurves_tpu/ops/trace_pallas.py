@@ -147,6 +147,17 @@ _REMAP_PAIR = True
 # compare+select pipelines with them.  Kept as a probe lever only.
 _GATHER_REUSE = False
 
+# TIMING-ONLY ablation: remap_slots' hierarchical id table (the 16
+# static (8, 1) sublane slices of tc_scratch + hi/lo split) is replaced
+# by a constant — measures the table-build share of the remap cost
+# (output garbage; attribution probes only).
+_ABLATE_REMAP_TABLE = False
+
+# TIMING-ONLY ablation: multi-chunk winner gathers walk exactly ONE chunk
+# (i_lo) instead of the winners' i_lo..i_hi span — splits the gather cost
+# into per-chunk-step work vs fixed per-gather work (output garbage).
+_ABLATE_GATHER_SPAN1 = False
+
 # Two-phase final-winner gather for exact-silhouette global-gather scenes:
 # phase 1 gathers only the GEOM_ROWS geometry rows of the band winner (the
 # strict-test + root-isolation inputs), the rejection decision picks the
@@ -859,18 +870,22 @@ def _trace_kernel(
                     else:
                         # (8, 16) id table: [k, g] = idcol[8g + k]
                         # (static sublane slices of the scratch)
-                        idcol8 = jnp.concatenate(
-                            [
-                                tc_scratch[
-                                    i * 8 : (i + 1) * 8,
-                                    cand_mod.TC_ID : cand_mod.TC_ID + 1,
-                                ]
-                                for i in range(lvl_cap // 8)
-                            ],
-                            axis=1,
-                        )
-                        hi8 = jnp.floor(idcol8 * jnp.float32(1.0 / 128.0))
-                        lo8 = idcol8 - hi8 * 128.0
+                        if _ABLATE_REMAP_TABLE:  # timing-only attribution
+                            hi8 = jnp.zeros((8, lvl_cap // 8), f32)
+                            lo8 = hi8
+                        else:
+                            idcol8 = jnp.concatenate(
+                                [
+                                    tc_scratch[
+                                        i * 8 : (i + 1) * 8,
+                                        cand_mod.TC_ID : cand_mod.TC_ID + 1,
+                                    ]
+                                    for i in range(lvl_cap // 8)
+                                ],
+                                axis=1,
+                            )
+                            hi8 = jnp.floor(idcol8 * jnp.float32(1.0 / 128.0))
+                            lo8 = idcol8 - hi8 * 128.0
                         a_g = (
                             jax.lax.broadcasted_iota(
                                 jnp.int32, (lvl_cap // 8, slot.shape[1]), 0
@@ -1341,6 +1356,8 @@ def _trace_kernel(
                 # range spanned by the winning sub-segment ids
                 i_lo = jnp.min(bi) >> gsc_sh
                 i_hi = jnp.max(bi) >> gsc_sh
+                if _ABLATE_GATHER_SPAN1:  # timing-only attribution
+                    i_hi = i_lo
                 if _GATHER_REUSE:
                     lo_oh = (ids_local == (bi & (gsc - 1))).astype(
                         jnp.bfloat16
