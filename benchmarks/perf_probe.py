@@ -32,7 +32,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                remap_mxu=None, min_sub=None, sagitta=None, cand_levels=None,
                cwalk_split=None, two_phase=None, remap_pair=None,
                cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
-               gather_reuse=None, ablate_remap_table=None, gspan1=None):
+               gather_reuse=None, ablate_remap_table=None, gspan1=None,
+               remap_build=None, gather_gsc=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -65,6 +66,10 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_REMAP_TABLE = ablate_remap_table
     if gspan1 is not None:
         trace_pallas._ABLATE_GATHER_SPAN1 = gspan1
+    if remap_build is not None:
+        trace_pallas._REMAP_BUILD = remap_build
+    if gather_gsc is not None:
+        trace_pallas._GATHER_GSC = gather_gsc
     if phase1_cond is not None:
         trace_pallas._PHASE1_COND = phase1_cond
     if two_phase is not None:
@@ -176,6 +181,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._GATHER_REUSE = gr_saved
         trace_pallas._ABLATE_REMAP_TABLE = False
         trace_pallas._ABLATE_GATHER_SPAN1 = False
+        trace_pallas._REMAP_BUILD = "slices16"
+        trace_pallas._GATHER_GSC = 512
         trace_pallas._PHASE1_COND = False
         trace_pallas._TWO_PHASE = True
         trace_pallas._REMAP_MXU = False
@@ -763,6 +770,40 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=1,
         label="dol1080_64_s05_sw1",
+    ),
+    # --- batch 34: the two batch33-guided optimizations.  gsc: gather
+    # chunk width 512 (default; g128 = the round-2 width for A/B).
+    # remap builds: fold (one reshape) / tslice8 (transpose + 8 lane
+    # slices) vs the slices16 storm; all output-identical. ---
+    "lb_s05_g128": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, gather_gsc=128,
+        label="lb1080_256_s05_g128",
+    ),
+    "lb_s05_fold": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, remap_build="fold",
+        label="lb1080_256_s05_fold",
+    ),
+    "lb_s05_tsl8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        remap_build="tslice8", label="lb1080_256_s05_tsl8",
+    ),
+    "dol_s05_g128": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        gather_gsc=128, label="dol1080_64_s05_sw2_g128",
+    ),
+    "dol_s05_fold": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        remap_build="fold", label="dol1080_64_s05_sw2_fold",
+    ),
+    "dol_s05_tsl8": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        remap_build="tslice8", label="dol1080_64_s05_sw2_tsl8",
     ),
     # --- batch 33: config3 tail decomposition (timing-only ablations) ---
     # chl: the remap's hierarchical id-table build (16 sublane slices +

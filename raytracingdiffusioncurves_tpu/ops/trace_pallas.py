@@ -153,6 +153,15 @@ _GATHER_REUSE = False
 # (output garbage; attribution probes only).
 _ABLATE_REMAP_TABLE = False
 
+# How remap_slots builds its hierarchical id table from the scratch's ID
+# column — "slices16" (16 sublane slices), "fold" (one sublane->lane fold
+# reshape), "tslice8" (native transpose + 8 lane slices).  All three are
+# output-identical (exact integer arithmetic); batch33 measured the
+# slices16 build at ~53/139 ms of lady_bug/dolphin, so the relayout cost
+# is the target.  "fold"'s reshape direction may be rejected by Mosaic —
+# probe before shipping.
+_REMAP_BUILD = "slices16"
+
 # TIMING-ONLY ablation: multi-chunk winner gathers walk exactly ONE chunk
 # (i_lo) instead of the winners' i_lo..i_hi span — splits the gather cost
 # into per-chunk-step work vs fixed per-gather work (output garbage).
@@ -237,6 +246,22 @@ _LWALK_PAIR = 4
 # cells that never need them — while dolphin-class heavy overflow tails
 # keep improving through 4: 1256 -> 1087 ms).  Ints override (probes).
 _CAND_LEVELS = None
+
+
+# Gather chunk-width cap (power of two, >= 128).  Wider chunks cut the
+# winner-gather loop trips and spans proportionally at identical MXU pass
+# count and one-hot-build element count; the per-trip one-hot temp grows
+# to (gsc, R) bf16 (2 MB at 512 x 2048).  Probe lever; see batch34.
+_GATHER_GSC = 512
+
+
+def _gather_gsc_for(s_pad: int) -> int:
+    """Gather chunk width for a scene: the whole table in one chunk when
+    it fits under the cap (no loop, no span reductions), else the cap."""
+    gsc = 128
+    while gsc < min(s_pad, _GATHER_GSC):
+        gsc *= 2
+    return gsc
 
 
 def _cand_len_for(s_pad: int) -> int:
@@ -868,47 +893,87 @@ def _trace_kernel(
                             two[0:1] * 128.0 + two[1:2]
                         ).astype(jnp.int32)
                     else:
-                        # (8, 16) id table: [k, g] = idcol[8g + k]
-                        # (static sublane slices of the scratch)
+                        # Hierarchical id table: slot decomposes into a
+                        # GROUP one-hot (MXU contraction dim, Gn entries)
+                        # and a SUB-ROW one-hot (8 entries, masked sum).
+                        # Three output-identical builds of the (hi, lo) id
+                        # table (the decomposition is our choice; only the
+                        # scratch-relayout cost differs — batch33 measured
+                        # the slices16 build at ~53 ms of lady_bug's 406
+                        # and ~139 of dolphin's 740):
+                        #  - slices16: 16 static (8, 1) sublane slices,
+                        #    [k, g] = id[8g + k]
+                        #  - fold: ONE sublane->lane fold reshape
+                        #    (lvl_cap, 1) -> (Gn, 8), [g, k] = id[8g + k]
+                        #  - tslice8: native transpose to (1, lvl_cap) + 8
+                        #    static LANE slices, [k, g] = id[k*Gn + g]
+                        Gn = lvl_cap // 8
+                        g_sh = Gn.bit_length() - 1
+                        idc = tc_scratch[:, cand_mod.TC_ID : cand_mod.TC_ID + 1]
                         if _ABLATE_REMAP_TABLE:  # timing-only attribution
-                            hi8 = jnp.zeros((8, lvl_cap // 8), f32)
-                            lo8 = hi8
-                        else:
+                            hl = jnp.zeros((16, Gn), jnp.bfloat16)
+                            cdims = (((1,), (0,)), ((), ()))
+                            gg = jax.lax.shift_right_logical(slot, 3)
+                            kk = slot & 7
+                        elif _REMAP_BUILD == "fold":
+                            id16 = idc.reshape(Gn, 8)
+                            hi = jnp.floor(id16 * jnp.float32(1.0 / 128.0))
+                            hl = jnp.concatenate(
+                                [hi, id16 - hi * 128.0], axis=1
+                            ).astype(jnp.bfloat16)  # (Gn, 16)
+                            cdims = (((0,), (0,)), ((), ()))
+                            gg = jax.lax.shift_right_logical(slot, 3)
+                            kk = slot & 7
+                        elif _REMAP_BUILD == "tslice8":
+                            idrow = jnp.transpose(idc, (1, 0))  # (1, L)
+                            id8 = jnp.concatenate(
+                                [
+                                    idrow[:, i * Gn : (i + 1) * Gn]
+                                    for i in range(8)
+                                ],
+                                axis=0,
+                            )  # (8, Gn)
+                            hi = jnp.floor(id8 * jnp.float32(1.0 / 128.0))
+                            hl = jnp.concatenate(
+                                [hi, id8 - hi * 128.0], axis=0
+                            ).astype(jnp.bfloat16)  # (16, Gn)
+                            cdims = (((1,), (0,)), ((), ()))
+                            gg = slot & (Gn - 1)
+                            kk = jax.lax.shift_right_logical(slot, g_sh)
+                        else:  # slices16
                             idcol8 = jnp.concatenate(
                                 [
-                                    tc_scratch[
-                                        i * 8 : (i + 1) * 8,
-                                        cand_mod.TC_ID : cand_mod.TC_ID + 1,
-                                    ]
-                                    for i in range(lvl_cap // 8)
+                                    idc[i * 8 : (i + 1) * 8]
+                                    for i in range(Gn)
                                 ],
                                 axis=1,
                             )
-                            hi8 = jnp.floor(idcol8 * jnp.float32(1.0 / 128.0))
-                            lo8 = idcol8 - hi8 * 128.0
+                            hi = jnp.floor(idcol8 * jnp.float32(1.0 / 128.0))
+                            hl = jnp.concatenate(
+                                [hi, idcol8 - hi * 128.0], axis=0
+                            ).astype(jnp.bfloat16)  # (16, Gn)
+                            cdims = (((1,), (0,)), ((), ()))
+                            gg = jax.lax.shift_right_logical(slot, 3)
+                            kk = slot & 7
                         a_g = (
                             jax.lax.broadcasted_iota(
-                                jnp.int32, (lvl_cap // 8, slot.shape[1]), 0
+                                jnp.int32, (Gn, slot.shape[1]), 0
                             )
-                            == jax.lax.shift_right_logical(slot, 3)
-                        ).astype(jnp.bfloat16)  # (16, N) group one-hot
-                        dims = (((1,), (0,)), ((), ()))
+                            == gg
+                        ).astype(jnp.bfloat16)  # (Gn, N) group one-hot
                         # hi and lo halves stacked into ONE MXU pass (M pads
                         # to 128 regardless, so two 8-row matmuls cost twice
                         # the single 16-row one); both halves stay exact in
                         # bf16 (< 256 each for every s_pad <= 2^15).
-                        hl16 = jnp.concatenate([hi8, lo8], axis=0).astype(
-                            jnp.bfloat16
-                        )  # (16, 16)
                         two16 = jax.lax.dot_general(
-                            hl16, a_g, dims, preferred_element_type=jnp.float32
+                            hl, a_g, cdims, preferred_element_type=jnp.float32
                         )  # (16, R)
                         chi, clo = two16[:8], two16[8:]
                         b_k = (
                             jax.lax.broadcasted_iota(
                                 jnp.int32, (8, slot.shape[1]), 0
                             )
-                            == (slot & 7)
+                            == kk
                         )  # (8, N) sub-row one-hot
                         g = jnp.sum(
                             jnp.where(b_k, chi * 128.0 + clo, 0.0),
@@ -1322,7 +1387,13 @@ def _trace_kernel(
                 ).astype(f32)
 
             dims = (((1,), (0,)), ((), ()))
-            gsc = 128  # gather chunk width (bf16 lane tile); tables are 3-D
+            # Gather chunk width — read off the table (the host picks
+            # _gather_gsc_for(s_pad): wider chunks mean proportionally
+            # fewer loop trips AND smaller winner spans at identical MXU
+            # pass count and one-hot-build element count; batch33 measured
+            # the span trips at ~48 ms of lady_bug's 406 and ~188 of
+            # dolphin's 740 at gsc=128).
+            gsc = allt_hl_ref.shape[2]
             n_gchunks = allt_hl_ref.shape[0]
 
             gsc_sh = gsc.bit_length() - 1
@@ -2522,14 +2593,15 @@ def trace_sums_flat(
     # bf16 hi/lo split of the compact rows, chunked 3-D for aligned dynamic
     # indexing in-kernel, hi halves stacked over residuals so the in-kernel
     # gather is ONE MXU pass:
-    # (ALLT_ROWS, S_pad) -> (ceil(S_pad/128), 2*gather_rows, 128)
-    s_pad128 = ((scene.s_pad + 127) // 128) * 128
+    # (ALLT_ROWS, S_pad) -> (ceil(S_pad/gsc), 2*gather_rows, gsc)
+    gsc = _gather_gsc_for(scene.s_pad)
+    s_pad128 = ((scene.s_pad + gsc - 1) // gsc) * gsc
     allt = scene.shade_all_t[jnp.asarray(used, jnp.int32)]
     if gather_rows != len(used):
         allt = jnp.pad(allt, ((0, gather_rows - len(used)), (0, 0)))
     if s_pad128 != scene.s_pad:
         allt = jnp.pad(allt, ((0, 0), (0, s_pad128 - scene.s_pad)))
-    allt3 = jnp.moveaxis(allt.reshape(gather_rows, s_pad128 // 128, 128), 1, 0)
+    allt3 = jnp.moveaxis(allt.reshape(gather_rows, s_pad128 // gsc, gsc), 1, 0)
     allt_hi = allt3.astype(jnp.bfloat16)
     allt_lo = (allt3 - allt_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     allt_hl = jnp.concatenate([allt_hi, allt_lo], axis=1)

@@ -307,6 +307,38 @@ def test_world_grid_matches_inline(ref_xml_dir):
 
 
 @pytest.mark.slow
+def test_gather_gsc_and_remap_builds_bitwise(ref_xml_dir):
+    """The gather chunk width (gsc 128 -> 512, batch34) and the three
+    remap id-table builds (slices16 / fold / tslice8) are pure layout
+    choices: every combination must render bit-identically.  lady_bug at
+    flatten_subdivisions=2 gives s_pad > 512 (multi-gchunk gathers at
+    every width) with multi-level capped lists (remap active)."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    scene = rtdc.load_scene(
+        str(ref_xml_dir / "DiffusionCurvePack" / "lady_bug.xml")
+    ).with_size(32, 32)
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=2)
+    assert dev.s_pad > 512  # several 512-wide gather chunks
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    base, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    saved = (tp._GATHER_GSC, tp._REMAP_BUILD)
+    try:
+        for gsc in (128, 256):
+            for build in ("slices16", "fold", "tslice8"):
+                tp._GATHER_GSC, tp._REMAP_BUILD = gsc, build
+                img, _ = rtdc.trace_image(
+                    dev, rtdc.Camera(), cfg, backend="pallas"
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(base), np.asarray(img),
+                    err_msg=f"gsc={gsc} build={build}",
+                )
+    finally:
+        tp._GATHER_GSC, tp._REMAP_BUILD = saved
+
+
+@pytest.mark.slow
 def test_parity_capped_candidate_lists_overflow():
     """Dense-scene path: s_pad > 128 forces CAPPED distance-sorted candidate
     lists (cand_len = 128 slots); half-plane wedges (rpp=8 -> 2 wedges) make
