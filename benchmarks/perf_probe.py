@@ -33,7 +33,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                cwalk_split=None, two_phase=None, remap_pair=None,
                cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
                gather_reuse=None, ablate_remap_table=None, gspan1=None,
-               remap_build=None, gather_gsc=None):
+               remap_build=None, gather_gsc=None, gather_hit_span=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -66,10 +66,15 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_REMAP_TABLE = ablate_remap_table
     if gspan1 is not None:
         trace_pallas._ABLATE_GATHER_SPAN1 = gspan1
+    if gather_hit_span is not None:
+        trace_pallas._GATHER_HIT_SPAN = gather_hit_span
     if remap_build is not None:
         trace_pallas._REMAP_BUILD = remap_build
     if gather_gsc is not None:
+        # force EXACTLY this width on multi-chunk scenes: zero the wide-min
+        # gate too (the default gate demotes mid-size tables to 128)
         trace_pallas._GATHER_GSC = gather_gsc
+        trace_pallas._GATHER_WIDE_MIN = 0
     if phase1_cond is not None:
         trace_pallas._PHASE1_COND = phase1_cond
     if two_phase is not None:
@@ -165,7 +170,10 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         )
         return ms
     except Exception as e:  # keep the batch going; record the failure
-        print(json.dumps({"label": label, "error": repr(e)[:4000]}), flush=True)
+        r = repr(e)
+        if len(r) > 4000:  # keep the TAIL too — Mosaic puts the real
+            r = r[:1500] + " ...[cut]... " + r[-2500:]  # error last
+        print(json.dumps({"label": label, "error": r}), flush=True)
         return None
     finally:
         trace_pallas._ABLATE_STAGE = None
@@ -181,8 +189,10 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._GATHER_REUSE = gr_saved
         trace_pallas._ABLATE_REMAP_TABLE = False
         trace_pallas._ABLATE_GATHER_SPAN1 = False
+        trace_pallas._GATHER_HIT_SPAN = True
         trace_pallas._REMAP_BUILD = "slices16"
         trace_pallas._GATHER_GSC = 512
+        trace_pallas._GATHER_WIDE_MIN = 4096
         trace_pallas._PHASE1_COND = False
         trace_pallas._TWO_PHASE = True
         trace_pallas._REMAP_MXU = False
@@ -804,6 +814,61 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         remap_build="tslice8", label="dol1080_64_s05_sw2_tsl8",
+    ),
+    # --- batch 35: gsc mid/wide points + the remap-table attribution
+    # REALITY CHECK.  rtb: the id table becomes an unfoldable broadcast of
+    # one dynamic value — if this matches chl (zeros table), the 53/139 ms
+    # chl attribution really is the relayout build; if it snaps back to
+    # the full time, chl was folding the remap matmuls too and the build
+    # is NOT the target.  chlg1: chl + gspan1 combined ceiling. ---
+    "lb_s05_rtb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        ablate_remap_table="bcast", label="lb1080_256_s05_rtb",
+    ),
+    "dol_s05_rtb": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        ablate_remap_table="bcast", label="dol1080_64_s05_sw2_rtb",
+    ),
+    "lb_s05_g256": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, gather_gsc=256,
+        label="lb1080_256_s05_g256",
+    ),
+    "dol_s05_g1024": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        gather_gsc=1024, label="dol1080_64_s05_sw2_g1024",
+    ),
+    "lb_s05_chlg1": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        ablate_remap_table=True, gspan1=True, label="lb1080_256_s05_chlg1",
+    ),
+    # --- batch 36: hit-lane-only gather spans (default ON; nhs = the
+    # round-2/3 full-span walk for A/B — output-identical, parity-pinned).
+    # "full"/"l4" rows re-run as the ON side at the committed defaults. ---
+    "lb_s05_nhs": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        gather_hit_span=False, label="lb1080_256_s05_nhs",
+    ),
+    "dol_s05_nhs": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        gather_hit_span=False, label="dol1080_64_s05_sw2_nhs",
+    ),
+    "dol_s05_def": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        label="dol1080_64_s05_sw2_def",
+    ),
+    # headline guard: arch is slot-mode single-chunk (no span walk), so
+    # the hit-span change must be a no-op there — one confirmation run
+    "h_arch1024_128_hs": lambda: time_trace(
+        f"{XMLS}/arch.xml", 1024, 1024, 128, frames=10, hoist=True,
+        rays_per_block=2048, label="arch1024_128_hs",
     ),
     # --- batch 33: config3 tail decomposition (timing-only ablations) ---
     # chl: the remap's hierarchical id-table build (16 sublane slices +

@@ -158,14 +158,23 @@ _ABLATE_REMAP_TABLE = False
 # reshape), "tslice8" (native transpose + 8 lane slices).  All three are
 # output-identical (exact integer arithmetic); batch33 measured the
 # slices16 build at ~53/139 ms of lady_bug/dolphin, so the relayout cost
-# is the target.  "fold"'s reshape direction may be rejected by Mosaic —
-# probe before shipping.
+# was the target — but batch34 measured "fold" SLOWER end to end on both
+# dense headliners (lb 448.5 vs 439.8, dol 694.9 vs ~683 at gsc512) and
+# "tslice8" crashes the Mosaic compile on both.  slices16 stays.
 _REMAP_BUILD = "slices16"
 
 # TIMING-ONLY ablation: multi-chunk winner gathers walk exactly ONE chunk
 # (i_lo) instead of the winners' i_lo..i_hi span — splits the gather cost
 # into per-chunk-step work vs fixed per-gather work (output garbage).
 _ABLATE_GATHER_SPAN1 = False
+
+# Multi-chunk winner gathers compute their i_lo..i_hi chunk span over HIT
+# lanes only: missed rays carry the FAR key's junk low bits as their
+# "winner id" (a small id, i.e. chunk ~0), so one background ray used to
+# stretch the span across every chunk up to the real winners.  Output-
+# identical (missed lanes' gathered rows are hit-masked downstream); off
+# switch for A/B probes only.
+_GATHER_HIT_SPAN = True
 
 # Two-phase final-winner gather for exact-silhouette global-gather scenes:
 # phase 1 gathers only the GEOM_ROWS geometry rows of the band winner (the
@@ -251,16 +260,28 @@ _CAND_LEVELS = None
 # Gather chunk-width cap (power of two, >= 128).  Wider chunks cut the
 # winner-gather loop trips and spans proportionally at identical MXU pass
 # count and one-hot-build element count; the per-trip one-hot temp grows
-# to (gsc, R) bf16 (2 MB at 512 x 2048).  Probe lever; see batch34.
+# to (gsc, R) bf16 (2 MB at 512 x 2048).  Measured (batch34): the wide
+# cap wins only for DEEP tables (dolphin, 8.6k padded sub-segments:
+# 740.0 -> 683.0 ms) — mid-size multi-chunk scenes lose the span
+# tightness narrow chunks give (lady_bug, 1.2k: 406.5 -> 439.8 ms) —
+# so _GATHER_WIDE_MIN gates which scenes see it.
 _GATHER_GSC = 512
+# Padded scene size ABOVE which the wide cap applies; multi-chunk tables
+# at or below it keep the round-2 width 128 (batch34 A/B).  Probe lever:
+# set to 0 to force the wide cap on any scene.
+_GATHER_WIDE_MIN = 4096
 
 
 def _gather_gsc_for(s_pad: int) -> int:
     """Gather chunk width for a scene: the whole table in one chunk when
-    it fits under the cap (no loop, no span reductions), else the cap."""
+    it fits under the cap (no loop, no span reductions); width 128 for
+    mid-size multi-chunk tables; the wide cap only past _GATHER_WIDE_MIN
+    (deep tables, where fewer loop trips beat tighter spans — batch34)."""
     gsc = 128
     while gsc < min(s_pad, _GATHER_GSC):
         gsc *= 2
+    if gsc < s_pad and s_pad <= _GATHER_WIDE_MIN:
+        return 128
     return gsc
 
 
@@ -910,7 +931,21 @@ def _trace_kernel(
                         Gn = lvl_cap // 8
                         g_sh = Gn.bit_length() - 1
                         idc = tc_scratch[:, cand_mod.TC_ID : cand_mod.TC_ID + 1]
-                        if _ABLATE_REMAP_TABLE:  # timing-only attribution
+                        if _ABLATE_REMAP_TABLE == "bcast":
+                            # timing-only attribution, UNFOLDABLE variant:
+                            # the table is a broadcast of one DYNAMIC scratch
+                            # value, so the MXU contraction cannot constant-
+                            # fold away — isolates the relayout-build share
+                            # from the matmul share (the zeros variant below
+                            # may fold both).
+                            hl = (
+                                jnp.ones((16, Gn), jnp.float32)
+                                * idc[0:1, 0:1]
+                            ).astype(jnp.bfloat16)
+                            cdims = (((1,), (0,)), ((), ()))
+                            gg = jax.lax.shift_right_logical(slot, 3)
+                            kk = slot & 7
+                        elif _ABLATE_REMAP_TABLE:  # timing-only attribution
                             hl = jnp.zeros((16, Gn), jnp.bfloat16)
                             cdims = (((1,), (0,)), ((), ()))
                             gg = jax.lax.shift_right_logical(slot, 3)
@@ -1398,14 +1433,25 @@ def _trace_kernel(
 
             gsc_sh = gsc.bit_length() - 1
 
-            def _gather_any(bi, tab_ref, m_rows):
+            def _gather_any(bi, tab_ref, m_rows, hitm=None):
                 """One-hot MXU gather of the winners' rows from a chunked
                 (G, m_rows, gsc) hi/lo table.  Multi-chunk spans factor the
                 per-chunk one-hot as (loop-invariant low-bit one-hot) x
                 (per-chunk chunk mask) — one bf16 broadcast multiply per
                 chunk step instead of a fresh (gsc, R) i32 compare + select
                 (_GATHER_REUSE; output-identical: a global id matches chunk
-                c's local iota iff its high bits equal c)."""
+                c's local iota iff its high bits equal c).
+
+                ``hitm`` ((1, R) bool): the chunk span walks HIT lanes only.
+                Missed rays carry the FAR key's junk low bits as their
+                "winner id" (a small id, i.e. chunk ~0), so one background
+                ray used to stretch i_lo..i_hi across every chunk up to the
+                real winners — on boundary tiles that was most of the span
+                cost (batch33 gspan1: ~48 ms of lady_bug's 406).  Output-
+                identical: every consumer of a missed lane's gathered row
+                is hit-masked downstream, so WHICH row it gathers (junk
+                row, zero row, or out-of-span no-match zeros) never reaches
+                the output."""
                 # (bf16 compares for the one-hot build were tried — 2-packed
                 # VREGs would halve the build — but this Mosaic rejects them;
                 # i32 compare + bf16 select it is.)
@@ -1424,9 +1470,23 @@ def _trace_kernel(
 
                     return gather_chunk(0, acc2)
                 # coherent blocks hit few chunks: gather only the chunk
-                # range spanned by the winning sub-segment ids
-                i_lo = jnp.min(bi) >> gsc_sh
-                i_hi = jnp.max(bi) >> gsc_sh
+                # range spanned by the winning sub-segment ids (hit lanes
+                # only — see the docstring; all-miss blocks clamp to one
+                # in-range chunk and gather garbage that stays masked)
+                if hitm is not None and _GATHER_HIT_SPAN:
+                    i_lo = (
+                        jnp.minimum(
+                            jnp.min(jnp.where(hitm, bi, jnp.int32(1 << 30))),
+                            jnp.int32(n_gchunks * gsc - 1),
+                        )
+                        >> gsc_sh
+                    )
+                    i_hi = jnp.maximum(
+                        jnp.max(jnp.where(hitm, bi, 0)) >> gsc_sh, i_lo
+                    )
+                else:
+                    i_lo = jnp.min(bi) >> gsc_sh
+                    i_hi = jnp.max(bi) >> gsc_sh
                 if _ABLATE_GATHER_SPAN1:  # timing-only attribution
                     i_hi = i_lo
                 if _GATHER_REUSE:
@@ -1455,15 +1515,15 @@ def _trace_kernel(
 
                 return jax.lax.fori_loop(i_lo, i_hi + 1, gather_chunk, acc2)
 
-            def gather_global(bi):
+            def gather_global(bi, hitm=None):
                 """One-hot MXU gather of the winners' compact table rows."""
-                acc2 = _gather_any(bi, allt_hl_ref, 2 * gather_rows)
+                acc2 = _gather_any(bi, allt_hl_ref, 2 * gather_rows, hitm)
                 return acc2[:gather_rows] + acc2[gather_rows:]
 
-            def gather_geom(bi):
+            def gather_geom(bi, hitm=None):
                 """Phase-1 one-hot MXU gather of the winners' GEOM_ROWS
                 geometry rows only (two_phase)."""
-                acc2 = _gather_any(bi, geom_hl_ref, 2 * GEOM_ROWS)
+                acc2 = _gather_any(bi, geom_hl_ref, 2 * GEOM_ROWS, hitm)
                 return acc2[:GEOM_ROWS] + acc2[GEOM_ROWS:]
 
             if use_cand and slot_mode and _bounce == 0:
@@ -1476,7 +1536,7 @@ def _trace_kernel(
                 # in-kernel sub-128 lane slice miscompiles on this Mosaic).
                 tsh = tshade_ref[0, pid_w]  # (2*G8, gather_len) bf16
 
-                def gather(bi):
+                def gather(bi, hitm=None):  # slot-space: no chunk span
                     ids_local = jax.lax.broadcasted_iota(
                         jnp.int32, (gather_len, R), 0
                     )
@@ -1495,8 +1555,9 @@ def _trace_kernel(
                 reciprocal).  Everything a per-wedge lax.cond branch should
                 not contain stays here; the Newton / root-isolation
                 arithmetic consuming it can then sit inside a branch.
-                ``hitv`` only guards Newton's t fallback input."""
-                acc = gather(bi)
+                ``hitv`` guards Newton's t fallback input and narrows the
+                multi-chunk gather span to hit lanes (_GATHER_HIT_SPAN)."""
+                acc = gather(bi, flat(hitv.astype(jnp.int32)) > 0)
 
                 def ga(row):
                     if rmap is not None:
@@ -1548,7 +1609,7 @@ def _trace_kernel(
                 table (two_phase): same derived quantities as winner_rows,
                 bit-identical values (the subset table carries the same
                 hi/lo bf16 splits), no shade rows."""
-                geo = gather_geom(bi)
+                geo = gather_geom(bi, flat(hitv.astype(jnp.int32)) > 0)
 
                 def ga(i):
                     return unflat(geo[i : i + 1, :])

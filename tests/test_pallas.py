@@ -322,8 +322,12 @@ def test_gather_gsc_and_remap_builds_bitwise(ref_xml_dir):
     assert dev.s_pad > 512  # several 512-wide gather chunks
     cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
     base, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
-    saved = (tp._GATHER_GSC, tp._REMAP_BUILD)
+    saved = (
+        tp._GATHER_GSC, tp._GATHER_WIDE_MIN, tp._REMAP_BUILD,
+        tp._GATHER_HIT_SPAN,
+    )
     try:
+        tp._GATHER_WIDE_MIN = 0  # let the cap apply on this mid-size scene
         for gsc in (128, 256):
             for build in ("slices16", "fold", "tslice8"):
                 tp._GATHER_GSC, tp._REMAP_BUILD = gsc, build
@@ -334,8 +338,35 @@ def test_gather_gsc_and_remap_builds_bitwise(ref_xml_dir):
                     np.asarray(base), np.asarray(img),
                     err_msg=f"gsc={gsc} build={build}",
                 )
+        # hit-lane-only gather spans are a pure span-walk narrowing: the
+        # full-span walk (round-2/3 behavior) must render bit-identically
+        tp._GATHER_GSC, tp._REMAP_BUILD = saved[0], saved[2]
+        tp._GATHER_WIDE_MIN = saved[1]
+        tp._GATHER_HIT_SPAN = False
+        img, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+        np.testing.assert_array_equal(
+            np.asarray(base), np.asarray(img), err_msg="hit_span=False"
+        )
     finally:
-        tp._GATHER_GSC, tp._REMAP_BUILD = saved
+        (
+            tp._GATHER_GSC, tp._GATHER_WIDE_MIN, tp._REMAP_BUILD,
+            tp._GATHER_HIT_SPAN,
+        ) = saved
+
+
+def test_gather_gsc_scene_selection():
+    """The per-scene gather chunk width (batch34): whole table in one
+    chunk when it fits under the cap; 128 for mid-size multi-chunk
+    tables (lady_bug-class); the wide cap only past _GATHER_WIDE_MIN
+    (dolphin-class deep tables)."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    assert tp._gather_gsc_for(128) == 128          # headline: single chunk
+    assert tp._gather_gsc_for(256) == 256          # still a single chunk
+    assert tp._gather_gsc_for(512) == 512          # single chunk at the cap
+    assert tp._gather_gsc_for(1152) == 128         # lady_bug-class: narrow
+    assert tp._gather_gsc_for(4096) == 128         # gate boundary inclusive
+    assert tp._gather_gsc_for(8576) == tp._GATHER_GSC  # dolphin-class: wide
 
 
 @pytest.mark.slow
