@@ -66,18 +66,30 @@ def warp_separable(image: jax.Array, flow: jax.Array) -> jax.Array:
     the bilinear warp into two small resampling MATMULS that ride the MXU —
     measured 74.5 ms (4-fold gather) -> ~2 ms at 1080p.  Bitwise-close to
     warp_by_flow (weights are the same bilinear pair; summation order
-    differs).  For a general flow field use warp_by_flow."""
+    differs).  For a general flow field use warp_by_flow.
+
+    Zero-flow skip: an all-zero flow makes both resampling matrices exact
+    identities (integer positions -> weights 1.0/0.0), and a matmul with
+    an exact identity reproduces the image bit for bit — so the cond is
+    output-identical.  Static cameras (the reference zeroes flow after
+    every denoise, optixHello.cpp:1234) then skip both HIGHEST-precision
+    einsums every frame, same rationale as the renderer's all-zero blur
+    skip."""
     h, w = image.shape[0], image.shape[1]
-    cols = jnp.arange(w, dtype=jnp.float32) + flow[0, :, 0]
-    rows = jnp.arange(h, dtype=jnp.float32) + flow[:, 0, 1]
-    mx = _resample_matrix(cols, w)  # (W, W)
-    my = _resample_matrix(rows, h)  # (H, H)
-    hp = jnp.einsum(
-        "hwc,wv->hvc", image, mx, precision=jax.lax.Precision.HIGHEST
-    )
-    return jnp.einsum(
-        "hvc,hu->uvc", hp, my, precision=jax.lax.Precision.HIGHEST
-    )
+
+    def _warp(im):
+        cols = jnp.arange(w, dtype=jnp.float32) + flow[0, :, 0]
+        rows = jnp.arange(h, dtype=jnp.float32) + flow[:, 0, 1]
+        mx = _resample_matrix(cols, w)  # (W, W)
+        my = _resample_matrix(rows, h)  # (H, H)
+        hp = jnp.einsum(
+            "hwc,wv->hvc", im, mx, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.einsum(
+            "hvc,hu->uvc", hp, my, precision=jax.lax.Precision.HIGHEST
+        )
+
+    return jax.lax.cond(jnp.any(flow != 0.0), _warp, lambda im: im, image)
 
 
 def warp_by_flow(image: jax.Array, flow: jax.Array) -> jax.Array:

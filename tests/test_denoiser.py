@@ -188,6 +188,25 @@ def test_warp_separable_matches_generic():
     np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+def test_warp_separable_zero_flow_identity():
+    """All-zero flow takes the skip branch — and the skipped warp must be
+    BITWISE what the un-skipped one produces (identity resampling matrices),
+    so the cond is a pure perf lever for static cameras."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(size=(19, 29, 4)), jnp.float32)
+    out = np.asarray(flow_ops.warp_separable(img, flow_ops.zero_flow(19, 29)))
+    np.testing.assert_array_equal(out, np.asarray(img))
+    # cross-check the identity claim against the generic warp (no skip)
+    gen = np.asarray(flow_ops.warp_by_flow(img, flow_ops.zero_flow(19, 29)))
+    np.testing.assert_array_equal(gen, np.asarray(img))
+    # tiny nonzero flow still warps (the cond's other branch)
+    fl = flow_ops.add_translation_flow(flow_ops.zero_flow(19, 29), 0.5, 0.0)
+    moved = np.asarray(flow_ops.warp_separable(img, fl))
+    assert np.abs(moved - np.asarray(img)).max() > 0.0
+
+
 @pytest.mark.slow  # ~55 s: 9 small renders (3 cams x 3 images, rpp up to 256)
 def test_dataset_gen_shard_resume(tmp_path):
     """Dataset gen checkpoints per (scene, cam-chunk) shard, and a resumed
