@@ -846,6 +846,13 @@ PROBES = {
         frames=3, hoist=True, min_sub=2, sagitta=0.5,
         ablate_remap_table=True, gspan1=True, label="lb1080_256_s05_chlg1",
     ),
+    # --- batch 37: dolphin entry share at the shipped dense defaults
+    # (the lb one rides the s05 ablation comprehension above) ---
+    "dol_s05_entry": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        ablate="entry", label="dol1080_64_s05_sw2_entry",
+    ),
     # --- batch 36: hit-lane-only gather spans (default ON; nhs = the
     # round-2/3 full-span walk for A/B — output-identical, parity-pinned).
     # "full"/"l4" rows re-run as the ON side at the committed defaults. ---

@@ -366,8 +366,12 @@ def segment_candidates_t(
     Returns (consts_t (T, W, TC_ROWS, L) f32,
              shade_hl (T, W, 2*G8, L) bf16   [None if not with_shade],
              counts (T, W, 1) int32,
-             lbs (T, W, L + 1) f32           [None unless order == "dist";
-             slot L is the HORIZON — see _segment_ids])
+             lbs (T, W, L//8 + 1) f32        [None unless order == "dist";
+             PER-GROUP lower bounds: slots arrive distance-sorted, so an
+             8-slot group's lb is its first slot's, and the kernel's walk
+             exits / level horizons only ever read group boundaries —
+             storing one lb per group cuts the per-program SMEM DMA 8x.
+             Entry L//8 is the HORIZON — see _segment_ids])
     where G8 = len(used_rows) padded to a multiple of 8 and shade_hl stacks
     bf16 high halves over bf16 f32-residuals (the same hi/lo one-hot-matmul
     gather precision as the global shade table, ~2^-17 relative).
@@ -425,7 +429,8 @@ def segment_candidates_t(
         jnp.swapaxes(consts_t, 0, 1),  # (T, W, TC_ROWS, L)
         shade_hl,
         jnp.swapaxes(count, 0, 1)[..., None],  # (T, W, 1) i32
-        jnp.swapaxes(lbs, 0, 1) if order == "dist" else None,  # (T, W, L)
+        # per-GROUP lbs: entries 0, 8, ..., L (ends at the horizon slot L)
+        jnp.swapaxes(lbs, 0, 1)[..., ::8] if order == "dist" else None,
     )
 
 

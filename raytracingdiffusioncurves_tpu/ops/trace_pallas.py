@@ -1040,8 +1040,8 @@ def _trace_kernel(
 
                 def _list_walk(lb_off, tcap):
                     """Distance-ordered early-exit walk of the 128-slot
-                    level staged in tc_scratch (lbs read at lane
-                    lb_off + g*8).  ``tcap``: optional (1, R) per-ray
+                    level staged in tc_scratch (per-GROUP lbs read at
+                    (lb_off >> 3) + g).  ``tcap``: optional (1, R) per-ray
                     strict-t upper bound from the already-merged previous
                     levels (quantized up one key step), so fallback levels
                     exit against hits the earlier levels already found.
@@ -1115,7 +1115,7 @@ def _trace_kernel(
                                 jnp.max(bt_up) * jnp.float32(1.00001)
                             )
                             return (g < n_groups) & (
-                                cslb_ref[0, pid_w, lb_off + g * 8] < worst
+                                cslb_ref[0, pid_w, (lb_off >> 3) + g] < worst
                             )
 
                         def walk_body(st):
@@ -1284,7 +1284,7 @@ def _trace_kernel(
                                 )
 
                             need_l = (cnt > lvl * lvl_cap) & (
-                                cslb_ref[0, pid_w, lvl * lvl_cap]
+                                cslb_ref[0, pid_w, (lvl * lvl_cap) >> 3]
                                 < _worst_of(st[2])
                             )
                             st = jax.lax.cond(
@@ -1292,7 +1292,8 @@ def _trace_kernel(
                             )
                         if cand_len < s_pad:
                             need = (cnt > cand_len) & (
-                                cslb_ref[0, pid_w, cand_len] < _worst_of(st[2])
+                                cslb_ref[0, pid_w, cand_len >> 3]
+                                < _worst_of(st[2])
                             )
                             st = jax.lax.cond(need, _chunk_walk, lambda s: s, st)
                         sweep_st = st
@@ -2778,10 +2779,12 @@ def trace_sums_flat(
             )
         )
         if not slot_mode and scene.s_pad > (1 << ID_BITS):
-            # per-slot lower-bound distances (SMEM, like the chunk lists'
+            # per-GROUP lower-bound distances (SMEM, like the chunk lists'
             # clbs): slots arrive distance-sorted, so the sweep while-loop
-            # stops at the first 8-slot group whose min lb exceeds the
-            # block's worst current closest hit.  Slot lvl*128 lbs are the
+            # stops at the first 8-slot group whose lb (its first slot's)
+            # exceeds the block's worst current closest hit — one entry
+            # per group (8x less SMEM DMA than per-slot; the kernel never
+            # read intra-group lbs).  Group (lvl*128)>>3 lbs are the
             # HORIZONS (first deferred candidate's lb) gating each level
             # walk and the seeded chunk-walk fallback.  Matches the
             # kernel's ``capped`` flag — multi-level lists carry lbs even
@@ -2791,7 +2794,7 @@ def trace_sums_flat(
             operands.append(clbslots)
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n_wedges, cand_len + 1), lambda g: (g, 0, 0),
+                    (1, n_wedges, cand_len // 8 + 1), lambda g: (g, 0, 0),
                     memory_space=pltpu.SMEM,
                 )
             )

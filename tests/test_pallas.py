@@ -406,7 +406,7 @@ def test_parity_capped_candidate_lists_overflow():
     counts = np.asarray(tables[1])
     assert counts.max() > cand_len, "test premise: some cell must overflow"
     lbs = np.asarray(tables[2])
-    assert lbs.shape[-1] == cand_len + 1  # level slots + horizon
+    assert lbs.shape[-1] == cand_len // 8 + 1  # per-GROUP lbs + horizon
     assert (lbs[..., -1] < 1e30).any()  # some real horizons recorded
 
     img_p, _ = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
