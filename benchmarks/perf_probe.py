@@ -33,7 +33,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                cwalk_split=None, two_phase=None, remap_pair=None,
                cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
                gather_reuse=None, ablate_remap_table=None, gspan1=None,
-               remap_build=None, gather_gsc=None, gather_hit_span=None):
+               remap_build=None, gather_gsc=None, gather_hit_span=None,
+               remap_precomp=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -68,6 +69,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_GATHER_SPAN1 = gspan1
     if gather_hit_span is not None:
         trace_pallas._GATHER_HIT_SPAN = gather_hit_span
+    if remap_precomp is not None:
+        trace_pallas._REMAP_PRECOMP = remap_precomp
     if remap_build is not None:
         trace_pallas._REMAP_BUILD = remap_build
     if gather_gsc is not None:
@@ -871,6 +874,29 @@ PROBES = {
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         label="dol1080_64_s05_sw2_def",
     ),
+    # --- batch 38/39: precomputed remap tables A/B — measured SLOWER on
+    # both dense headliners (see _REMAP_PRECOMP; default now OFF).  nrp =
+    # explicit OFF (the default); rp = the precomp lever ON. ---
+    "lb_s05_nrp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        remap_precomp=False, label="lb1080_256_s05_nrp",
+    ),
+    "dol_s05_nrp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        remap_precomp=False, label="dol1080_64_s05_sw2_nrp",
+    ),
+    "lb_s05_rp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        remap_precomp=True, label="lb1080_256_s05_rp",
+    ),
+    "dol_s05_rp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        remap_precomp=True, label="dol1080_64_s05_sw2_rp",
+    ),
     # headline guard: arch is slot-mode single-chunk (no span walk), so
     # the hit-span change must be a no-op there — one confirmation run
     "h_arch1024_128_hs": lambda: time_trace(
@@ -1283,14 +1309,25 @@ if __name__ == "__main__":
     # --isolate: one subprocess per probe — a fatal kernel error (Mosaic
     # crash, OOM) poisons the process's TPU client and every later probe in
     # the batch would report a bogus Internal error.
-    if args and args[0] == "--isolate":
+    if args and args[0].startswith("--isolate"):
         import subprocess
 
+        # --isolate=SECS overrides the per-probe timeout (remote-AOT kernel
+        # compiles have been observed past 60 min on bad days); a timed-out
+        # probe is reported and SKIPPED instead of aborting the batch
+        # (batch36 lost four probes to one dolphin compile).
+        per_probe = int(args[0].partition("=")[2] or 7200)
         for n in args[1:]:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), n],
-                cwd="/root/repo", timeout=3600,
-            )
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), n],
+                    cwd="/root/repo", timeout=per_probe,
+                )
+            except subprocess.TimeoutExpired:
+                print(
+                    json.dumps({"label": n, "error": f"timeout {per_probe}s"}),
+                    flush=True,
+                )
         sys.exit(0)
     names = args or ["arch512", "arch1024", "arch1024_raygen", "arch1024_intersect"]
     print(json.dumps({"backend": jax.default_backend()}), flush=True)

@@ -434,6 +434,38 @@ def segment_candidates_t(
     )
 
 
+def idhl_from_tconsts(tconsts: jax.Array) -> jax.Array:
+    """Precomputed hi/lo remap tables from the TC_ID row of transposed
+    candidate tables — the host-side replacement for the kernel's per-
+    (wedge, level) hierarchical id-table build (16 sublane slices + hi/lo
+    split per remap, measured at ~53/139 ms of lady_bug/dolphin's frame,
+    batch33) which depends only on prepass data, never on rays.
+
+    Input (T, W, TC_ROWS, L) f32; returns (T, W, n_lvls*16, Gnp) bf16
+    where Gnp = max(min(L, 128)//8, 16) slot groups (zero-padded lanes
+    past the real group count: the kernel's group one-hot has no matching
+    row there, so padding never reaches the contraction) and, for level
+    ``lvl`` and group ``g``, rows [lvl*16, lvl*16+8) carry hi =
+    floor(id/128) of the group's 8 slots and rows [lvl*16+8, lvl*16+16)
+    carry lo = id - 128*hi (both < 256 for every s_pad <= CAND_MAX_SPAD,
+    so bf16 is exact).  The kernel statically slices its level's (16, Gnp)
+    block off the REF and contracts it against the (Gnp, R) group one-hot
+    — the exact dot the in-kernel slices16 build fed, minus the build."""
+    t, w_, rows, cl = tconsts.shape
+    lvl_cap = min(cl, 128)
+    n_lvls = cl // lvl_cap
+    gn = lvl_cap // 8
+    ids = tconsts[:, :, TC_ID, :]  # (T, W, L) f32, exact integers
+    idr = ids.reshape(t, w_, n_lvls, gn, 8)
+    hi = jnp.floor(idr * jnp.float32(1.0 / 128.0))
+    blk = jnp.concatenate([hi, idr - hi * 128.0], axis=-1)  # (..., gn, 16)
+    blk = jnp.swapaxes(blk, 3, 4)  # (T, W, n_lvls, 16, gn)
+    blk = blk.reshape(t, w_, n_lvls * 16, gn)
+    if gn < 16:  # bf16 VMEM blocks want a >= 16 lane dim
+        blk = jnp.pad(blk, ((0, 0), (0, 0), (0, 0), (0, 16 - gn)))
+    return blk.astype(jnp.bfloat16)
+
+
 def chunk_candidates(
     chunk_bounds: jax.Array,  # (n_chunks, 4) f32 [cx, cy, r, 0]
     width: int,

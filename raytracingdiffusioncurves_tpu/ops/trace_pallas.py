@@ -136,6 +136,20 @@ _REMAP_MXU = False
 # A/B probes only; output-identical.
 _REMAP_PAIR = True
 
+# Precomputed remap tables: the remap's hierarchical (hi, lo) id table
+# depends only on prepass data (the candidate lists), never on rays, so the
+# host can build it once per (tile, wedge, level) — cand_mod.idhl_from_
+# tconsts — and the kernel statically slices its level's (16, Gnp) block
+# off the ref and feeds the EXACT dot the in-kernel slices16 build fed,
+# minus the build.  MEASURED SLOWER on both dense headliners (batch39:
+# lady_bug 411.4 vs 407.1, dolphin 690.4 vs 680.9; the v1 layout that
+# contracted all levels at once was worse still, batch38: lb 427.4): the
+# 16-slice build pipelines essentially for free behind the walk's MXU and
+# DMA traffic, while the extra per-program operand DMA does not — and the
+# batch33 chl attribution (~53/139 ms) was mostly the ablation constant-
+# folding the remap DOT, not build cost.  Kept as a probe lever only.
+_REMAP_PRECOMP = False
+
 # Multi-chunk winner gathers CAN factor the per-chunk one-hot as
 # (loop-invariant low-7-bit one-hot) x (per-chunk (1, R) chunk mask): the
 # (128, R) i32 compare + select pair per chunk step becomes one bf16
@@ -379,6 +393,8 @@ def _trace_kernel(
 ):
     # Candidate tables (transposed layout, ops/candidates.py):
     # tconsts_ref (1, W, TC_ROWS, L) f32 sweep consts + global-id row;
+    # idhl_ref (1, W, n_lvls*16, Gnp) bf16 precomputed hi/lo remap tables
+    # (non-slot lists under _REMAP_PRECOMP — see remap_slots);
     # tshade_ref (1, W, 2*G8, L) bf16 hi/lo per-slot shade rows (slot_mode
     # only — bigger scenes gather from the global table);
     # ccand_ref (1, W, 1) SMEM counts.
@@ -393,6 +409,10 @@ def _trace_kernel(
     if use_cand:
         tc_scratch = refs.pop()  # (L, TC_ROWS) f32 VMEM scratch (trailing)
         tconsts_ref = refs.pop(0)
+        # precomputed (1, W, Gn, n_lvls*16) bf16 remap tables (_REMAP_PRECOMP)
+        idhl_ref = (
+            refs.pop(0) if (_REMAP_PRECOMP and not slot_mode) else None
+        )
         tshade_ref = refs.pop(0) if slot_mode else None
         ccand_ref = refs.pop(0)
         # capped non-slot lists only: per-slot lower-bound distances
@@ -874,12 +894,21 @@ def _trace_kernel(
                     tconsts_ref[0, pid_w, :, :lvl_cap]
                 )  # (lvl_cap, TC_ROWS)
 
-                def remap_slots(pk):
-                    """slot -> global id for the CURRENTLY STAGED level,
-                    then split the id into (low ID_BITS, chunk) so the
-                    common unpack best_i = (pk & mask) + ch * sc holds.
-                    Lane-width generic: both chains ride ONE (1, 2R) pass
-                    (remap_pair) — same data, half the op count.
+                def remap_slots(pk, lvl=0):
+                    """slot -> global id for level ``lvl`` (the currently
+                    staged/walked one — a PYTHON constant: the level loop is
+                    unrolled), then split the id into (low ID_BITS, chunk)
+                    so the common unpack best_i = (pk & mask) + ch * sc
+                    holds.  Lane-width generic: both chains ride ONE (1, 2R)
+                    pass (remap_pair) — same data, half the op count.
+
+                    _REMAP_PRECOMP: the (hi, lo) id table arrives
+                    precomputed per (tile, wedge) (cand_mod.idhl_from_
+                    tconsts) — the in-kernel 16-slice build below only runs
+                    on the A/B path.  One MXU contraction of the WHOLE
+                    (Gn, n_lvls*16) block computes every level's rows (M
+                    pads to 128 regardless); level selection is a static
+                    sublane slice of the result.
 
                     Hierarchical one-hot (round 3): slot = 8*g + k, so
                     id = sum_{g,k} [g == slot>>3][k == slot&7] idcol[8g+k]
@@ -891,7 +920,37 @@ def _trace_kernel(
                     if _ABLATE_REMAP:  # attribution probe: slot ids ride
                         return pk, jnp.zeros_like(pk)
                     slot = pk & _ID_MASK
-                    if _REMAP_MXU:
+                    if idhl_ref is not None:
+                        gn_l = idhl_ref.shape[3]  # Gnp (>= Gn, zero-padded)
+                        gg = jax.lax.shift_right_logical(slot, 3)
+                        kk = slot & 7
+                        a_g = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (gn_l, slot.shape[1]), 0
+                            )
+                            == gg
+                        ).astype(jnp.bfloat16)  # (Gnp, N) group one-hot
+                        # this level's (16, Gnp) hi/lo table, sliced
+                        # statically off the ref (lvl is a Python constant)
+                        # — the exact dot slices16 fed, minus the build
+                        hl = idhl_ref[0, pid_w, lvl * 16 : (lvl + 1) * 16, :]
+                        two16 = jax.lax.dot_general(
+                            hl, a_g, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (16, N)
+                        chi, clo = two16[:8], two16[8:]
+                        b_k = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (8, slot.shape[1]), 0
+                            )
+                            == kk
+                        )  # (8, N) sub-row one-hot
+                        g = jnp.sum(
+                            jnp.where(b_k, chi * 128.0 + clo, 0.0),
+                            axis=0,
+                            keepdims=True,
+                        ).astype(jnp.int32)
+                    elif _REMAP_MXU:
                         # flat hi/lo bf16 MXU remap (probe A/B): one
                         # (L, 2) @ (L, R) contraction over the full
                         # (L, R) one-hot.
@@ -1025,15 +1084,15 @@ def _trace_kernel(
                         * ((1 << ID_BITS) // sc),
                     )
 
-                def remap_pair(pk_b, pk_s):
+                def remap_pair(pk_b, pk_s, lvl=0):
                     """Both chains through ONE remap pass: the keys ride
                     concatenated lanes (1, 2R), halving the one-hot builds
                     and MXU contractions (remap_slots is lane-generic).
                     Output-identical to two separate passes."""
                     if not _REMAP_PAIR:
-                        return remap_slots(pk_b) + remap_slots(pk_s)
+                        return remap_slots(pk_b, lvl) + remap_slots(pk_s, lvl)
                     pk2 = jnp.concatenate([pk_b, pk_s], axis=1)
-                    pk2m, ch2 = remap_slots(pk2)
+                    pk2m, ch2 = remap_slots(pk2, lvl)
                     return (
                         pk2m[:, :R], ch2[:, :R], pk2m[:, R:], ch2[:, R:]
                     )
@@ -1251,7 +1310,7 @@ def _trace_kernel(
                             )
 
                         for lvl in range(1, n_lvls):
-                            def _lvl_walk(st, lb_off=lvl * lvl_cap):
+                            def _lvl_walk(st, lb_off=lvl * lvl_cap, lvl=lvl):
                                 tc_scratch[...] = _transpose_block(
                                     tconsts_ref[
                                         0, pid_w, :, lb_off : lb_off + lvl_cap
@@ -1269,7 +1328,7 @@ def _trace_kernel(
                                 pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
                                 pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
                                 pk_b, ch_b, pk_s, ch_s = remap_pair(
-                                    pk_b, pk_s
+                                    pk_b, pk_s, lvl
                                 )
                                 # merge (strictly-less: equal quantized keys
                                 # keep the earlier level's nearer-lb winner,
@@ -2217,6 +2276,10 @@ def _seg_table_bytes(
     per_cell = cand_mod.TC_ROWS * cand_len * 4
     if slot:
         per_cell += 2 * g8 * cand_len * 2  # bf16 hi/lo shade rows
+    elif _REMAP_PRECOMP:
+        # (n_lvls*16, Gnp) bf16 remap tables, minor dim XLA-padded to 128
+        n_lvls = cand_len // min(cand_len, 1 << ID_BITS)
+        per_cell += n_lvls * 16 * 128 * 2
     return n_blocks * n_wedges * per_cell
 
 
@@ -2763,6 +2826,19 @@ def trace_sums_flat(
                 memory_space=pltpu.VMEM,
             )
         )
+        if _REMAP_PRECOMP and not slot_mode:
+            # Precomputed per-(tile, wedge) hi/lo remap tables (see
+            # _REMAP_PRECOMP): derived from tconsts' TC_ID row, so hoisted
+            # tables need no new tuple element — the derivation is a cheap
+            # in-jit relayout of the (T, W, L) id row.
+            idhl = cand_mod.idhl_from_tconsts(tconsts)
+            operands.append(idhl)
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n_wedges, idhl.shape[2], idhl.shape[3]), fold4,
+                    memory_space=pltpu.VMEM,
+                )
+            )
         if slot_mode:
             operands.append(tshade)
             in_specs.append(

@@ -455,6 +455,41 @@ def test_parity_capped_candidate_lists_overflow():
 
 
 @pytest.mark.slow
+def test_remap_precomp_bitwise():
+    """_REMAP_PRECOMP probe lever (host-precomputed hi/lo remap tables —
+    measured slower than the in-kernel slices16 build, kept probe-only):
+    the precomputed table feeds the EXACT same dot the in-kernel build
+    feeds, so output must be BIT-IDENTICAL to the default path."""
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    cfg = rtdc.RenderConfig(rays_per_pixel=8, use_blur=False, use_denoiser=False)
+    rng = np.random.RandomState(7)
+    curves = []
+    for i in range(40):
+        x0, y0 = rng.uniform(5, 58, 2)
+        pts = [(x0, y0)]
+        for _ in range(3):
+            x0, y0 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+            pts.append((round(x0, 2), round(y0, 2)))
+        col = f"{rng.randint(256)},{rng.randint(256)},{rng.randint(256)}"
+        curves.append(simple_curve(pts, left=[(0, col), (10, col)]))
+    scene = rtdc.load_scene_from_string(make_scene_xml(curves))
+    dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
+    assert dev.s_pad > 128  # capped, non-slot lists (the lever's only user)
+    img_1, bm_1 = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    # _REMAP_PRECOMP is a module global invisible to the jit cache key
+    tp._REMAP_PRECOMP = True
+    tp.trace_sums_flat.clear_cache()
+    try:
+        img_p, bm_p = rtdc.trace_image(dev, rtdc.Camera(), cfg, backend="pallas")
+    finally:
+        tp._REMAP_PRECOMP = False
+        tp.trace_sums_flat.clear_cache()
+    np.testing.assert_array_equal(np.asarray(img_1), np.asarray(img_p))
+    np.testing.assert_array_equal(np.asarray(bm_1), np.asarray(bm_p))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("split", [2, 4])
 def test_walk_split_bitwise(split):
     """_WALK_SPLIT lane-quartered dense walk: each static lane sub-range
