@@ -34,7 +34,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
                gather_reuse=None, ablate_remap_table=None, gspan1=None,
                remap_build=None, gather_gsc=None, gather_hit_span=None,
-               remap_precomp=None):
+               remap_precomp=None, gather_outmask=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -63,6 +63,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._LWALK_PAIR = lwalk_pair
     if gather_reuse is not None:
         trace_pallas._GATHER_REUSE = gather_reuse
+    if gather_outmask is not None:
+        trace_pallas._GATHER_OUTMASK = gather_outmask
     if ablate_remap_table is not None:
         trace_pallas._ABLATE_REMAP_TABLE = ablate_remap_table
     if gspan1 is not None:
@@ -788,6 +790,19 @@ PROBES = {
     # chunk width 512 (default; g128 = the round-2 width for A/B).
     # remap builds: fold (one reshape) / tslice8 (transpose + 8 lane
     # slices) vs the slices16 storm; all output-identical. ---
+    # --- outmask: build the low-bit one-hot once per gather and mask the
+    # (m_rows, R) MXU output per chunk step (bi_hi == c) — the opposite
+    # trade from _GATHER_REUSE's pre-MXU (gsc, R) multiply. ---
+    "lb_s05_om": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, gather_outmask=True,
+        label="lb1080_256_s05_om",
+    ),
+    "dol_s05_om": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        gather_outmask=True, label="dol1080_64_s05_sw2_om",
+    ),
     "lb_s05_g128": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5, gather_gsc=128,

@@ -161,6 +161,16 @@ _REMAP_PRECOMP = False
 # compare+select pipelines with them.  Kept as a probe lever only.
 _GATHER_REUSE = False
 
+# Multi-chunk winner gathers build the low-bit one-hot ONCE per gather and
+# mask the MXU OUTPUT per chunk step — acc += dot(tab[c], lo_oh) * (bi_hi
+# == c) — instead of a fresh (gsc, R) i32 compare + select per step.
+# Output-identical for the same reason as _GATHER_REUSE (a global id
+# matches chunk c's local iota iff its high bits equal c), but the per-step
+# VPU work is the (m_rows, R) mask-multiply (m_rows < gsc), not a (gsc, R)
+# build — the opposite trade from _GATHER_REUSE, whose pre-MXU (gsc, R)
+# bf16 multiply measured slower than the fresh build (batch31).
+_GATHER_OUTMASK = False
+
 # TIMING-ONLY ablation: remap_slots' hierarchical id table (the 16
 # static (8, 1) sublane slices of tc_scratch + hi/lo split) is replaced
 # by a constant — measures the table-build share of the remap cost
@@ -1561,6 +1571,19 @@ def _trace_kernel(
                             tab_ref[c], onehot, dims,
                             preferred_element_type=f32,
                         )
+
+                elif _GATHER_OUTMASK:
+                    lo_oh = (ids_local == (bi & (gsc - 1))).astype(
+                        jnp.bfloat16
+                    )  # (gsc, R), loop-invariant
+                    bi_hi = jax.lax.shift_right_logical(bi, gsc_sh)
+
+                    def gather_chunk(c, acc2):
+                        part = jax.lax.dot_general(
+                            tab_ref[c], lo_oh, dims,
+                            preferred_element_type=f32,
+                        )  # (m_rows, R)
+                        return acc2 + part * (bi_hi == c).astype(f32)
 
                 else:
 

@@ -347,6 +347,19 @@ def test_gather_gsc_and_remap_builds_bitwise(ref_xml_dir):
         np.testing.assert_array_equal(
             np.asarray(base), np.asarray(img), err_msg="hit_span=False"
         )
+        # outmask: low-bit one-hot built once, chunk select applied to the
+        # MXU output — same single-nonzero-term argument, bit-identical
+        tp._GATHER_HIT_SPAN = saved[3]
+        tp._GATHER_OUTMASK = True
+        try:
+            img, _ = rtdc.trace_image(
+                dev, rtdc.Camera(), cfg, backend="pallas"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(base), np.asarray(img), err_msg="outmask=True"
+            )
+        finally:
+            tp._GATHER_OUTMASK = False
     finally:
         (
             tp._GATHER_GSC, tp._GATHER_WIDE_MIN, tp._REMAP_BUILD,
