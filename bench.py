@@ -94,7 +94,8 @@ def main():
     float(img[0, 0, 0])
     # BENCH_PROFILE=<logdir>: capture a jax.profiler device trace of the
     # chained run — the checked-in evidence that the headline measures
-    # device execution, not tunnel round-trips (see bench_artifacts/).
+    # device execution, not tunnel round-trips (checked-in artifact:
+    # benchmarks/results/profile_r3c, read via benchmarks/trace_summary.py).
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         import contextlib

@@ -446,7 +446,54 @@ def time_unet_variants(which="asis", label="unet", h=1088, w=1920):
     return ms
 
 
+def time_dn_block(frames=30, label="dn_block", bil_bf16=None, bil_noexp=None):
+    """Time ONLY the learned-denoiser block (apply_denoiser: bilateral +
+    packed UNet + blends) at config3 resolution with the shipped weights.
+    No trace kernel — compiles in seconds, isolates the 37.3 ms block
+    (batch40/41 c3_post minus c3_post_nodn)."""
+    import glob
+
+    from raytracingdiffusioncurves_tpu.models import denoiser as dn
+    from raytracingdiffusioncurves_tpu.ops import denoise as denoise_ops
+
+    if bil_bf16 is not None:
+        denoise_ops.BILATERAL_BF16 = bil_bf16
+    if bil_noexp is not None:
+        denoise_ops._ABLATE_BILATERAL_NOEXP = bil_noexp
+    h, w = 1088, 1920
+    cands = sorted(glob.glob("weights/denoiser*.msgpack"),
+                   key=lambda p: -os.path.getmtime(p))
+    params = dn.load_params(cands[0])
+    model = dn.net_for_params(params)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (h, w, 4), jnp.float32)
+    bmap = jnp.zeros((h, w), jnp.float32)
+
+    @jax.jit
+    def run_n(img0, n):
+        def body(i, carry):
+            return dn.apply_denoiser(
+                model, params, carry, carry, bmap, frame=1)
+
+        return jax.lax.fori_loop(0, n, body, img0)
+
+    out = run_n(img, 1)
+    float(out[0, 0, 0])
+    t0 = time.perf_counter()
+    out = run_n(img, frames)
+    float(out[0, 0, 0])
+    ms = (time.perf_counter() - t0) * 1000 / frames
+    print(json.dumps({"label": label, "ms": round(ms, 2)}), flush=True)
+    return ms
+
+
 PROBES = {
+    # --- denoiser-block design points (config3 tail: 37.3 ms, batch40/41) ---
+    "dn_block": lambda: time_dn_block(label="dn_block"),
+    "dn_block_bf16": lambda: time_dn_block(label="dn_block_bf16",
+                                           bil_bf16=True),
+    "dn_block_noexp": lambda: time_dn_block(label="dn_block_noexp",
+                                            bil_noexp=True),
     # --- UNet inference design points (config3 tail, batch18: CNN ~30 ms) ---
     "unet_asis": lambda: time_unet_variants("asis", "unet_asis_1080"),
     "unet_s2d": lambda: time_unet_variants("s2d", "unet_s2d_1080"),

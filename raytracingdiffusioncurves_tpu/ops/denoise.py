@@ -30,6 +30,19 @@ _TEMPORAL_ALPHA = 0.2
 _BILATERAL_RADIUS = 2
 _BILATERAL_SIGMA_SPACE = 1.5
 _BILATERAL_SIGMA_COLOR = 0.1
+# bf16 tap math for the bilateral: the 25-tap dist2+exp+accumulate chain is
+# the denoiser block's non-UNet cost (~15 ms of config3's 37.3 ms tail,
+# batch40/41); bf16 halves its VPU/HBM traffic.  Weight error is ~1e-2
+# relative on a [0,1]-range guide, and the bilateral only enters the output
+# through `analytic = prev + (spatial - prev) * 0.2` under a trained UNet
+# residual — the r3d held-out val PSNR is IDENTICAL at uint8 with it on
+# (31.94/29.71 dB cnn/analytic both ways, benchmarks/eval_denoiser.py
+# --bilateral-bf16, batch42) and the config3 denoiser block drops
+# 32.6 -> 31.5 ms (batch42 dn_block vs dn_block_bf16).
+BILATERAL_BF16 = True
+# Timing-only ablation: drop the data-dependent exp chain (constant spatial
+# weights) to size the exp cost.  NOT output-preserving.
+_ABLATE_BILATERAL_NOEXP = False
 
 
 def spatial_bilateral(image: jax.Array) -> jax.Array:
@@ -41,11 +54,41 @@ def spatial_bilateral(image: jax.Array) -> jax.Array:
     h, w = image.shape[0], image.shape[1]
     accum = jnp.zeros_like(image)
     wsum = jnp.zeros(image.shape[:2], image.dtype)
+    if BILATERAL_BF16:
+        # Only the WEIGHT chain (guide diffs, dist2, exp) runs in bf16; the
+        # accumulated values and the accumulators stay f32, so on flat
+        # regions every tap carries the identical (quantized) weight and the
+        # accum/wsum ratio is exact — bf16-accumulating the values instead
+        # biased constants by ~1e-3 (tests/test_denoiser.py blend test).
+        bf = jnp.bfloat16
+        guide = image[..., :3].astype(bf)
+        padded_g = padded[..., :3].astype(bf)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                nbg = jax.lax.dynamic_slice(
+                    padded_g, (dy + r, dx + r, 0), (h, w, 3))
+                dist2 = jnp.sum((nbg - guide) ** 2, axis=-1)
+                wgt = jnp.exp(
+                    bf(-(dx * dx + dy * dy) * inv_ss)
+                    - dist2 * bf(inv_sc)
+                ).astype(image.dtype)
+                nb = jax.lax.dynamic_slice(
+                    padded, (dy + r, dx + r, 0), (h, w, image.shape[2]))
+                accum = accum + nb * wgt[..., None]
+                wsum = wsum + wgt
+        return accum / wsum[..., None]
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             nb = jax.lax.dynamic_slice(padded, (dy + r, dx + r, 0), (h, w, image.shape[2]))
-            dist2 = jnp.sum((nb[..., :3] - image[..., :3]) ** 2, axis=-1)
-            wgt = jnp.exp(-(dx * dx + dy * dy) * inv_ss - dist2 * inv_sc)
+            if _ABLATE_BILATERAL_NOEXP:
+                wgt = jnp.full(
+                    image.shape[:2],
+                    jnp.exp(jnp.float32(-(dx * dx + dy * dy) * inv_ss)),
+                    image.dtype,
+                )
+            else:
+                dist2 = jnp.sum((nb[..., :3] - image[..., :3]) ** 2, axis=-1)
+                wgt = jnp.exp(-(dx * dx + dy * dy) * inv_ss - dist2 * inv_sc)
             accum = accum + nb * wgt[..., None]
             wsum = wsum + wgt
     return accum / wsum[..., None]
