@@ -38,7 +38,9 @@ _BILATERAL_SIGMA_COLOR = 0.1
 # residual — the r3d held-out val PSNR is IDENTICAL at uint8 with it on
 # (31.94/29.71 dB cnn/analytic both ways, benchmarks/eval_denoiser.py
 # --bilateral-bf16, batch42) and the config3 denoiser block drops
-# 32.6 -> 31.5 ms (batch42 dn_block vs dn_block_bf16).
+# 32.6 -> 31.9 ms (batch42 dn_block vs batch44 dn_block_bf16 at this
+# weight-chain-only variant; bf16-accumulating values too measured 31.5
+# but biased flat regions).
 BILATERAL_BF16 = True
 # Timing-only ablation: drop the data-dependent exp chain (constant spatial
 # weights) to size the exp cost.  NOT output-preserving.
