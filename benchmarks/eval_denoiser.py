@@ -46,12 +46,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--val", default="denoise_val.npz")
     p.add_argument("--weights", default="weights/denoiser.msgpack")
-    p.add_argument("--bilateral-bf16", action="store_true",
-                   help="eval with the bf16 bilateral fast path (the "
-                        "quality gate for flipping its default)")
+    p.add_argument("--bilateral-bf16", action=argparse.BooleanOptionalAction,
+                   default=denoise_ops.BILATERAL_BF16,
+                   help="eval with the bf16 bilateral fast path "
+                        "(--no-bilateral-bf16 evaluates the f32 baseline "
+                        "side of the A/B; assigned unconditionally, before "
+                        "any jit trace)")
     args = p.parse_args()
-    if args.bilateral_bf16:
-        denoise_ops.BILATERAL_BF16 = True
+    denoise_ops.BILATERAL_BF16 = args.bilateral_bf16
 
     val = dict(np.load(args.val))
     params = dn.load_params(args.weights)

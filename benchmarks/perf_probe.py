@@ -489,11 +489,17 @@ def time_dn_block(frames=30, label="dn_block", bil_bf16=None, bil_noexp=None):
 
 PROBES = {
     # --- denoiser-block design points (config3 tail: 37.3 ms, batch40/41) ---
-    "dn_block": lambda: time_dn_block(label="dn_block"),
+    # dn_block/dn_block_noexp pin bil_bf16=False so "baseline" and the
+    # noexp ablation measure the f32 path they claim (BILATERAL_BF16
+    # defaults True; with it unset both probes silently timed bf16 —
+    # ADVICE r3).  dn_block_bf16 is the bf16 side of the A/B.
+    "dn_block": lambda: time_dn_block(label="dn_block", bil_bf16=False),
     "dn_block_bf16": lambda: time_dn_block(label="dn_block_bf16",
                                            bil_bf16=True),
     "dn_block_noexp": lambda: time_dn_block(label="dn_block_noexp",
-                                            bil_noexp=True),
+                                            bil_bf16=False, bil_noexp=True),
+    "dn_block_bf16_noexp": lambda: time_dn_block(
+        label="dn_block_bf16_noexp", bil_bf16=True, bil_noexp=True),
     # --- UNet inference design points (config3 tail, batch18: CNN ~30 ms) ---
     "unet_asis": lambda: time_unet_variants("asis", "unet_asis_1080"),
     "unet_s2d": lambda: time_unet_variants("s2d", "unet_s2d_1080"),

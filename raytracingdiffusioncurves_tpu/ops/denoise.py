@@ -43,8 +43,13 @@ _BILATERAL_SIGMA_COLOR = 0.1
 # but biased flat regions).
 BILATERAL_BF16 = True
 # Timing-only ablation: drop the data-dependent exp chain (constant spatial
-# weights) to size the exp cost.  NOT output-preserving.
+# weights) to size the exp cost.  NOT output-preserving.  Honored by BOTH
+# the bf16 and f32 branches so probe labels measure what they claim.
 _ABLATE_BILATERAL_NOEXP = False
+# NOTE (both flags above): read at jit TRACE time — temporal_denoise is
+# @jax.jit, so flipping either flag after the first call in a process is a
+# silent no-op (compilation cache).  Probe scripts must set them before any
+# call, or run each variant in a fresh process (perf_probe --isolate does).
 
 
 def spatial_bilateral(image: jax.Array) -> jax.Array:
@@ -67,13 +72,20 @@ def spatial_bilateral(image: jax.Array) -> jax.Array:
         padded_g = padded[..., :3].astype(bf)
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
-                nbg = jax.lax.dynamic_slice(
-                    padded_g, (dy + r, dx + r, 0), (h, w, 3))
-                dist2 = jnp.sum((nbg - guide) ** 2, axis=-1)
-                wgt = jnp.exp(
-                    bf(-(dx * dx + dy * dy) * inv_ss)
-                    - dist2 * bf(inv_sc)
-                ).astype(image.dtype)
+                if _ABLATE_BILATERAL_NOEXP:
+                    wgt = jnp.full(
+                        image.shape[:2],
+                        jnp.exp(jnp.float32(-(dx * dx + dy * dy) * inv_ss)),
+                        image.dtype,
+                    )
+                else:
+                    nbg = jax.lax.dynamic_slice(
+                        padded_g, (dy + r, dx + r, 0), (h, w, 3))
+                    dist2 = jnp.sum((nbg - guide) ** 2, axis=-1)
+                    wgt = jnp.exp(
+                        bf(-(dx * dx + dy * dy) * inv_ss)
+                        - dist2 * bf(inv_sc)
+                    ).astype(image.dtype)
                 nb = jax.lax.dynamic_slice(
                     padded, (dy + r, dx + r, 0), (h, w, image.shape[2]))
                 accum = accum + nb * wgt[..., None]
