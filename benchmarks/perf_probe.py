@@ -34,7 +34,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
                gather_reuse=None, ablate_remap_table=None, gspan1=None,
                remap_build=None, gather_gsc=None, gather_hit_span=None,
-               remap_precomp=None, gather_outmask=None):
+               remap_precomp=None, gather_outmask=None, slotgeom=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -99,6 +99,12 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
     cl_saved = trace_pallas._CAND_LEVELS
     if cand_levels is not None:
         trace_pallas._CAND_LEVELS = cand_levels
+        trace_pallas.build_cand_tables.clear_cache()
+    sgm_saved = trace_pallas._SLOTGEOM
+    if slotgeom is not None:
+        # the flag changes build_cand_tables' output TUPLE LENGTH and the
+        # kernel graph — both jit caches key on shapes/static args only
+        trace_pallas._SLOTGEOM = slotgeom
         trace_pallas.build_cand_tables.clear_cache()
     try:
         scene = rtdc.load_scene(path)
@@ -208,6 +214,9 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas._ABLATE_OVERFLOW_FB = False
         if cand_levels is not None:
             trace_pallas._CAND_LEVELS = cl_saved
+            trace_pallas.build_cand_tables.clear_cache()
+        if slotgeom is not None:
+            trace_pallas._SLOTGEOM = sgm_saved
             trace_pallas.build_cand_tables.clear_cache()
 
 
@@ -722,6 +731,27 @@ PROBES = {
         ))
         for lv in (1, 2, 3, 4, 6, 8)
     },
+    # --- round-4 slot-geom design A/B (_SLOTGEOM; default ON) ---
+    "lb_s05_sg": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, slotgeom=True,
+        label="lb1080_256_s05_sg",
+    ),
+    "lb_s05_nsg": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, slotgeom=False,
+        label="lb1080_256_s05_nsg",
+    ),
+    "dol_s05_sg": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        slotgeom=True, label="dol1080_64_s05_sw2_sg",
+    ),
+    "dol_s05_nsg": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        slotgeom=False, label="dol1080_64_s05_sw2_nsg",
+    ),
     "lb_s05_q2": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5, walk_split=2,

@@ -84,13 +84,14 @@ def trained_params():
     None to fall back to the analytic temporal pass."""
     from raytracingdiffusioncurves_tpu.models import denoiser as dn
 
+    import glob
+
     root = os.path.join(os.path.dirname(__file__), "..", "weights")
-    cands = sorted(
-        (p for p in (os.path.join(root, n) for n in
-                     ("denoiser_r3.msgpack", "denoiser.msgpack"))
-         if os.path.exists(p)),
-        key=lambda p: -os.path.getmtime(p),
-    )
+    # newest shipped checkpoint wins (the hardcoded two-name list silently
+    # skipped denoiser_r3d.msgpack — the r3 +2.23 dB UNet — so the round-3
+    # gradient128Denoise row was scored with STALE weights)
+    cands = sorted(glob.glob(os.path.join(root, "denoiser*.msgpack")),
+                   key=lambda p: -os.path.getmtime(p))
     return dn.load_params(cands[0]) if cands else None
 
 

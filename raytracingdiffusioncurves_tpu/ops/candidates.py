@@ -360,6 +360,7 @@ def segment_candidates_t(
     with_shade: bool = True,
     order: str = "id",
     circles=None,
+    geom_rows: tuple[int, ...] | None = None,
 ):
     """Transposed candidate tables — slots on the LANE axis (round 3).
 
@@ -371,7 +372,20 @@ def segment_candidates_t(
              8-slot group's lb is its first slot's, and the kernel's walk
              exits / level horizons only ever read group boundaries —
              storing one lb per group cuts the per-program SMEM DMA 8x.
-             Entry L//8 is the HORIZON — see _segment_ids])
+             Entry L//8 is the HORIZON — see _segment_ids],
+             sgeom (T, W, 2*(G+2), L) bf16   [None unless geom_rows])
+
+    ``geom_rows`` (round 4, the slot-geometry design): shade_all_t row ids
+    (G of them — the kernel's fixed phase-1 geometry order) whose per-slot
+    values are emitted as a SLOT-SPACE hi/lo gather table, plus two extra
+    rows carrying each slot's GLOBAL id split as (hi = floor(id/128),
+    lo = id - 128*hi) — both < 256 for every s_pad <= CAND_MAX_SPAD, so
+    bf16 holds them exactly.  Row layout: [geom hi (G), id_hi, id_lo,
+    geom lo-residuals (G), 0, 0] — the kernel's single hi+lo fold then
+    reconstructs the G geometry rows bit-identically to the global
+    phase-1 gather (same bf16 splits) AND yields the winner's global id,
+    so capped-list scenes need neither the per-(wedge, level) slot->id
+    remap matmuls nor the phase-1 chunk-span walk.
     where G8 = len(used_rows) padded to a multiple of 8 and shade_hl stacks
     bf16 high halves over bf16 f32-residuals (the same hi/lo one-hot-matmul
     gather precision as the global shade table, ~2^-17 relative).
@@ -425,12 +439,56 @@ def segment_candidates_t(
         shade_hl = jnp.swapaxes(
             jnp.concatenate([hi, lo], axis=2), 0, 1
         )  # (T, W, 2*G8, L)
+
+    sgeom = None
+    if geom_rows is not None:
+        # Slot-space geometry + global-id table (see the docstring).  Built
+        # with the SAME per-row 1-D gathers as the shade table (minor-dim
+        # padding trap, see consts_t above), chunked over tiles so peak HBM
+        # stays at the output + one chunk's transients (the whole table is
+        # (T, W, 2*(G+2), L) bf16 — GBs at 1080p dense configs).
+        g = len(geom_rows)
+        sel = shade_all_t[jnp.asarray(geom_rows, jnp.int32)]  # (G, S)
+        sel_hi = sel.astype(jnp.bfloat16)
+        sel_lo = (sel - sel_hi.astype(f32)).astype(jnp.bfloat16)
+        # zero column for parked slots (id == s_pad)
+        zcol = jnp.zeros((sel.shape[0], 1), jnp.bfloat16)
+        sel_hi = jnp.concatenate([sel_hi, zcol], 1)
+        sel_lo = jnp.concatenate([sel_lo, zcol], 1)
+        n_w, n_t, cl = ids.shape
+        tb = max(1, min(n_t, (1 << 21) // max(n_w * cl, 1)))
+        nb = -(-n_t // tb)
+        ids_p = ids
+        if nb * tb != n_t:
+            ids_p = jnp.concatenate(
+                [ids, jnp.full((n_w, nb * tb - n_t, cl), s_pad, jnp.int32)],
+                axis=1,
+            )
+        ids_b = jnp.moveaxis(ids_p.reshape(n_w, nb, tb, cl), 1, 0)
+
+        def one_chunk(idc):  # (W, tb, L) -> (tb, W, 2*(G+2), L) bf16
+            gid_hi = jnp.floor(idc.astype(f32) * f32(1.0 / 128.0))
+            rows = (
+                [sel_hi[r][idc] for r in range(g)]
+                + [
+                    gid_hi.astype(jnp.bfloat16),
+                    (idc.astype(f32) - gid_hi * 128.0).astype(jnp.bfloat16),
+                ]
+                + [sel_lo[r][idc] for r in range(g)]
+                + [jnp.zeros_like(idc, jnp.bfloat16)] * 2
+            )
+            return jnp.moveaxis(jnp.stack(rows, axis=-2), 0, 1)
+
+        sgeom = jax.lax.map(one_chunk, ids_b)  # (nb, tb, W, rows, L)
+        sgeom = sgeom.reshape(nb * tb, n_w, 2 * (g + 2), cl)[:n_t]
+
     return (
         jnp.swapaxes(consts_t, 0, 1),  # (T, W, TC_ROWS, L)
         shade_hl,
         jnp.swapaxes(count, 0, 1)[..., None],  # (T, W, 1) i32
         # per-GROUP lbs: entries 0, 8, ..., L (ends at the horizon slot L)
         jnp.swapaxes(lbs, 0, 1)[..., ::8] if order == "dist" else None,
+        sgeom,
     )
 
 

@@ -212,6 +212,28 @@ _TWO_PHASE = True
 # Fixed geometry-row order of the phase-1 table: EX, EY, C1, P0X, P0Y,
 # ctrl x0,y0..x3,y3, T0, DT, BAND.
 GEOM_ROWS = 16
+
+# Slot-geometry design (round 4): capped-list scenes (s_pad > 128, no
+# portals, exact+two-phase) carry a per-(tile, wedge) SLOT-SPACE hi/lo
+# gather table of the GEOM_ROWS phase-1 geometry rows PLUS each slot's
+# global id split as (hi, lo) bf16 rows (exact: both < 256 for every
+# s_pad <= CAND_MAX_SPAD).  The sweep then keeps winners in
+# (level, slot) space — no per-(wedge, level) slot->id remap matmuls, no
+# hierarchical id-table builds — and phase 1 becomes ONE fixed-K MXU
+# contraction over the slot axis instead of a chunk-span walk over global
+# ids (batch33/35: the remap-table build + phase-1 span ablations summed
+# to ~58 ms of lady_bug config3's 406 and >130 of dolphin's 690).  The
+# chunk-walk overflow fallback tracks its winners as aux = n_lvls + chunk
+# (ids directly computable), and its lanes take the global phase-1 gather
+# inside the fallback cond.  Tie-break note: quantized-key ties across
+# levels/spaces resolve by (slot | walk id) low bits instead of global-id
+# low bits — the same arbitrary-at-2^-16-relative class as before (the
+# exact t is recomputed from the winner row either way).  Off switch for
+# A/B probes; the old remap path stays for portal scenes, non-exact
+# configs, and the probe matrix.
+_SLOTGEOM = True
+# Slot-geom table rows: GEOM_ROWS geometry + (id hi, id lo).
+SG_ROWS = GEOM_ROWS + 2
 # Move the ENTIRE phase-1 block (geometry gather + strict test + root
 # isolation) under the per-wedge any_graze cond: all-clean wedges (the
 # majority) then skip the GEOM gather too, not just the isolation
@@ -400,6 +422,7 @@ def _trace_kernel(
     slot_mode: bool = False,  # winner gather from the candidate SLOT space
     gather_len: int = 128,  # slot one-hot length (>= every cell's count)
     two_phase: bool = False,  # phase-1 geometry gather + final-winner gather
+    slotgeom: bool = False,  # slot-space geometry+id tables (_SLOTGEOM)
 ):
     # Candidate tables (transposed layout, ops/candidates.py):
     # tconsts_ref (1, W, TC_ROWS, L) f32 sweep consts + global-id row;
@@ -419,9 +442,13 @@ def _trace_kernel(
     if use_cand:
         tc_scratch = refs.pop()  # (L, TC_ROWS) f32 VMEM scratch (trailing)
         tconsts_ref = refs.pop(0)
+        # (1, W, 2*SG_ROWS, L) bf16 slot-space geometry+id table (_SLOTGEOM)
+        sgeom_ref = refs.pop(0) if slotgeom else None
         # precomputed (1, W, Gn, n_lvls*16) bf16 remap tables (_REMAP_PRECOMP)
         idhl_ref = (
-            refs.pop(0) if (_REMAP_PRECOMP and not slot_mode) else None
+            refs.pop(0)
+            if (_REMAP_PRECOMP and not slot_mode and not slotgeom)
+            else None
         )
         tshade_ref = refs.pop(0) if slot_mode else None
         ccand_ref = refs.pop(0)
@@ -568,7 +595,21 @@ def _trace_kernel(
             # slow in Mosaic and would dominate the ablated measurement)
             return jnp.zeros((8, R), f32) + flat(dx + ox)
 
+        # Slot-geom mode (see _SLOTGEOM): winners ride (level, slot) keys;
+        # the chunk-walk fallback tags its winners aux = sg_nl + chunk so
+        # they are distinguishable from list levels.  sg_nl = 0 keeps the
+        # non-slot-geom walks writing the plain chunk index.
+        sg_mode = use_cand and slotgeom
+        sg_nl = 0
+        if sg_mode:
+            _cl_k = tconsts_ref.shape[3]
+            sg_nl = _cl_k // min(_cl_k, 1 << ID_BITS)
+
         for _bounce in range(n_traces):
+            # deferred overflow-fallback predicate (slot-geom mode only:
+            # the fallback cond also gathers its winners' geometry, so it
+            # runs after the gather helpers are defined)
+            sg_need = None
             # Flat (1, R) views of the ray state for the segment sweep, plus the
             # hoisted per-ray cross term of num_s (constant across segments).
             oxf = flat(ox)
@@ -793,11 +834,13 @@ def _trace_kernel(
                             )
                             upd_b = c_b < pk_b
                             upd_s = c_s < pk_s
+                            # sg mode: aux = sg_nl + chunk (sg_nl = 0 keeps
+                            # the plain chunk index otherwise)
                             return (
                                 jnp.where(upd_b, c_b, pk_b),
-                                jnp.where(upd_b, c, ch_b),
+                                jnp.where(upd_b, c + sg_nl, ch_b),
                                 jnp.where(upd_s, c_s, pk_s),
-                                jnp.where(upd_s, c, ch_s),
+                                jnp.where(upd_s, c + sg_nl, ch_s),
                             )
 
                         def walk_cond(state):
@@ -1272,8 +1315,10 @@ def _trace_kernel(
                     pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
                     pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
                     zero = jnp.zeros((1, R), jnp.int32)
-                    if slot_mode:
-                        # keys keep the SLOT: the gather is slot-space
+                    if slot_mode or sg_mode:
+                        # keys keep the SLOT: slot_mode gathers in slot
+                        # space; sg_mode resolves ids via the slot-geom
+                        # table after the sweep (aux = level 0 here)
                         return (pk_b, zero, pk_s, zero)
                     return remap_pair(pk_b, pk_s)
 
@@ -1337,6 +1382,17 @@ def _trace_kernel(
                                 pk8_b, pk8_s = _list_walk(lb_off, tcap)
                                 pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
                                 pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
+                                if sg_mode:
+                                    # slot-space merge: aux records the
+                                    # level (lvl is a Python constant)
+                                    upd_b = pk_b < st[0]
+                                    upd_s = pk_s < st[2]
+                                    return (
+                                        jnp.where(upd_b, pk_b, st[0]),
+                                        jnp.where(upd_b, lvl, st[1]),
+                                        jnp.where(upd_s, pk_s, st[2]),
+                                        jnp.where(upd_s, lvl, st[3]),
+                                    )
                                 pk_b, ch_b, pk_s, ch_s = remap_pair(
                                     pk_b, pk_s, lvl
                                 )
@@ -1364,7 +1420,15 @@ def _trace_kernel(
                                 cslb_ref[0, pid_w, cand_len >> 3]
                                 < _worst_of(st[2])
                             )
-                            st = jax.lax.cond(need, _chunk_walk, lambda s: s, st)
+                            if sg_mode:
+                                # deferred: the sg fallback cond also
+                                # gathers its winners' geometry (defined
+                                # with the gather helpers below)
+                                sg_need = need
+                            else:
+                                st = jax.lax.cond(
+                                    need, _chunk_walk, lambda s: s, st
+                                )
                         sweep_st = st
             elif n_chunks == 1:
                 sweep_st = intersect_chunk(0, far_state())
@@ -1467,11 +1531,26 @@ def _trace_kernel(
             # for shading).  Winners' exact t is recomputed after the gather
             # (the key quantizes t to 2^-17).
             pk_b, ch_b, pk_s, ch_s = sweep_st
-            best_i = (pk_b & _ID_MASK) + ch_b * sc
-            hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
-            best_i_s = (pk_s & _ID_MASK) + ch_s * sc
-            hit32_s = (pk_s < _FAR_PACKED).astype(jnp.int32)
-            if exact:
+            sg_b = sg_mode and _bounce == 0
+            if sg_b:
+                # slot-geom mode: ch_* carry aux (level, or sg_nl + chunk
+                # for walk winners); ids resolve after the deferred
+                # fallback via the slot-geom table.  Clean = same key AND
+                # same aux (key slot bits alone are ambiguous across
+                # levels/spaces).
+                hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
+                hit32_s = (pk_s < _FAR_PACKED).astype(jnp.int32)
+                best_i = best_i_s = None
+                clean_ray = unflat(
+                    ((pk_b == pk_s) & (ch_b == ch_s)).astype(jnp.int32)
+                ) > 0
+                any_graze = jnp.any((pk_b != pk_s) | (ch_b != ch_s))
+            else:
+                best_i = (pk_b & _ID_MASK) + ch_b * sc
+                hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
+                best_i_s = (pk_s & _ID_MASK) + ch_s * sc
+                hit32_s = (pk_s < _FAR_PACKED).astype(jnp.int32)
+            if exact and not sg_b:
                 # CLEAN rays: identical packed key in both chains — same
                 # winner (and same quantized t), or both FAR misses.  The
                 # id rides the key, so key equality == winner equality.
@@ -1487,6 +1566,13 @@ def _trace_kernel(
             # relative — far below the renderer's pixel-scale tolerances.
             # (A plain f32 gather needs Precision.HIGHEST = 6 MXU passes.)
             if _ABLATE_STAGE == "intersect":
+                if sg_b:
+                    # keys/aux live (note: the deferred sg fallback walk
+                    # has not run yet — its cost lands in "gather")
+                    return jnp.zeros((8, R), f32) + (
+                        hit32 + (pk_b & _ID_MASK) + ch_b
+                        + (pk_s & _ID_MASK) + ch_s
+                    ).astype(f32)
                 return jnp.zeros((8, R), f32) + (
                     hit32 + best_i + best_i_s
                 ).astype(f32)
@@ -1828,7 +1914,163 @@ def _trace_kernel(
                 and slot_mode
                 and _bounce == 0
             )
-            if fused:
+            if sg_b:
+                # --- slot-geom tail (see _SLOTGEOM) ---
+                # 1) deferred overflow fallback: the sorted chunk walk runs
+                #    under its horizon cond, and the SAME cond branch
+                #    gathers its winners' phase-1 geometry from the global
+                #    geom table (walk ids are directly (local | chunk) —
+                #    no remap; gathers inside conds are Mosaic-safe on the
+                #    paths batch24's p1c probe exercised).
+                if sg_need is not None:
+
+                    def _walk_geo(st):
+                        st2 = _chunk_walk(st)
+                        wb_w = st2[1] >= sg_nl
+                        bi_w = (st2[0] & _ID_MASK) + (st2[1] - sg_nl) * sc
+                        hm = wb_w & (st2[0] < _FAR_PACKED)
+                        return st2 + (gather_geom(bi_w, hm),)
+
+                    def _no_walk(st):
+                        return st + (jnp.zeros((GEOM_ROWS, R), f32),)
+
+                    pk_b, ch_b, pk_s, ch_s, geo_walk = jax.lax.cond(
+                        sg_need, _walk_geo, _no_walk,
+                        (pk_b, ch_b, pk_s, ch_s),
+                    )
+                    # the walk may have replaced winners: refresh
+                    hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
+                    hit32_s = (pk_s < _FAR_PACKED).astype(jnp.int32)
+                    hit = unflat(hit32) > 0
+                    clean_ray = unflat(
+                        ((pk_b == pk_s) & (ch_b == ch_s)).astype(jnp.int32)
+                    ) > 0
+                    any_graze = jnp.any((pk_b != pk_s) | (ch_b != ch_s))
+                    wb = ch_b >= sg_nl  # (1, R) band walk-winner lanes
+                hit_s = unflat(hit32_s) > 0
+
+                # 2) slot-space phase 1: ONE fixed-K MXU pass gathers the
+                #    geometry rows AND the winner's global id (hi/lo rows
+                #    of the same table).  Walk lanes point one past the
+                #    table (no one-hot match -> zero rows) and take the
+                #    cond-gathered geometry instead.
+                slotp = ch_b * lvl_cap + (pk_b & _ID_MASK)
+                if sg_need is not None:
+                    slotp = jnp.where(wb, jnp.int32(cand_len), slotp)
+                ids_cl = jax.lax.broadcasted_iota(
+                    jnp.int32, (cand_len, R), 0
+                )
+                oh_b = (ids_cl == slotp).astype(jnp.bfloat16)
+                sgt = sgeom_ref[0, pid_w]  # (2*SG_ROWS, cand_len) bf16
+                acc2 = jax.lax.dot_general(
+                    sgt, oh_b, dims, preferred_element_type=f32
+                )
+                geo = acc2[:SG_ROWS] + acc2[SG_ROWS:]  # hi+lo fold
+                gid_tab = (
+                    geo[GEOM_ROWS : GEOM_ROWS + 1] * 128.0
+                    + geo[GEOM_ROWS + 1 : GEOM_ROWS + 2]
+                ).astype(jnp.int32)
+                geo16 = geo[:GEOM_ROWS]
+                best_i = gid_tab
+                if sg_need is not None:
+                    best_i = jnp.where(
+                        wb, (pk_b & _ID_MASK) + (ch_b - sg_nl) * sc, best_i
+                    )
+                    geo16 = jnp.where(wb, geo_walk, geo16)
+
+                # phase-1 derived quantities — bit-identical to
+                # winner_geom's (the slot table carries the same hi/lo
+                # bf16 splits as the global geom table)
+                def ga_g(i):
+                    return unflat(geo16[i : i + 1, :])
+
+                gexg, geyg, gc1g = ga_g(0), ga_g(1), ga_g(2)
+                gp0xg, gp0yg = ga_g(3), ga_g(4)
+                gdenomg = dx * geyg - dy * gexg
+                ginvg = jnp.where(gdenomg == 0.0, 0.0, 1.0 / gdenomg)
+                gnum_tg = gc1g - ox * geyg + oy * gexg
+                gnum_sg = dy * gp0xg - dx * gp0yg + (oy * dx - ox * dy)
+                s_chordg = jnp.clip(gnum_sg * ginvg, 0.0, 1.0)
+                gt0g, gdtg = ga_g(13), ga_g(14)
+                rwg = {
+                    "gex": gexg,
+                    "gey": geyg,
+                    "gdenom": gdenomg,
+                    "gnum_t": gnum_tg,
+                    "gnum_s": gnum_sg,
+                    "t_chord": jnp.where(hit, gnum_tg * ginvg, 1.0),
+                    "gt0": gt0g,
+                    "gdt": gdtg,
+                    "cx": tuple(ga_g(5 + 2 * i) for i in range(4)),
+                    "cy": tuple(ga_g(6 + 2 * i) for i in range(4)),
+                    "tau0": gt0g + s_chordg * gdtg,
+                    "band": ga_g(15),
+                }
+                margin = band_margin(rwg)
+                strict = strict_accept(rwg)
+
+                def _iso_sg():
+                    tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                        refine.refine_hit_exact(
+                            rwg["cx"], rwg["cy"], rwg["tau0"],
+                            rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
+                            rwg["t_chord"], min_hit, margin=margin,
+                        )
+                    )
+                    # strict winner's global id from the slot table's id
+                    # rows — needed only for rejected->fallback lanes,
+                    # which exist only in graze wedges, so the M=2 dot
+                    # (pads to one MXU tile) rides this cond
+                    slotp_s = ch_s * lvl_cap + (pk_s & _ID_MASK)
+                    if sg_need is not None:
+                        slotp_s = jnp.where(
+                            ch_s >= sg_nl, jnp.int32(cand_len), slotp_s
+                        )
+                    oh_s = (ids_cl == slotp_s).astype(jnp.bfloat16)
+                    two = jax.lax.dot_general(
+                        sgeom_ref[0, pid_w, GEOM_ROWS : GEOM_ROWS + 2],
+                        oh_s, dims, preferred_element_type=f32,
+                    )
+                    gid_s = (two[0:1] * 128.0 + two[1:2]).astype(jnp.int32)
+                    return (
+                        tau_i, t_i, dbx_i, dby_i,
+                        (clean_ray | conv_i).astype(jnp.int32), gid_s,
+                    )
+
+                def _allclean_sg():
+                    z = jnp.zeros(RSHP, f32)
+                    return (
+                        z, z, z, z, jnp.ones(RSHP, jnp.int32),
+                        jnp.zeros((1, R), jnp.int32),
+                    )
+
+                tau_i, t_i, dbx_i, dby_i, conv32, gid_s_tab = jax.lax.cond(
+                    any_graze, _iso_sg, _allclean_sg
+                )
+                rejected = hit & ~((conv32 > 0) | strict)
+                hit_pre = hit
+                use_s = rejected & hit_s
+                hit = (hit & ~rejected) | use_s
+                use_f = flat(use_s.astype(jnp.int32)) > 0
+                best_i_s = gid_s_tab
+                if sg_need is not None:
+                    best_i_s = jnp.where(
+                        ch_s >= sg_nl,
+                        (pk_s & _ID_MASK) + (ch_s - sg_nl) * sc,
+                        best_i_s,
+                    )
+                bi_f = jnp.where(use_f, best_i_s, best_i)
+                hitv2 = use_s | hit_pre
+                rw = winner_rows(bi_f, hitv2)
+                acc = rw["acc"]
+                tau_n, t_n, _, _, dbx_n, dby_n = newton(rw)
+                sel = clean_ray | use_s
+                tau = jnp.where(sel, tau_n, tau_i)
+                t_ref = jnp.where(sel, t_n, t_i)
+                dbx = jnp.where(sel, dbx_n, dbx_i)
+                dby = jnp.where(sel, dby_n, dby_i)
+                t_chord, gt0, gdt = rw["t_chord"], rw["gt0"], rw["gdt"]
+            elif fused:
                 # --- fused graze cond (slot-mode scenes) ---
                 # Root isolation AND the strict-fallback chain can only
                 # change the output when some ray in the wedge grazes
@@ -2265,6 +2507,35 @@ def _n_traces(scene: dev.DeviceScene, config: RenderConfig) -> int:
     return (config.max_trace_depth + 1) if scene.has_portals else 1
 
 
+def _sg_geom_rows() -> tuple[int, ...]:
+    """shade_all_t row ids of the slot-geom table's geometry rows, in the
+    kernel's fixed phase-1 order (must match the two_phase geom_hl order:
+    EX, EY, C1, P0X, P0Y, ctrl x0,y0..x3,y3, T0, DT, BAND)."""
+    return tuple(
+        [dev.ALLT_CONSTS + i for i in range(5)]
+        + [dev.ALLT_SRC_CTRL + i for i in range(8)]
+        + [dev.ALLT_T0, dev.ALLT_DT, dev.ALLT_BAND]
+    )
+
+
+def _use_slotgeom(
+    s_pad: int, exact: bool, n_traces: int, slot_mode: bool
+) -> bool:
+    """Whether the slot-geom design applies (see _SLOTGEOM): capped-list
+    scenes only, portal-free, exact two-phase path, probe matrix off.
+    build_cand_tables and trace_sums_flat MUST agree (the table tuple
+    grows an sgeom element when it returns True)."""
+    return (
+        _SLOTGEOM
+        and not slot_mode
+        and s_pad > (1 << ID_BITS)
+        and n_traces == 1
+        and exact
+        and _TWO_PHASE
+        and _EXACT_ABLATE is None
+    )
+
+
 def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
     """Static block/tile geometry shared by trace_sums_flat and
     build_cand_tables (they MUST agree: the tables are laid out per
@@ -2289,12 +2560,19 @@ def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
 # keeps the minor dims at (rows, 128) — stored UNPADDED by XLA (round 2's
 # (T, W, L, 9) layout padded to (128, 128), 14x, and capped lady_bug-class
 # scenes out of segment lists).  The cap now only guards genuinely huge
-# (blocks x wedges) products.
-_CAND_TABLE_HBM_CAP = 6 << 30
+# (blocks x wedges) products.  Round 4 raised it from 6 GB for the
+# slot-geom tables (lady_bug/dolphin 1080p land at ~7 GB total against
+# the chip's 16 GB HBM; the render's other buffers are tens of MB).
+_CAND_TABLE_HBM_CAP = 10 << 30
 
 
 def _seg_table_bytes(
-    n_blocks: int, n_wedges: int, g8: int, slot: bool, cand_len: int = 128
+    n_blocks: int,
+    n_wedges: int,
+    g8: int,
+    slot: bool,
+    cand_len: int = 128,
+    sgeom: bool = False,
 ) -> int:
     per_cell = cand_mod.TC_ROWS * cand_len * 4
     if slot:
@@ -2303,11 +2581,17 @@ def _seg_table_bytes(
         # (n_lvls*16, Gnp) bf16 remap tables, minor dim XLA-padded to 128
         n_lvls = cand_len // min(cand_len, 1 << ID_BITS)
         per_cell += n_lvls * 16 * 128 * 2
+    if sgeom:
+        per_cell += 2 * SG_ROWS * cand_len * 2  # bf16 slot-geom rows
     return n_blocks * n_wedges * per_cell
 
 
 def _accel_kind(
-    scene: dev.DeviceScene, n_wedges: int, n_blocks: int, g8: int = dev.ALLT_ROWS
+    scene: dev.DeviceScene,
+    n_wedges: int,
+    n_blocks: int,
+    g8: int = dev.ALLT_ROWS,
+    sgeom: bool = False,
 ):
     """Which camera-dependent acceleration tables this scene uses:
     'seg' (segment candidate lists), 'chunk' (chunk candidate lists) or
@@ -2319,7 +2603,8 @@ def _accel_kind(
     if (
         cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
         and _seg_table_bytes(
-            n_blocks, n_wedges, g8, slot, _cand_len_for(scene.s_pad)
+            n_blocks, n_wedges, g8, slot, _cand_len_for(scene.s_pad),
+            sgeom=sgeom,
         )
         <= _CAND_TABLE_HBM_CAP
     ):
@@ -2352,24 +2637,35 @@ def build_cand_tables(
     (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
         scene, config, w, n_px
     )
-    used, gather_rows, _ = _gather_rows_for(scene, config, _n_traces(scene, config))
-    kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows)
+    n_tr = _n_traces(scene, config)
+    used, gather_rows, _ = _gather_rows_for(scene, config, n_tr)
+    slot = scene.s_pad <= (1 << ID_BITS)
+    sg = _use_slotgeom(scene.s_pad, config.exact_silhouettes, n_tr, slot)
+    kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows, sgeom=sg)
     out = ()
     if kind == "seg":
         cand_len = _cand_len_for(scene.s_pad)
-        slot = scene.s_pad <= (1 << ID_BITS)
-        consts_t, shade_hl, counts, lbs = cand_mod.segment_candidates_t(
-            scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
-            camera.zoom_factor, camera.offset_x, camera.offset_y,
-            config.rays_per_pixel, sw, tiles_x, tiles_y,
-            TILE_W, tile_h, px_start, config.diffusion_curve_save,
-            cand_len=cand_len, with_shade=slot,
-            order="id" if slot else "dist",
+        consts_t, shade_hl, counts, lbs, sgeom = (
+            cand_mod.segment_candidates_t(
+                scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
+                camera.zoom_factor, camera.offset_x, camera.offset_y,
+                config.rays_per_pixel, sw, tiles_x, tiles_y,
+                TILE_W, tile_h, px_start, config.diffusion_curve_save,
+                cand_len=cand_len, with_shade=slot,
+                order="id" if slot else "dist",
+                geom_rows=_sg_geom_rows() if sg else None,
+            )
         )
         # the slot-space gather table only rides when overflow is impossible
         # (slot mode); bigger scenes gather globally, skip its HBM, and
         # carry per-slot lower-bound distances for the early-exit sweep
-        out = (consts_t, shade_hl, counts) if slot else (consts_t, counts, lbs)
+        # (plus the slot-geom table when the design applies)
+        if slot:
+            out = (consts_t, shade_hl, counts)
+        elif sg:
+            out = (consts_t, counts, lbs, sgeom)
+        else:
+            out = (consts_t, counts, lbs)
         if slot or cand_len >= scene.s_pad:
             # no chunk-walk fallback possible: the lists/levels hold
             # every candidate
@@ -2445,23 +2741,33 @@ def build_cand_grid(
     cover = 0.5 * math.hypot(pitch_x, pitch_y) + r_max
     circles = (bcx, bcy, jnp.full((n_cells,), cover, jnp.float32))
 
-    used, gather_rows, _ = _gather_rows_for(scene, config, _n_traces(scene, config))
-    kind = _accel_kind(scene, n_wedges, n_cells, gather_rows)
+    n_tr = _n_traces(scene, config)
+    used, gather_rows, _ = _gather_rows_for(scene, config, n_tr)
+    slot = scene.s_pad <= (1 << ID_BITS)
+    sg = _use_slotgeom(scene.s_pad, config.exact_silhouettes, n_tr, slot)
+    kind = _accel_kind(scene, n_wedges, n_cells, gather_rows, sgeom=sg)
     if kind is None:
         return None
     out = ()
     cand_len = _cand_len_for(scene.s_pad)
     if kind == "seg":
-        slot = scene.s_pad <= (1 << ID_BITS)
-        consts_t, shade_hl, counts, lbs = cand_mod.segment_candidates_t(
-            scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
-            1.0, 0.0, 0.0,
-            config.rays_per_pixel, sw, nx, ny,
-            TILE_W, tile_h, 0, config.diffusion_curve_save,
-            cand_len=cand_len, with_shade=slot,
-            order="id" if slot else "dist", circles=circles,
+        consts_t, shade_hl, counts, lbs, sgeom = (
+            cand_mod.segment_candidates_t(
+                scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
+                1.0, 0.0, 0.0,
+                config.rays_per_pixel, sw, nx, ny,
+                TILE_W, tile_h, 0, config.diffusion_curve_save,
+                cand_len=cand_len, with_shade=slot,
+                order="id" if slot else "dist", circles=circles,
+                geom_rows=_sg_geom_rows() if sg else None,
+            )
         )
-        out = (consts_t, shade_hl, counts) if slot else (consts_t, counts, lbs)
+        if slot:
+            out = (consts_t, shade_hl, counts)
+        elif sg:
+            out = (consts_t, counts, lbs, sgeom)
+        else:
+            out = (consts_t, counts, lbs)
     gl = None
     if kind == "seg" and scene.s_pad <= (1 << ID_BITS):
         gl = int(out[2].max())  # one host sync, at build time
@@ -2666,8 +2972,13 @@ def trace_sums_flat(
     # block, so only the rows THIS scene's shading reads are shipped.  The
     # kernel addresses rows through ``rmap``.
     used, gather_rows, rmap = _gather_rows_for(scene, config, n_traces)
-    kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows)
+    sg0 = _use_slotgeom(
+        scene.s_pad, config.exact_silhouettes, n_traces,
+        scene.s_pad <= (1 << ID_BITS),
+    )
+    kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows, sgeom=sg0)
     use_cand = kind == "seg"
+    sg = sg0 and use_cand
     # List length: everything fits for scenes up to 2^ID_BITS sub-segments
     # (no overflow cond in the kernel at all, and the winner gather runs in
     # SLOT space — slot_mode); larger scenes carry _CAND_LEVELS 128-slot
@@ -2736,6 +3047,7 @@ def trace_sums_flat(
         slot_mode=slot_mode,
         gather_len=gl,
         two_phase=two_phase,
+        slotgeom=sg,
     )
 
     # bf16 hi/lo split of the compact rows, chunked 3-D for aligned dynamic
@@ -2803,6 +3115,7 @@ def trace_sums_flat(
         # Candidate prepass (ops/candidates.py): precomputed per camera via
         # build_cand_tables when the caller hoists it, else fused under the
         # frame jit; each program DMAs only its (tile, wedge) block.
+        sgeom = None
         if cand_tables is not None:
             if slot_mode:
                 tconsts, tshade, ccand = cand_tables[:3]
@@ -2810,32 +3123,39 @@ def trace_sums_flat(
             else:
                 tconsts, ccand, clbslots = cand_tables[:3]
                 tshade = None
+                if sg:
+                    # build_cand_tables emits the slot-geom table exactly
+                    # when _use_slotgeom holds (same predicate)
+                    sgeom = cand_tables[3]
         else:
-            tconsts, tshade, ccand, clbslots = cand_mod.segment_candidates_t(
-                scene.seg_consts,
-                scene.shade_all_t,
-                tuple(used),
-                w,
-                h,
-                camera.zoom_factor,
-                camera.offset_x,
-                camera.offset_y,
-                rpp,
-                sw,
-                tiles_x,
-                tiles_y,
-                TILE_W,
-                tile_h,
-                px_start,
-                config.diffusion_curve_save,
-                cand_len=cand_len,
-                with_shade=slot_mode,
-                # Single-level uncapped lists never need the distance sort:
-                # the walk covers every slot, and id order keeps slot ties
-                # == global-id ties == the JAX argmin's.  Multi-level lists
-                # (s_pad > 128) always sort: the level walks' early exits
-                # and horizons read the lbs.
-                order="id" if scene.s_pad <= (1 << ID_BITS) else "dist",
+            tconsts, tshade, ccand, clbslots, sgeom = (
+                cand_mod.segment_candidates_t(
+                    scene.seg_consts,
+                    scene.shade_all_t,
+                    tuple(used),
+                    w,
+                    h,
+                    camera.zoom_factor,
+                    camera.offset_x,
+                    camera.offset_y,
+                    rpp,
+                    sw,
+                    tiles_x,
+                    tiles_y,
+                    TILE_W,
+                    tile_h,
+                    px_start,
+                    config.diffusion_curve_save,
+                    cand_len=cand_len,
+                    with_shade=slot_mode,
+                    # Single-level uncapped lists never need the distance
+                    # sort: the walk covers every slot, and id order keeps
+                    # slot ties == global-id ties == the JAX argmin's.
+                    # Multi-level lists (s_pad > 128) always sort: the
+                    # level walks' early exits and horizons read the lbs.
+                    order="id" if scene.s_pad <= (1 << ID_BITS) else "dist",
+                    geom_rows=_sg_geom_rows() if sg else None,
+                )
             )
         if slot_mode and tshade.shape[-1] != gl:
             # narrow the slot-gather table to the certified width (callers
@@ -2849,7 +3169,17 @@ def trace_sums_flat(
                 memory_space=pltpu.VMEM,
             )
         )
-        if _REMAP_PRECOMP and not slot_mode:
+        if sg:
+            # slot-space geometry+id table (see _SLOTGEOM): each program
+            # DMAs its tile's (W, 2*SG_ROWS, L) block
+            operands.append(sgeom)
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n_wedges, 2 * SG_ROWS, cand_len), fold4,
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        if _REMAP_PRECOMP and not slot_mode and not sg:
             # Precomputed per-(tile, wedge) hi/lo remap tables (see
             # _REMAP_PRECOMP): derived from tconsts' TC_ID row, so hoisted
             # tables need no new tuple element — the derivation is a cheap

@@ -413,7 +413,9 @@ def test_parity_capped_candidate_lists_overflow():
     dev = rtdc.build_device_scene(scene, flatten_subdivisions=8)
     assert dev.s_pad > tp._cand_len_for(dev.s_pad)  # capped + chunk fallback
     tables = tp.build_cand_tables(dev, rtdc.Camera(), cfg)
-    assert tables is not None and len(tables) == 6  # seg lists + chunk lists
+    # seg lists (+ slot-geom table when the design applies) + chunk lists
+    n_seg = 4 if tp._SLOTGEOM else 3
+    assert tables is not None and len(tables) == n_seg + 3
     cand_len = tables[0].shape[-1]  # _CAND_LEVELS x 128 level slots
     assert cand_len == tp._cand_len_for(dev.s_pad) and cand_len < dev.s_pad
     counts = np.asarray(tables[1])
@@ -454,7 +456,10 @@ def test_parity_capped_candidate_lists_overflow():
     t2 = tp.build_cand_tables(dev2, rtdc.Camera(), cfg)
     # capped multi-level lists; chunk lists ride only when the levels do
     # NOT hold every candidate (auto level count — see _cand_len_for)
-    assert len(t2) == (3 if t2[0].shape[-1] >= dev2.s_pad else 6)
+    n_seg2 = 4 if tp._SLOTGEOM else 3
+    assert len(t2) == (
+        n_seg2 if t2[0].shape[-1] >= dev2.s_pad else n_seg2 + 3
+    )
     img_j2, bm_j2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="jax")
     img_p2, bm_p2 = rtdc.trace_image(dev2, rtdc.Camera(), cfg, backend="pallas")
     # near-vertical rays run almost parallel to the strands, so a couple of
