@@ -34,7 +34,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                cwalk_pair=None, phase1_cond=None, lwalk_pair=None,
                gather_reuse=None, ablate_remap_table=None, gspan1=None,
                remap_build=None, gather_gsc=None, gather_hit_span=None,
-               remap_precomp=None, gather_outmask=None, slotgeom=None):
+               remap_precomp=None, gather_outmask=None, slotgeom=None,
+               chunk_cover=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -99,6 +100,10 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
     cl_saved = trace_pallas._CAND_LEVELS
     if cand_levels is not None:
         trace_pallas._CAND_LEVELS = cand_levels
+        trace_pallas.build_cand_tables.clear_cache()
+    cc_saved = trace_pallas._CHUNK_COVER
+    if chunk_cover is not None:
+        trace_pallas._CHUNK_COVER = chunk_cover
         trace_pallas.build_cand_tables.clear_cache()
     sgm_saved = trace_pallas._SLOTGEOM
     if slotgeom is not None:
@@ -217,6 +222,9 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
             trace_pallas.build_cand_tables.clear_cache()
         if slotgeom is not None:
             trace_pallas._SLOTGEOM = sgm_saved
+            trace_pallas.build_cand_tables.clear_cache()
+        if chunk_cover is not None:
+            trace_pallas._CHUNK_COVER = cc_saved
             trace_pallas.build_cand_tables.clear_cache()
 
 
@@ -382,10 +390,78 @@ def time_unet_variants(which="asis", label="unet", h=1088, w=1920):
             d0 = conv(jnp.concatenate([up(d1, e0), e0], -1), c, "dec0")
             return nn.Conv(12, (3, 3), padding="SAME", dtype=bf, name="out")(d0)
 
+    class DotsNet(nn.Module):
+        """PackedNet topology with every conv lowered to 9 shifted bf16
+        dot_generals (accumulated in f32) instead of conv_general_dilated
+        — probes whether XLA's TPU conv lowering leaves matmul-path time
+        on the table at these channel counts."""
+
+        base: int = 96
+
+        @nn.compact
+        def __call__(self, x):
+            c = self.base
+
+            def conv(x, ch, name, stride=1, act=True):
+                cin = x.shape[-1]
+                k = self.param(
+                    name + "_k",
+                    nn.initializers.lecun_normal(),
+                    (3, 3, cin, ch), bf,
+                )
+                b = self.param(name + "_b", nn.initializers.zeros, (ch,),
+                               bf)
+                n, hh, ww, _ = x.shape
+                xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                acc = jnp.zeros(
+                    (n, (hh + stride - 1) // stride,
+                     (ww + stride - 1) // stride, ch), jnp.float32,
+                )
+                for du in range(3):
+                    for dv in range(3):
+                        sl = xp[:, du : du + hh : stride,
+                                dv : dv + ww : stride, :]
+                        acc = acc + jax.lax.dot_general(
+                            sl.astype(bf), k[du, dv],
+                            (((3,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                y = (acc + b.astype(jnp.float32)).astype(bf)
+                return nn.relu(y) if act else y
+
+            e0 = conv(conv(x, c, "enc0a"), c, "enc0b")
+            e1 = conv(conv(e0, 2 * c, "enc1a", stride=2), 2 * c, "enc1b")
+            e2 = conv(conv(e1, 4 * c, "enc2a", stride=2), 4 * c, "enc2b")
+
+            def up(x, like):
+                n, hh, ww, _ = like.shape
+                return jax.image.resize(x, (n, hh, ww, x.shape[-1]),
+                                        "nearest")
+
+            d1 = conv(jnp.concatenate([up(e2, e1), e1], -1), 2 * c, "dec1")
+            d0 = conv(jnp.concatenate([up(d1, e0), e0], -1), c, "dec0")
+            return conv(d0, 12, "out", act=False)
+
     key = jax.random.PRNGKey(0)
     if which == "s2d":
         x = jnp.zeros((1, h // 2, w // 2, 44), jnp.float32)
         model = PackedNet()
+        params = model.init(key, x)
+        fn = jax.jit(lambda p, v: model.apply(p, v))
+        args = (params, x)
+    elif which == "dots":
+        x = jnp.zeros((1, h // 2, w // 2, 44), jnp.float32)
+        model = DotsNet()
+        params = model.init(key, x)
+        fn = jax.jit(lambda p, v: model.apply(p, v))
+        args = (params, x)
+    elif which == "s4d":
+        # 4x4 space-to-depth COST MODEL: full-res layers at quarter
+        # spatial, 16x channels, 3x3 kernels — a strict FLOP superset of
+        # the exact phase-split transform (16x nominal FLOPs at full MXU
+        # lane utilization: 384+ channels = 3 lane tiles).
+        x = jnp.zeros((1, h // 4, w // 4, 176), jnp.float32)
+        model = PackedNet(base=384)
         params = model.init(key, x)
         fn = jax.jit(lambda p, v: model.apply(p, v))
         args = (params, x)
@@ -514,6 +590,10 @@ PROBES = {
     "unet_s2d": lambda: time_unet_variants("s2d", "unet_s2d_1080"),
     "unet_f32": lambda: time_unet_variants("f32", "unet_f32_1080"),
     "unet_half": lambda: time_unet_variants("half", "unet_half_1080"),
+    # round-4 design points: conv-as-9-shifted-matmuls and the 4x4
+    # space-to-depth cost model (see time_unet_variants)
+    "unet_dots": lambda: time_unet_variants("dots", "unet_dots_1080"),
+    "unet_s4d": lambda: time_unet_variants("s4d", "unet_s4d_1080"),
     # --- config3 tail decomposition (lady_bug 1080p, shipped weights) ---
     "c3_post": lambda: time_post_c3(label="c3_post"),
     "c3_post_noblur": lambda: time_post_c3(label="c3_post_noblur", blur=False),
@@ -751,6 +831,16 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
         frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
         slotgeom=False, label="dol1080_64_s05_sw2_nsg",
+    ),
+    "dol_s05_ncc": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        chunk_cover=False, label="dol1080_64_s05_sw2_ncc",
+    ),
+    "lb_s05_ncc": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, chunk_cover=False,
+        label="lb1080_256_s05_ncc",
     ),
     "lb_s05_q2": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,

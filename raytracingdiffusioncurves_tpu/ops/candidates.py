@@ -164,6 +164,7 @@ def _segment_ids(
     cand_len: int,
     order: str = "id",
     circles=None,
+    chunk_cover: bool = False,
 ):
     """Shared compaction core: per-(tile, wedge) passing segment ids.
 
@@ -182,7 +183,14 @@ def _segment_ids(
     == the JAX argmin's global-id tie-break); "dist" sorts by ascending
     lower-bound distance (stable, so equal-lb ties stay id-ordered) — the
     layout the kernel's early-exit sweep needs for dense scenes.  Unused
-    slots hold id s_pad and lb 1e30."""
+    slots hold id s_pad and lb 1e30.
+
+    ``chunk_cover``: additionally return cmax (W, T, n_chunks) f32 — each
+    SEG_CHUNK-aligned chunk's max passing-segment lb (-1 when none pass).
+    A chunk with cmax < horizon has every hittable segment inside the
+    lists, so the overflow chunk-walk can skip it exactly (round 4,
+    dolphin-class fallback diet).  Requires s_pad % 64 == 0 (device
+    tables are SEG_ALIGN-padded)."""
     f32 = jnp.float32
     s_pad = consts.shape[0]
     if circles is None:
@@ -284,17 +292,26 @@ def _segment_ids(
             count = jnp.minimum(jnp.sum(mask, axis=-1), cand_len + 1).astype(
                 jnp.int32
             )
-            return ids, count, lbs
+            if chunk_cover:
+                cm = jnp.max(
+                    jnp.where(mask, jnp.maximum(dist - reach, 0.0), -1.0)
+                    .reshape(mask.shape[0], s_pad // 64, 64),
+                    axis=-1,
+                )  # (TB, n_chunks)
+            else:
+                cm = jnp.zeros((mask.shape[0], 1), f32)
+            return ids, count, lbs, cm
 
         return jax.lax.map(one_wedge, (ccx, ccy))  # (W, TB, ...)
 
-    ids, count, lbs = jax.lax.map(one_batch, (bcx_b, bcy_b, br_b))
+    ids, count, lbs, cmax = jax.lax.map(one_batch, (bcx_b, bcy_b, br_b))
     # (nb, W, TB, ...) -> (W, T, ...)
     n_wedges = ccx.shape[0]
     ids = jnp.moveaxis(ids, 0, 1).reshape(n_wedges, nb * tb, -1)[:, :n_tiles]
     count = jnp.moveaxis(count, 0, 1).reshape(n_wedges, nb * tb)[:, :n_tiles]
     lbs = jnp.moveaxis(lbs, 0, 1).reshape(n_wedges, nb * tb, -1)[:, :n_tiles]
-    return ids, count, lbs
+    cmax = jnp.moveaxis(cmax, 0, 1).reshape(n_wedges, nb * tb, -1)[:, :n_tiles]
+    return ids, count, lbs, (cmax if chunk_cover else None)
 
 
 def segment_candidates(
@@ -325,7 +342,7 @@ def segment_candidates(
     """
     f32 = jnp.float32
     s_pad = consts.shape[0]
-    ids, count, _ = _segment_ids(
+    ids, count, _, _ = _segment_ids(
         consts, width, height, zoom, off_x, off_y, rpp, sw, tiles_x, tiles_y,
         tile_w, tile_h, px_start, diffusion_save, cand_len,
     )
@@ -361,6 +378,7 @@ def segment_candidates_t(
     order: str = "id",
     circles=None,
     geom_rows: tuple[int, ...] | None = None,
+    chunk_cover: bool = False,
 ):
     """Transposed candidate tables — slots on the LANE axis (round 3).
 
@@ -373,7 +391,15 @@ def segment_candidates_t(
              exits / level horizons only ever read group boundaries —
              storing one lb per group cuts the per-program SMEM DMA 8x.
              Entry L//8 is the HORIZON — see _segment_ids],
-             sgeom (T, W, 2*(G+2), L) bf16   [None unless geom_rows])
+             sgeom (T, W, 2*(G+2), L) bf16   [None unless geom_rows],
+             ckeep (T, W, n_chunks) bool     [None unless chunk_cover])
+
+    ``chunk_cover``: emit the per-(tile, wedge) chunk KEEP mask for the
+    overflow fallback walk — False where every passing segment of the
+    chunk has lb < horizon (i.e. is inside the lists), so chunk_candidates
+    can drop it from the walk exactly (the fallback is seeded with the
+    list state; re-sweeping covered chunks is pure waste — round 4,
+    dolphin-class).
 
     ``geom_rows`` (round 4, the slot-geometry design): shade_all_t row ids
     (G of them — the kernel's fixed phase-1 geometry order) whose per-slot
@@ -400,10 +426,12 @@ def segment_candidates_t(
     """
     f32 = jnp.float32
     s_pad = consts.shape[0]
-    ids, count, lbs = _segment_ids(
+    ids, count, lbs, cmax = _segment_ids(
         consts, width, height, zoom, off_x, off_y, rpp, sw, tiles_x, tiles_y,
         tile_w, tile_h, px_start, diffusion_save, cand_len, order=order,
         circles=circles,
+        chunk_cover=(chunk_cover and order == "dist" and s_pad % 64 == 0
+                     and s_pad > cand_len),
     )
     # consts rows in TC_ORDER + global id row, zero column for unused slots
     csel = jnp.concatenate(
@@ -482,6 +510,15 @@ def segment_candidates_t(
         sgeom = jax.lax.map(one_chunk, ids_b)  # (nb, tb, W, rows, L)
         sgeom = sgeom.reshape(nb * tb, n_w, 2 * (g + 2), cl)[:n_t]
 
+    ckeep = None
+    if cmax is not None:
+        # keep a chunk iff some passing segment was dropped from the lists
+        # (lb >= horizon; ties keep — conservative).  Cells that did not
+        # overflow never take the fallback, so their all-False rows are
+        # unreachable.
+        horizon = lbs[..., -1:]  # (W, T, 1)
+        ckeep = jnp.swapaxes(cmax >= horizon, 0, 1)  # (T, W, C)
+
     return (
         jnp.swapaxes(consts_t, 0, 1),  # (T, W, TC_ROWS, L)
         shade_hl,
@@ -489,6 +526,7 @@ def segment_candidates_t(
         # per-GROUP lbs: entries 0, 8, ..., L (ends at the horizon slot L)
         jnp.swapaxes(lbs, 0, 1)[..., ::8] if order == "dist" else None,
         sgeom,
+        ckeep,
     )
 
 
@@ -540,6 +578,7 @@ def chunk_candidates(
     px_start,
     diffusion_save: bool,
     circles=None,
+    keep=None,
 ):
     """Chunk-granularity candidate lists for multi-chunk scenes.
 
@@ -553,6 +592,12 @@ def chunk_candidates(
     start, the wall on lady_bug/dolphin-class scenes).
 
     Primary rays only (unit directions; portal bounces full-sweep).
+
+    ``keep``: optional (T, W, C) bool from segment_candidates_t's
+    chunk_cover — chunks whose hittable segments are all inside the
+    per-cell segment lists are dropped from the walk (exact: the fallback
+    is seeded with the list state, so covered chunks cannot contribute a
+    new winner).
     """
     f32 = jnp.float32
     n_chunks = chunk_bounds.shape[0]
@@ -596,6 +641,8 @@ def chunk_candidates(
         # single wedge = full circle: distance ordering only
         mask = jnp.broadcast_to(valid[None, None, :], (1,) + dist.shape)
 
+    if keep is not None:
+        mask = mask & jnp.swapaxes(keep, 0, 1)  # (W, T, C)
     big = jnp.float32(1e30)
     lbs = jnp.where(mask, lb[None], big)  # (W, T, C)
     ids = jnp.broadcast_to(

@@ -234,6 +234,16 @@ GEOM_ROWS = 16
 _SLOTGEOM = True
 # Slot-geom table rows: GEOM_ROWS geometry + (id hi, id lo).
 SG_ROWS = GEOM_ROWS + 2
+
+# Covered-chunk diet for the overflow fallback walk (round 4): the walk is
+# seeded with the capped-list state, so chunks whose every hittable segment
+# already sits inside the lists (max passing-segment lb < horizon) cannot
+# contribute a new winner — the prepass drops them from the chunk lists
+# (candidates.segment_candidates_t chunk_cover + chunk_candidates keep).
+# Dolphin-class overflow cells carry ~cand_len/SEG_CHUNK fully-covered near
+# chunks that the walk otherwise re-sweeps every frame.  Off switch for
+# A/B probes only; exactness is argued above (ties keep the chunk).
+_CHUNK_COVER = True
 # Move the ENTIRE phase-1 block (geometry gather + strict test + root
 # isolation) under the per-wedge any_graze cond: all-clean wedges (the
 # majority) then skip the GEOM gather too, not just the isolation
@@ -2643,9 +2653,11 @@ def build_cand_tables(
     sg = _use_slotgeom(scene.s_pad, config.exact_silhouettes, n_tr, slot)
     kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows, sgeom=sg)
     out = ()
+    ckeep = None
     if kind == "seg":
         cand_len = _cand_len_for(scene.s_pad)
-        consts_t, shade_hl, counts, lbs, sgeom = (
+        fb = not slot and cand_len < scene.s_pad
+        consts_t, shade_hl, counts, lbs, sgeom, ckeep = (
             cand_mod.segment_candidates_t(
                 scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
                 camera.zoom_factor, camera.offset_x, camera.offset_y,
@@ -2654,6 +2666,7 @@ def build_cand_tables(
                 cand_len=cand_len, with_shade=slot,
                 order="id" if slot else "dist",
                 geom_rows=_sg_geom_rows() if sg else None,
+                chunk_cover=fb and _CHUNK_COVER,
             )
         )
         # the slot-space gather table only rides when overflow is impossible
@@ -2676,6 +2689,7 @@ def build_cand_tables(
             scene.chunk_bounds, w, h, camera.zoom_factor, camera.offset_x,
             camera.offset_y, config.rays_per_pixel, sw, tiles_x, tiles_y,
             TILE_W, tile_h, px_start, config.diffusion_curve_save,
+            keep=ckeep if kind == "seg" else None,
         )
         return out
     return None
@@ -2749,9 +2763,11 @@ def build_cand_grid(
     if kind is None:
         return None
     out = ()
+    ckeep = None
     cand_len = _cand_len_for(scene.s_pad)
     if kind == "seg":
-        consts_t, shade_hl, counts, lbs, sgeom = (
+        fbg = not slot and cand_len < scene.s_pad
+        consts_t, shade_hl, counts, lbs, sgeom, ckeep = (
             cand_mod.segment_candidates_t(
                 scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
                 1.0, 0.0, 0.0,
@@ -2760,6 +2776,7 @@ def build_cand_grid(
                 cand_len=cand_len, with_shade=slot,
                 order="id" if slot else "dist", circles=circles,
                 geom_rows=_sg_geom_rows() if sg else None,
+                chunk_cover=fbg and _CHUNK_COVER,
             )
         )
         if slot:
@@ -2777,6 +2794,7 @@ def build_cand_grid(
             scene.chunk_bounds, w, h, 1.0, 0.0, 0.0,
             config.rays_per_pixel, sw, nx, ny,
             TILE_W, tile_h, 0, config.diffusion_curve_save, circles=circles,
+            keep=ckeep if kind == "seg" else None,
         )
     return WorldGrid(out, float(x0), float(y0), float(pitch_x),
                      float(pitch_y), nx, ny, float(zoom_max), gl)
@@ -3116,6 +3134,7 @@ def trace_sums_flat(
         # build_cand_tables when the caller hoists it, else fused under the
         # frame jit; each program DMAs only its (tile, wedge) block.
         sgeom = None
+        ckeep_if = None
         if cand_tables is not None:
             if slot_mode:
                 tconsts, tshade, ccand = cand_tables[:3]
@@ -3128,7 +3147,7 @@ def trace_sums_flat(
                     # when _use_slotgeom holds (same predicate)
                     sgeom = cand_tables[3]
         else:
-            tconsts, tshade, ccand, clbslots, sgeom = (
+            tconsts, tshade, ccand, clbslots, sgeom, ckeep_if = (
                 cand_mod.segment_candidates_t(
                     scene.seg_consts,
                     scene.shade_all_t,
@@ -3155,6 +3174,8 @@ def trace_sums_flat(
                     # level walks' early exits and horizons read the lbs.
                     order="id" if scene.s_pad <= (1 << ID_BITS) else "dist",
                     geom_rows=_sg_geom_rows() if sg else None,
+                    chunk_cover=use_chunk_lists and use_cand
+                    and _CHUNK_COVER,
                 )
             )
         if slot_mode and tshade.shape[-1] != gl:
@@ -3246,6 +3267,7 @@ def trace_sums_flat(
                 tile_h,
                 px_start,
                 config.diffusion_curve_save,
+                keep=ckeep_if if use_cand else None,
             )
         # Lists are laid out (T, W, C); each program takes its tile's whole
         # (W, C) wedge block and indexes the wedge in-kernel.
