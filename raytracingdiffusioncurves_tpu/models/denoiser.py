@@ -236,6 +236,19 @@ def net_for_params(params):
 
 PACKED_UNET_INFERENCE = True  # module flag so probes/tests can A/B
 
+# Route the packed forward's stride-1 convs through the Pallas fused conv
+# (ops/conv_pallas.py).  DEFAULT OFF this round: the kernel is bitwise-
+# equal to the XLA conv on CPU interpret and compiles on TPU, but none of
+# the three evaluated schedules beat XLA's 20.7 ms forward — the
+# value-chain form OOMs Mosaic's stack at 8-row blocks (slice temporaries
+# held live together), one-row dots run 59.6 ms (~9 MXU-issue latencies
+# per row), and the VMEM-accumulator form still OOMs at 4-row blocks
+# (the allocator's frame model defeats the budget heuristic).  Kept as a
+# probe lever; the real fix is a double-buffered emit_pipeline schedule
+# with aligned row-tap slices (pad W+2 to a sublane multiple) — see
+# ops/conv_pallas.py.
+PALLAS_CONV = False
+
 
 def _space_to_depth(x):
     """(N, H, W, C) -> (N, H/2, W/2, 4C), phase-major channels
@@ -316,8 +329,22 @@ def apply_unet_packed(params, noisy, warped_prev, aux, analytic=None):
         lay = p[name]
         return lay["kernel"].astype(bf), lay["bias"].astype(bf)
 
+    def _conv_s1(x, k, b, act):
+        """Stride-1 SAME 3x3 on a (1, H, W, C) tensor: the Pallas fused
+        conv when enabled, XLA's conv otherwise."""
+        if PALLAS_CONV:
+            from ..ops import conv_pallas
+
+            return conv_pallas.conv3x3_same(x[0], k, b, relu=act)[None]
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=dn
+        ) + b
+        return nn.relu(y) if act else y
+
     def conv_plain(x, name, stride=1, act=True):
         k, b = kb(name)
+        if stride == 1:
+            return _conv_s1(x, k, b, act)
         y = jax.lax.conv_general_dilated(
             x, k, (stride, stride), "SAME", dimension_numbers=dn
         ) + b
@@ -325,11 +352,7 @@ def apply_unet_packed(params, noisy, warped_prev, aux, analytic=None):
 
     def conv_packed(x, name, groups, act=True):
         k, b = kb(name)
-        y = jax.lax.conv_general_dilated(
-            x, _pack_kernel_s1(k, groups), (1, 1), "SAME",
-            dimension_numbers=dn,
-        ) + jnp.tile(b, 4)
-        return nn.relu(y) if act else y
+        return _conv_s1(x, _pack_kernel_s1(k, groups), jnp.tile(b, 4), act)
 
     x = jnp.concatenate([noisy, warped_prev, analytic, aux], -1).astype(bf)
     cin0 = x.shape[-1]
@@ -338,12 +361,7 @@ def apply_unet_packed(params, noisy, warped_prev, aux, analytic=None):
                      [p["enc0a"]["bias"].shape[0]])
     base = p["enc0a"]["bias"].shape[0]
     k1a, b1a = kb("enc1a")
-    e1 = nn.relu(
-        jax.lax.conv_general_dilated(
-            e0, _pack_kernel_s2(k1a, base), (1, 1), "SAME",
-            dimension_numbers=dn,
-        ) + b1a
-    )
+    e1 = _conv_s1(e0, _pack_kernel_s2(k1a, base), b1a, True)
     e1 = conv_plain(e1, "enc1b")
     e2 = conv_plain(conv_plain(e1, "enc2a", stride=2), "enc2b")
 

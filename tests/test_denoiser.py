@@ -237,3 +237,52 @@ def test_dataset_gen_shard_resume(tmp_path):
     new = dict(np.load(out))
     for k in ref:
         np.testing.assert_array_equal(ref[k], new[k])
+
+
+def test_pallas_conv_matches_xla_conv():
+    """ops/conv_pallas.py conv3x3_same is bitwise-equal to the XLA bf16
+    conv + bias (+ReLU) it replaces (interpret mode; the kernel matches
+    XLA's round-then-add-bias order exactly), including lane/alignment
+    padding paths (Cin not a 128 multiple, odd sizes)."""
+    from raytracingdiffusioncurves_tpu.ops import conv_pallas
+
+    key = jax.random.PRNGKey(3)
+    for (h, w, ci, co, relu) in ((23, 37, 11, 24, True),
+                                 (16, 20, 44, 96, True),
+                                 (9, 50, 24, 12, False)):
+        x = jax.random.normal(jax.random.fold_in(key, h), (h, w, ci))
+        k = jax.random.normal(jax.random.fold_in(key, w),
+                              (3, 3, ci, co)) * 0.1
+        b = jax.random.normal(jax.random.fold_in(key, co), (co,))
+        y = conv_pallas.conv3x3_same(x, k, b, relu=relu)
+        bf = jnp.bfloat16
+        ref = jax.lax.conv_general_dilated(
+            x.astype(bf)[None], k.astype(bf), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0] + b.astype(bf)
+        if relu:
+            ref = jnp.maximum(ref, bf(0))
+        np.testing.assert_array_equal(
+            np.asarray(y, np.float32), np.asarray(ref, np.float32)
+        )
+
+
+def test_packed_unet_pallas_conv_path():
+    """The PALLAS_CONV=True packed forward stays in the same ~1-ulp class
+    as the plain forward (the lever must remain usable)."""
+    params = dn.load_params("weights/denoiser_r3d.msgpack")
+    model = dn.net_for_params(params)
+    if not isinstance(model, dn.UNetDenoiser):
+        pytest.skip("shipped weights are not a UNet")
+    key = jax.random.PRNGKey(11)
+    noisy = jax.random.uniform(key, (1, 24, 28, 3))
+    prev = jax.random.uniform(jax.random.fold_in(key, 1), (1, 24, 28, 3))
+    aux = jnp.zeros((1, 24, 28, 2))
+    plain = np.asarray(model.apply(params, noisy, prev, aux))
+    saved = dn.PALLAS_CONV
+    try:
+        dn.PALLAS_CONV = True
+        packed = np.asarray(dn.apply_unet_packed(params, noisy, prev, aux))
+    finally:
+        dn.PALLAS_CONV = saved
+    assert np.abs(plain - packed).max() < 2e-3
