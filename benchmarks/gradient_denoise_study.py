@@ -72,12 +72,23 @@ def main():
 
     rows = {"registered_cam": reg, "truth_rpp": args.truth_rpp}
 
-    # Converged truth: seed-0 high-rpp render, chunked by the renderer's
-    # own pixel batching (single dispatches stay short — CLAUDE.md).
-    truth = qs.our_render("arch.xml", cam, rpp=args.truth_rpp, blur=False)
+    # Converged truth: seed-AVERAGED 256-rpp renders (rpp much beyond 256
+    # builds 512-wedge kernels outside the renderer's envelope — the 2048
+    # single-pass variant overflowed SMEM); averaging n independent seeds
+    # converges identically (same estimator, n*256 total rays/pixel).
+    n_seeds = max(1, args.truth_rpp // 256)
+
+    def averaged(seed0):
+        acc = None
+        for s in range(n_seeds):
+            r = qs.our_render("arch.xml", cam, rpp=256, blur=False,
+                              seed=seed0 + s)
+            acc = r if acc is None else acc + r
+        return acc / n_seeds
+
+    truth = averaged(0)
     # MC floor OF the truth itself (cross-seed): how converged it is
-    truth_b = qs.our_render("arch.xml", cam, rpp=args.truth_rpp, blur=False,
-                            seed=1)
+    truth_b = averaged(100)
     rows["truth_selfnoise"] = round(psnr(truth, truth_b), 2)
 
     rows["capture_vs_truth"] = round(psnr(cap, truth), 2)

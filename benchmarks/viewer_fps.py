@@ -102,6 +102,16 @@ def main():
         np.asarray(img)  # the display read the viewer performs per frame
     render_ms = (time.perf_counter() - t0) * 1000 / k
 
+    # --- render_u8_ms: same protocol with DEVICE-side uint8 quantization
+    # (what the MJPEG viewer now pulls: 1 byte/channel, 4x less transfer)
+    from raytracingdiffusioncurves_tpu.utils.image import to_uint8_device
+
+    t0 = time.perf_counter()
+    for _ in range(k):
+        img = session.render()
+        np.asarray(to_uint8_device(img))
+    render_u8_ms = (time.perf_counter() - t0) * 1000 / k
+
     # --- dispatch_ms: issue the same frames without reading back ---
     t0 = time.perf_counter()
     for _ in range(k):
@@ -160,6 +170,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "client_fps": round(client_fps, 2),
         "render_ms": round(render_ms, 2),
+        "render_u8_ms": round(render_u8_ms, 2),
         "dispatch_ms": round(dispatch_ms, 2),
         "readback_ms": round(render_ms - dispatch_ms, 2),
         "encode_ms": round(encode_ms, 2),

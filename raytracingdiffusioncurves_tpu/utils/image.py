@@ -28,6 +28,24 @@ def to_uint8(image: np.ndarray, flip_vertical: bool = True) -> np.ndarray:
     return q
 
 
+def to_uint8_device(image, flip_vertical: bool = True):
+    """Device-side to_uint8: identical quantization (min(c*255, 255)
+    truncated toward zero, NaN -> 0) computed on the accelerator so an
+    off-host display pulls 1 byte/channel instead of 4 — the viewer's
+    D2H transfer was 4x the necessary bytes (measured: 3.08 s of the
+    3.24 s/frame tunnel viewer loop was the f32 readback,
+    results/viewer_fps_r4.log).  Returns a device uint8 array; callers
+    np.asarray() it to transfer."""
+    import jax.numpy as jnp
+
+    img = jnp.nan_to_num(jnp.asarray(image, jnp.float32), nan=0.0)
+    q = jnp.clip(jnp.minimum(img * 255.0, 255.0), 0.0, 255.0)
+    q = q.astype(jnp.uint8)  # truncation, like the C cast
+    if flip_vertical:
+        q = q[::-1]
+    return q
+
+
 def save_image(image: np.ndarray, path: str | None = None, flip_vertical: bool = True) -> str:
     """Write the rendered image to ``path`` (format from the extension) or to
     a timestamped screenshot-*.jpg like the reference (glfw_events.cpp:85-94)."""

@@ -191,12 +191,20 @@ class HttpViewer:
     def _encode(self, image) -> bytes:
         from PIL import Image
 
-        from .utils.image import to_uint8
+        from .utils.image import to_uint8, to_uint8_device
 
-        arr = to_uint8(
-            np.asarray(image),
-            flip_vertical=self.session.config.diffusion_curve_save,
-        )[..., :3]
+        if hasattr(image, "devices"):
+            # quantize ON DEVICE: the off-host display then pulls 1
+            # byte/channel instead of 4 (the f32 readback was 3.08 s of
+            # the 3.24 s tunnel viewer frame, results/viewer_fps_r4.log)
+            arr = np.asarray(to_uint8_device(
+                image, flip_vertical=self.session.config.diffusion_curve_save
+            ))[..., :3]
+        else:
+            arr = to_uint8(
+                np.asarray(image),
+                flip_vertical=self.session.config.diffusion_curve_save,
+            )[..., :3]
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, "JPEG", quality=self.quality)
         return buf.getvalue()
