@@ -811,6 +811,33 @@ PROBES = {
         ))
         for lv in (1, 2, 3, 4, 6, 8)
     },
+    # --- round-4 stage ablations + block/dimsem retune at the sg state ---
+    **{
+        f"lb_s05_ab_{ab}": (lambda ab=ab: time_trace(
+            f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+            frames=3, hoist=True, min_sub=2, sagitta=0.5, ablate=ab,
+            label=f"lb1080_256_s05_ab_{ab}",
+        ))
+        for ab in ("entry", "raygen", "intersect", "gather", "shade")
+    },
+    **{
+        f"dol_s05_ab_{ab}": (lambda ab=ab: time_trace(
+            f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+            frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+            ablate=ab, label=f"dol1080_64_s05_sw2_ab_{ab}",
+        ))
+        for ab in ("entry", "intersect", "gather", "shade")
+    },
+    "lb_s05_rb4k": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, rays_per_block=4096,
+        label="lb1080_256_s05_rb4k",
+    ),
+    "lb_s05_dimpar": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5,
+        dim_semantics="parallel", label="lb1080_256_s05_dimpar",
+    ),
     # --- round-4 slot-geom design A/B (_SLOTGEOM; default ON) ---
     "lb_s05_sg": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,

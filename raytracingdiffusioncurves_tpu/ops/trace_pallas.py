@@ -296,10 +296,13 @@ _CWALK_PAIR = 8
 # Slot GROUPS swept per list-walk exit check (the capped-level walk's
 # analogue of _CWALK_PAIR; batch17 shipped a hardcoded pair of 2).
 # Over-walking is exact — parked slots are guaranteed misses and clamped
-# repeats of the last group are idempotent minima.  Measured (batch26/28):
-# 4 wins on BOTH dense headliners (lady_bug 414.6 -> 408.2, dolphin
-# 844.9 -> 774.6); 8 over-walks lady_bug (436.0).
-_LWALK_PAIR = 4
+# repeats of the last group are idempotent minima.  None = AUTO by scene
+# class (re-measured at the round-4 slot-geom + covered-chunk state,
+# batch49: DENSE scenes past DENSE_SPAD want 8 — dolphin 552.3 -> 522.7 —
+# while lady_bug-class over-walks at 8: 378 -> 406; the round-3 shared
+# value 4 was the compromise).  Ints override (probes; bitwise-pinned
+# across pairings).
+_LWALK_PAIR = None
 
 # Capped-list LEVELS for dense scenes (s_pad > 128): each level holds 128
 # distance-sorted slots; levels past the first are walked only when their
@@ -339,6 +342,12 @@ def _gather_gsc_for(s_pad: int) -> int:
     if gsc < s_pad and s_pad <= _GATHER_WIDE_MIN:
         return 128
     return gsc
+
+
+def _lwalk_pair_for(s_pad: int) -> int:
+    if _LWALK_PAIR is not None:
+        return _LWALK_PAIR
+    return 8 if s_pad > DENSE_SPAD else 4
 
 
 def _cand_len_for(s_pad: int) -> int:
@@ -480,6 +489,7 @@ def _trace_kernel(
     sc = min(SEG_CHUNK, s_pad)
     f32 = jnp.float32
 
+    _lwp = _lwalk_pair_for(s_pad)  # resolved list-walk pairing (see knob)
     pid_g = pl.program_id(0)  # pixel group
     # Sample wedges are an IN-KERNEL fori_loop, not a grid dimension: at
     # ~0.77 us fixed cost per program entry, the (blocks x wedges) grid of
@@ -1241,7 +1251,7 @@ def _trace_kernel(
                             )
 
                         def walk_body(st):
-                            # PAIRED body (_LWALK_PAIR groups per exit
+                            # PAIRED body (_lwp groups per exit
                             # check) — the check's sublane min + cross-lane
                             # max reduction costs a sizable fraction of a
                             # group sweep, and over-walking is exact (parked
@@ -1251,12 +1261,12 @@ def _trace_kernel(
                             # the last group is an idempotent min).
                             g, pk8b, pk8s = st
                             pk8b, pk8s = groupq(g, (pk8b, pk8s))
-                            for _p in range(1, _LWALK_PAIR):
+                            for _p in range(1, _lwp):
                                 pk8b, pk8s = groupq(
                                     jnp.minimum(g + _p, lvl_cap // 8 - 1),
                                     (pk8b, pk8s),
                                 )
-                            return g + _LWALK_PAIR, pk8b, pk8s
+                            return g + _lwp, pk8b, pk8s
 
                         # First pair peeled OUTSIDE the loop: short lists
                         # (the common cell: p50 candidate count is tiny)
@@ -1266,9 +1276,9 @@ def _trace_kernel(
                         # n_groups is small (static clamp).
                         farq = jnp.full((8, rq), _FAR_PACKED, jnp.int32)
                         stq = (farq, farq)
-                        for _p in range(_LWALK_PAIR):
+                        for _p in range(_lwp):
                             stq = groupq(min(_p, lvl_cap // 8 - 1), stq)
-                        st0 = (jnp.int32(_LWALK_PAIR),) + stq
+                        st0 = (jnp.int32(_lwp),) + stq
                         _, qb, qs = jax.lax.while_loop(
                             walk_cond, walk_body, st0
                         )
@@ -2529,13 +2539,20 @@ def _sg_geom_rows() -> tuple[int, ...]:
 
 
 def _use_slotgeom(
-    s_pad: int, exact: bool, n_traces: int, slot_mode: bool
+    s_pad: int,
+    exact: bool,
+    n_traces: int,
+    slot_mode: bool,
+    n_wedges: int | None = None,
 ) -> bool:
     """Whether the slot-geom design applies (see _SLOTGEOM): capped-list
-    scenes only, portal-free, exact two-phase path, probe matrix off.
+    scenes only, portal-free, exact two-phase path, probe matrix off, and
+    (when ``n_wedges`` is given) per-program tconsts + sgeom blocks within
+    the scoped-VMEM budget — batch49's 3-level lady_bug probe (L = 384 at
+    W = 64) overflowed the 16 MB limit by 24 KB with sg on.
     build_cand_tables and trace_sums_flat MUST agree (the table tuple
     grows an sgeom element when it returns True)."""
-    return (
+    ok = (
         _SLOTGEOM
         and not slot_mode
         and s_pad > (1 << ID_BITS)
@@ -2544,6 +2561,11 @@ def _use_slotgeom(
         and _TWO_PHASE
         and _EXACT_ABLATE is None
     )
+    if ok and n_wedges is not None:
+        cl_ = _cand_len_for(s_pad)
+        blk = n_wedges * cl_ * (cand_mod.TC_ROWS * 4 + 2 * SG_ROWS * 2)
+        ok = blk <= (7 << 20)
+    return ok
 
 
 def _grid_geom(scene: dev.DeviceScene, config: RenderConfig, w: int, n_px: int):
@@ -2650,7 +2672,9 @@ def build_cand_tables(
     n_tr = _n_traces(scene, config)
     used, gather_rows, _ = _gather_rows_for(scene, config, n_tr)
     slot = scene.s_pad <= (1 << ID_BITS)
-    sg = _use_slotgeom(scene.s_pad, config.exact_silhouettes, n_tr, slot)
+    sg = _use_slotgeom(
+        scene.s_pad, config.exact_silhouettes, n_tr, slot, n_wedges
+    )
     kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows, sgeom=sg)
     out = ()
     ckeep = None
@@ -2758,7 +2782,9 @@ def build_cand_grid(
     n_tr = _n_traces(scene, config)
     used, gather_rows, _ = _gather_rows_for(scene, config, n_tr)
     slot = scene.s_pad <= (1 << ID_BITS)
-    sg = _use_slotgeom(scene.s_pad, config.exact_silhouettes, n_tr, slot)
+    sg = _use_slotgeom(
+        scene.s_pad, config.exact_silhouettes, n_tr, slot, n_wedges
+    )
     kind = _accel_kind(scene, n_wedges, n_cells, gather_rows, sgeom=sg)
     if kind is None:
         return None
@@ -2992,7 +3018,7 @@ def trace_sums_flat(
     used, gather_rows, rmap = _gather_rows_for(scene, config, n_traces)
     sg0 = _use_slotgeom(
         scene.s_pad, config.exact_silhouettes, n_traces,
-        scene.s_pad <= (1 << ID_BITS),
+        scene.s_pad <= (1 << ID_BITS), n_wedges,
     )
     kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows, sgeom=sg0)
     use_cand = kind == "seg"
