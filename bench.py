@@ -20,6 +20,14 @@ def main():
     import jax
 
     import raytracingdiffusioncurves_tpu as rtdc
+    from raytracingdiffusioncurves_tpu.utils import compile_cache
+
+    # Warm = the persistent cache already has entries from a prior process
+    # (the reference's setup timer is seconds-class; cold jit was 24-44 s).
+    warm = os.path.isdir(compile_cache.DEFAULT_DIR) and any(
+        os.scandir(compile_cache.DEFAULT_DIR)
+    )
+    cache_dir = compile_cache.enable()
 
     on_tpu = jax.default_backend() == "tpu"
     frames = int(os.environ.get("BENCH_FRAMES", "20" if on_tpu else "2"))
@@ -68,7 +76,8 @@ def main():
     # before execution completes, which would fake sub-ms frame times.
     float(image[0, 0, 0])
     setup_s = time.perf_counter() - setup_start
-    print(f"# setup {setup_s*1000:.0f}ms backend={backend} size={size} rpp={rpp}",
+    print(f"# setup {setup_s*1000:.0f}ms ({'warm' if warm else 'cold'} cache="
+          f"{cache_dir}) backend={backend} size={size} rpp={rpp}",
           file=sys.stderr)
 
     # Headline protocol: `frames` full frames run INSIDE one jit (sequential
@@ -135,6 +144,8 @@ def main():
         "value": round(mean_ms, 3),
         "unit": "ms",
         "vs_baseline": round(33.0 / mean_ms, 3),
+        "setup_s": round(setup_s, 2),
+        "setup_cache": "warm" if warm else "cold",
     }))
 
 

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 import raytracingdiffusioncurves_tpu as rtdc
 from raytracingdiffusioncurves_tpu.ops import trace_pallas
+from raytracingdiffusioncurves_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 XMLS = "/root/reference/optixHello/xmls"
 

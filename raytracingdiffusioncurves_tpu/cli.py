@@ -85,6 +85,12 @@ def main(argv=None) -> int:
 
         clear_backends()
 
+    # Persistent compile cache: warm processes deserialize executables
+    # instead of re-jitting (cold setup was 24-44 s; see utils/compile_cache).
+    from .utils import compile_cache
+
+    compile_cache.enable()
+
     from . import (
         Camera,
         RenderConfig,
