@@ -534,6 +534,41 @@ def time_unet_variants(which="asis", label="unet", h=1088, w=1920):
     return ms
 
 
+def time_unet_pallas(label="unet_pallas", h=1088, w=1920, pallas=True,
+                     nbuf=None, budget=None):
+    """The REAL packed UNet forward (shipped r3d weights, analytic pass
+    included) at 1080p, with the Pallas fused conv on/off — the round-5
+    A/B for ops/conv_pallas.py's column-folded schedule (VERDICT r4 #2).
+    ``nbuf``: DMA buffer slots (2 = double-buffered); ``budget``: VMEM
+    budget override for the row-block-height pick."""
+    from raytracingdiffusioncurves_tpu.models import denoiser as dn
+    from raytracingdiffusioncurves_tpu.ops import conv_pallas
+
+    params = dn.load_params("weights/denoiser_r3d.msgpack")
+    saved = (dn.PALLAS_CONV, conv_pallas._NBUF, conv_pallas._VMEM_BUDGET)
+    dn.PALLAS_CONV = pallas
+    if nbuf is not None:
+        conv_pallas._NBUF = nbuf
+    if budget is not None:
+        conv_pallas._VMEM_BUDGET = budget
+    try:
+        z3 = jnp.zeros((1, h, w, 3), jnp.float32)
+        z2 = jnp.zeros((1, h, w, 2), jnp.float32)
+        fn = jax.jit(lambda a, b, c: dn.apply_unet_packed(params, a, b, c))
+        out = fn(z3, z3, z2)
+        float(out[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        n = 20
+        for _ in range(n):
+            out = fn(z3, z3, z2)
+        float(out[0, 0, 0, 0])
+        ms = (time.perf_counter() - t0) * 1000 / n
+        print(json.dumps({"label": label, "ms": round(ms, 2)}), flush=True)
+        return ms
+    finally:
+        dn.PALLAS_CONV, conv_pallas._NBUF, conv_pallas._VMEM_BUDGET = saved
+
+
 def time_dn_block(frames=30, label="dn_block", bil_bf16=None, bil_noexp=None):
     """Time ONLY the learned-denoiser block (apply_denoiser: bilateral +
     packed UNet + blends) at config3 resolution with the shipped weights.
@@ -597,6 +632,14 @@ PROBES = {
     # space-to-depth cost model (see time_unet_variants)
     "unet_dots": lambda: time_unet_variants("dots", "unet_dots_1080"),
     "unet_s4d": lambda: time_unet_variants("s4d", "unet_s4d_1080"),
+    # round-5 Pallas fused-conv A/B (the real packed forward, shipped
+    # weights; up_xla = the same forward with the XLA conv for a matched
+    # baseline — unet_s2d was a weightless cost model)
+    "up_xla": lambda: time_unet_pallas("unet_packed_xla_1080", pallas=False),
+    "up_nb2": lambda: time_unet_pallas("unet_packed_pallas_nb2_1080", nbuf=2),
+    "up_nb1": lambda: time_unet_pallas("unet_packed_pallas_nb1_1080", nbuf=1),
+    "up_nb2_b13": lambda: time_unet_pallas(
+        "unet_packed_pallas_nb2_b13_1080", nbuf=2, budget=13 << 20),
     # --- config3 tail decomposition (lady_bug 1080p, shipped weights) ---
     "c3_post": lambda: time_post_c3(label="c3_post"),
     "c3_post_noblur": lambda: time_post_c3(label="c3_post_noblur", blur=False),

@@ -4,38 +4,35 @@ XLA's TPU conv lowering leaves ~15x on the table at this network's channel
 counts (measured, batch47: the packed UNet forward is 20.7 ms at 1080p
 while its FLOP + HBM roofline sits near 1.5 ms; conv-as-9-matmuls through
 XLA is worse still at 55.9, and f32 == bf16 — the cost is layout/overhead,
-not arithmetic).  This kernel lowers a SAME 3x3 conv to nine statically
-shifted MXU contractions over a flattened spatial axis, with the halo rows
-DMA'd per block and bias + ReLU fused:
+not arithmetic).
 
-* the input is zero-padded spatially (host side) and flattened to
-  ``(rows, Cin)`` with rows = (H+2)*(W+2): a shift by (du, dv) is then ONE
-  static sublane slice at offset du*(W+2)+dv — no relayouts, no im2col;
-* each grid step DMAs its (TH+2) input rows (+8-row alignment slack) from
-  HBM into a VMEM scratch and accumulates the nine bf16 contractions in
-  f32, exactly the reduction XLA's conv performs (bf16 operands, f32
-  accumulator), so outputs match the XLA conv to the usual bf16-output
-  rounding;
-* column wrap-around garbage (a flat shift crosses row boundaries) lands
-  only in the horizontal padding ring, which the host crops off.
+Round-5 schedule (the one batch47's STATUS named): a SAME 3x3 conv is
+lowered to THREE statically shifted MXU contractions over a flattened
+spatial axis, with the three COLUMN taps folded into the contraction dim
+host-side and bias + ReLU fused:
+
+* the input is zero-padded spatially and its padded width is rounded up to
+  a sublane multiple (w2p % 8 == 0), so the three ROW-tap offsets
+  (du * w2p) are 8-aligned ref slices — no vector realignment copies, the
+  failure mode that made round 4's nine-tap schedules OOM Mosaic's stack
+  (unaligned slices each materialized a realigned copy of the block);
+* the three column taps become a host-side lane-concat: X3[p] =
+  (x[p-1], x[p], x[p+1]) over channels, built by XLA from the padded 2-D
+  image (so no row wrap-around garbage exists at all), and the kernel
+  contracts (n_out, 3*Cin) x (3*Cin, Cout) once per row tap — nine taps
+  in three MXU issues;
+* each grid step DMAs its (TH+2) input rows from HBM into a VMEM scratch;
+  with ``_NBUF = 2`` the next block's DMA is started before this block's
+  dots (double-buffered through a (2, rows, lanes) scratch + a semaphore
+  pair), hiding the HBM latency the single-buffered form serializes;
+* the f32 tap accumulator is rounded to bf16 FIRST and the bf16 bias added
+  after, exactly what ``conv_general_dilated(x, k) + b`` computes.
 
 Replaces jax.lax.conv_general_dilated for the stride-1 layers of the
 packed UNet (models/denoiser.py apply_unet_packed); the reference's
 denoiser is a black-box OptiX model invocation (optixHello.cpp:1199-1213),
 so this file has no reference counterpart — it is the TPU-native cost
 model for the same pipeline stage.
-
-STATUS (round 4): bitwise-equal to the XLA conv in interpret mode and
-compiles/runs on TPU, but not yet faster — three schedules measured:
-(a) whole-block value-chain accumulation OOMs Mosaic's VMEM stack at
-8-row blocks (the nine tap slices are kept live together); (b) one row
-per dot fits but costs ~9 MXU-issue latencies per row (59.6 ms for the
-packed UNet vs XLA's 20.7); (c) accumulating through a VMEM ref still
-OOMs at 4-row blocks.  models/denoiser.py PALLAS_CONV therefore defaults
-False.  The promising next schedule: pad W+2 to a sublane multiple so the
-three ROW-tap offsets are 8-aligned ref slices (no whole-scratch load),
-fold the three COLUMN taps into K via a host-side lane-concat, and let
-pltpu.emit_pipeline double-buffer the row blocks.
 """
 
 from __future__ import annotations
@@ -48,51 +45,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for picking the per-layer row-block height: the kernel's
-# frame holds the DMA scratch, its loaded copy, slice temporaries, the f32
-# accumulator and the output block — Mosaic OOMed the 256-channel dec0
-# layer at a fixed 8-row block, so the host sizes the block per layer.
+# frame holds the DMA scratch slots, one tap-slice temporary, the f32
+# accumulator/dot output and the output block (v5e VMEM is ~16 MB/core and
+# Mosaic's stack allocator needs slack).
 _VMEM_BUDGET = 9 << 20
 
+# DMA buffer slots: 2 = double-buffered (prefetch block g+1 during block
+# g's dots), 1 = serialize DMA and compute (probe lever).
+_NBUF = 2
 
-def _conv_kernel(xf_ref, k_ref, b_ref, out_ref, scratch, acc_ref, sem, *,
-                 th_rows: int, w2: int, cin: int, cout: int, relu: bool):
+
+def _conv_kernel(xf_ref, k_ref, b_ref, out_ref, scratch, sems, *,
+                 th_rows: int, w2p: int, c3p: int, cout: int, relu: bool,
+                 nbuf: int):
     g = pl.program_id(0)
-    # input rows [g*TH*w2 .. + S8) of the 8-row-front-padded flat array
-    # (S8 = the 8-aligned scratch length: DMA slice lengths and starts
-    # must be sublane-tile multiples; TH*w2 is one because w2*TH % 8 == 0
-    # is guaranteed by the host's TH choice): local row 8 + w2 is the
-    # center of output-local row 0
-    s8 = scratch.shape[0]
-    dma = pltpu.make_async_copy(
-        xf_ref.at[pl.ds(g * th_rows * w2, s8)],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-    xs = scratch[...]  # (S8, Cin_p) bf16, lane-padded to 128
-    n_out = th_rows * w2
-    # The nine tap contractions accumulate THROUGH a VMEM ref: Mosaic's
-    # stack allocator otherwise keeps the big slice temporaries live
-    # together (the value-chain form OOMed at 8-row blocks; one-row dots
-    # fit but pay ~9 MXU-issue latencies per row — 59.6 ms, batch r4) —
-    # the ref round-trip bounds liveness at one slice + one dot output.
-    acc_ref[...] = jnp.zeros((n_out, cout), jnp.float32)
+    nb = pl.num_programs(0)
+    n_out = th_rows * w2p
+    s8 = scratch.shape[1]
+
+    def copy_for(gi, slot):
+        # front pad is 8 rows; gi * n_out and s8 are sublane multiples
+        # because w2p % 8 == 0, so every DMA start/length is tile-aligned.
+        return pltpu.make_async_copy(
+            xf_ref.at[pl.ds(8 + gi * n_out, s8)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    if nbuf == 1:
+        copy_for(g, 0).start()
+        copy_for(g, 0).wait()
+        slot = 0
+    else:
+        @pl.when(g == 0)
+        def _():
+            copy_for(0, 0).start()
+
+        @pl.when(g + 1 < nb)
+        def _():
+            copy_for(g + 1, (g + 1) % 2).start()
+
+        slot = g % 2
+        copy_for(g, slot).wait()
+
+    acc = None
     for du in range(3):
-        for dv in range(3):
-            off = 8 + du * w2 + dv - 1
-            sl = jax.lax.slice(xs, (off, 0), (off + n_out, cin))
-            acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-                sl,
-                k_ref[(du * 3 + dv) * cin : (du * 3 + dv + 1) * cin, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    # Match XLA's conv + bias order exactly: the conv's f32 accumulator
-    # is rounded to bf16 FIRST, then the bf16 bias is added in bf16 (what
-    # `conv_general_dilated(x, k) + b` computes) — keeping the
-    # packed-vs-plain parity at the same ~1-ulp class.
-    y = acc_ref[...].astype(jnp.bfloat16) + b_ref[...]
+        # 8-aligned ref slice (du * w2p % 8 == 0): no realign copy.
+        sl = scratch[slot, pl.ds(du * w2p, n_out), :]
+        d = jax.lax.dot_general(
+            sl,
+            k_ref[du * c3p : (du + 1) * c3p, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    # Match XLA's conv + bias order exactly: the conv's f32 accumulator is
+    # rounded to bf16 FIRST, then the bf16 bias is added in bf16 (what
+    # `conv_general_dilated(x, k) + b` computes).
+    y = acc.astype(jnp.bfloat16) + b_ref[...]
     if relu:
         y = jnp.maximum(y, jnp.bfloat16(0.0))
     out_ref[...] = y.astype(out_ref.dtype)
@@ -105,47 +115,54 @@ def conv3x3_same(x, k, b, relu: bool = True, interpret: bool | None = None):
     Returns (H, W, Cout) bf16."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    h, w, cin0 = x.shape
+    h, w, cin = x.shape
     cout = k.shape[3]
-    # HBM->VMEM DMA slices need a 128-aligned lane extent: pad Cin (the
-    # padded kernel rows are zero, contributing nothing to the dots)
-    cin = -(-cin0 // 128) * 128
-    w2 = w + 2
-    # Row-block height: DMA starts need th*w2 % 8 == 0; pick the largest
-    # power-of-two-ish th whose frame estimate fits the budget (scratch +
-    # loaded copy at 2 bytes * ~2.2x, f32 accumulator + bf16 out block).
-    th = None
+    w2p = -(-(w + 2) // 8) * 8  # padded width, sublane-aligned
+    # Lane extent of the column-folded input: 3*Cin rounded up to the
+    # 128-lane DMA alignment (pad lanes are zero, contributing nothing).
+    c3p = -(-(3 * cin) // 128) * 128
+    nbuf = _NBUF
+    # Row-block height: largest that fits the VMEM budget (scratch slots +
+    # one tap slice + f32 dot out/accumulator + bf16 out block).
+    co_p = -(-cout // 128) * 128
+    th = 1
     for cand in (32, 16, 8, 4, 2, 1):
-        if (cand * w2) % 8:
-            continue
-        th = cand  # smallest aligned so far (the loop descends)
-        # frame ~ DMA scratch + its loaded copy + f32 acc ref + one slice
-        # temp + one dot output
         est = (
-            ((cand + 2) * w2 + 24) * cin * 2 * 2
-            + cand * w2 * (2 * 4.0 * cout + 2 * cin)
+            nbuf * (cand + 2) * w2p * c3p * 2
+            + cand * w2p * (c3p * 2 + 2 * co_p * 4 + cout * 2)
         )
         if est <= _VMEM_BUDGET:
+            th = cand
             break
-    if th is None:  # no aligned candidate at all (w2 odd): 8*w2 rows align
-        th = 8
     nb = -(-h // th)
-    s8 = -(-((th + 2) * w2 + 16) // 8) * 8  # 8-aligned scratch length
-    # zero pad: 1px spatial ring + 8 alignment rows front + tail slack so
-    # the last block's DMA window stays in range
-    total = nb * th * w2 + s8
-    xp = jnp.pad(
-        x.astype(jnp.bfloat16), ((1, 1), (1, 1), (0, cin - cin0))
+    n_out = th * w2p
+
+    bf = jnp.bfloat16
+    # Padded 2-D image: 1px top/bottom ring, left ring + right pad to w2p.
+    xp = jnp.pad(x.astype(bf), ((1, 1), (1, w2p - w - 1), (0, 0)))
+    # Column-tap fold: X3[r, c] = (xp[r, c-1], xp[r, c], xp[r, c+1]) along
+    # channels — built from the 2-D layout, so column taps never cross row
+    # boundaries (no wrap-around garbage anywhere).
+    xq = jnp.pad(xp, ((0, 0), (1, 1), (0, 0)))
+    x3 = jnp.concatenate(
+        [xq[:, 0:w2p], xq[:, 1 : w2p + 1], xq[:, 2 : w2p + 2]], axis=-1
     )
-    xf = xp.reshape((h + 2) * w2, cin)
-    xf = jnp.pad(xf, ((8, total - 8 - xf.shape[0]), (0, 0)))
-    kf = jnp.pad(
-        k.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, cin - cin0), (0, 0))
-    ).reshape(9 * cin, cout)
-    b2 = b.reshape(1, cout).astype(jnp.bfloat16)
+    x3 = x3.reshape((h + 2) * w2p, 3 * cin)
+    # 8 front pad rows + tail so the last block's DMA window ends exactly
+    # at the total: total = 8 + (nb*th + 2) * w2p.
+    total = 8 + (nb * th + 2) * w2p
+    x3 = jnp.pad(x3, ((8, total - 8 - x3.shape[0]), (0, c3p - 3 * cin)))
+    # Kernel: row-tap-major, column taps folded into the contraction dim
+    # in the same (dv, cin) order as X3's lane-concat.
+    k3 = jnp.pad(
+        k.astype(bf).reshape(3, 3 * cin, cout),
+        ((0, 0), (0, c3p - 3 * cin), (0, 0)),
+    ).reshape(3 * c3p, cout)
+    b2 = b.reshape(1, cout).astype(bf)
 
     kernel = functools.partial(
-        _conv_kernel, th_rows=th, w2=w2, cin=cin, cout=cout, relu=relu,
+        _conv_kernel, th_rows=th, w2p=w2p, c3p=c3p, cout=cout, relu=relu,
+        nbuf=nbuf,
     )
     out = pl.pallas_call(
         kernel,
@@ -156,15 +173,14 @@ def conv3x3_same(x, k, b, relu: bool = True, interpret: bool | None = None):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (th * w2, cout), lambda g: (g, 0), memory_space=pltpu.VMEM
+            (n_out, cout), lambda g: (g, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nb * th * w2, cout), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((nb * n_out, cout), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((s8, cin), jnp.bfloat16),
-            pltpu.VMEM((th * w2, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nbuf, (th + 2) * w2p, c3p), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
-    )(xf, kf, b2)
-    # out row o = (r-1)*w2 + c for input row r: crop the pad ring
-    return out[: h * w2].reshape(h, w2, cout)[:, 1 : w + 1, :]
+    )(x3, k3, b2)
+    # out row q = (r-1)*w2p + c for image row r: crop the pad ring.
+    return out[: h * w2p].reshape(h, w2p, cout)[:, 1 : w + 1, :]
