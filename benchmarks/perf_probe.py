@@ -38,7 +38,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                gather_reuse=None, ablate_remap_table=None, gspan1=None,
                remap_build=None, gather_gsc=None, gather_hit_span=None,
                remap_precomp=None, gather_outmask=None, slotgeom=None,
-               chunk_cover=None):
+               chunk_cover=None, sg_lsplit=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -108,6 +108,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
     if chunk_cover is not None:
         trace_pallas._CHUNK_COVER = chunk_cover
         trace_pallas.build_cand_tables.clear_cache()
+    if sg_lsplit is not None:
+        trace_pallas._SG_LEVEL_SPLIT = sg_lsplit
     sgm_saved = trace_pallas._SLOTGEOM
     if slotgeom is not None:
         # the flag changes build_cand_tables' output TUPLE LENGTH and the
@@ -554,7 +556,8 @@ def time_unet_pallas(label="unet_pallas", h=1088, w=1920, pallas=True,
     try:
         z3 = jnp.zeros((1, h, w, 3), jnp.float32)
         z2 = jnp.zeros((1, h, w, 2), jnp.float32)
-        fn = jax.jit(lambda a, b, c: dn.apply_unet_packed(params, a, b, c))
+        apply = dn.apply_unet_flat if pallas else dn.apply_unet_packed
+        fn = jax.jit(lambda a, b, c: apply(params, a, b, c))
         out = fn(z3, z3, z2)
         float(out[0, 0, 0, 0])
         t0 = time.perf_counter()
@@ -883,6 +886,27 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5,
         dim_semantics="parallel", label="lb1080_256_s05_dimpar",
+    ),
+    # --- round-5 level-split phase-1 sg dot A/B (_SG_LEVEL_SPLIT) ---
+    "lb_s05_lsp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, sg_lsplit=True,
+        label="lb1080_256_s05_lsplit",
+    ),
+    "lb_s05_nlsp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, sg_lsplit=False,
+        label="lb1080_256_s05_nolsplit",
+    ),
+    "dol_s05_lsp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        sg_lsplit=True, label="dol1080_64_s05_sw2_lsplit",
+    ),
+    "dol_s05_nlsp": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        sg_lsplit=False, label="dol1080_64_s05_sw2_nolsplit",
     ),
     # --- round-4 slot-geom design A/B (_SLOTGEOM; default ON) ---
     "lb_s05_sg": lambda: time_trace(

@@ -236,18 +236,17 @@ def net_for_params(params):
 
 PACKED_UNET_INFERENCE = True  # module flag so probes/tests can A/B
 
-# Route the packed forward's stride-1 convs through the Pallas fused conv
-# (ops/conv_pallas.py).  DEFAULT OFF this round: the kernel is bitwise-
-# equal to the XLA conv on CPU interpret and compiles on TPU, but none of
-# the three evaluated schedules beat XLA's 20.7 ms forward — the
-# value-chain form OOMs Mosaic's stack at 8-row blocks (slice temporaries
-# held live together), one-row dots run 59.6 ms (~9 MXU-issue latencies
-# per row), and the VMEM-accumulator form still OOMs at 4-row blocks
-# (the allocator's frame model defeats the budget heuristic).  Kept as a
-# probe lever; the real fix is a double-buffered emit_pipeline schedule
-# with aligned row-tap slices (pad W+2 to a sublane multiple) — see
-# ops/conv_pallas.py.
-PALLAS_CONV = False
+# Route the packed forward through the Pallas FLAT-CHAIN convolution
+# (ops/conv_pallas.py conv3x3_flat): activations stay in one shared
+# ring-padded flat layout across every stride-1 layer (apply_unet_flat),
+# eliminating the per-layer XLA relayouts that dominated the round-4
+# forward (profiled ~70% copies/reshapes, benchmarks/unet_profile.py;
+# any single 100 MB pad/crop costs ~2.5 ms — conv_probe.py).  DEFAULT ON
+# since round 5: measured 27.8 ms vs 37.9 XLA for the full forward at
+# 1080p (shipped weights, analytic incl.; kernels 7.7 + entry conv 2.9 —
+# benchmarks/results/flat_conv_ab*.log, unet_profile.py), parity pinned
+# by test_packed_unet_pallas_conv_path.
+PALLAS_CONV = True
 
 
 def _space_to_depth(x):
@@ -330,12 +329,8 @@ def apply_unet_packed(params, noisy, warped_prev, aux, analytic=None):
         return lay["kernel"].astype(bf), lay["bias"].astype(bf)
 
     def _conv_s1(x, k, b, act):
-        """Stride-1 SAME 3x3 on a (1, H, W, C) tensor: the Pallas fused
-        conv when enabled, XLA's conv otherwise."""
-        if PALLAS_CONV:
-            from ..ops import conv_pallas
-
-            return conv_pallas.conv3x3_same(x[0], k, b, relu=act)[None]
+        """Stride-1 SAME 3x3 on a (1, H, W, C) tensor (XLA; the Pallas
+        path is the flat chain, apply_unet_flat)."""
         y = jax.lax.conv_general_dilated(
             x, k, (1, 1), "SAME", dimension_numbers=dn
         ) + b
@@ -378,6 +373,99 @@ def apply_unet_packed(params, noisy, warped_prev, aux, analytic=None):
     return analytic + _depth_to_space(outp).astype(jnp.float32)
 
 
+def apply_unet_flat(params, noisy, warped_prev, aux, analytic=None):
+    """UNetDenoiser forward via the FLAT-CHAIN Pallas convolution
+    (ops/conv_pallas.py conv3x3_flat): the space-to-depth packed math of
+    apply_unet_packed, but every stride-1 conv reads and writes ONE shared
+    ring-padded flat layout — no per-layer pad/crop relayouts, and the
+    dec1/dec0 channel concats become extra contraction groups.  dec0's
+    nearest-upsample phase replication collapses into a pre-summed kernel
+    (sum of the four phase blocks, exact in f32 over bf16 weights; the
+    single bf16 rounding of the summed weight replaces four — a ~1-ulp
+    class deviation pinned by tests/test_denoiser.py).  Quarter-resolution
+    layers (enc2a/enc2b) stay on XLA convs (25 MB tensors)."""
+    from ..ops import conv_pallas as cp
+
+    bf = jnp.bfloat16
+    p = params["params"]
+    if analytic is None:
+        analytic = jax.vmap(analytic_baseline)(noisy, warped_prev)
+    dn_dims = ("NHWC", "HWIO", "NHWC")
+
+    def kb(name):
+        lay = p[name]
+        return lay["kernel"], lay["bias"].astype(bf)
+
+    x = jnp.concatenate([noisy, warped_prev, analytic, aux], -1).astype(bf)
+    cin0 = x.shape[-1]
+    h2, w2 = x.shape[1] // 2, x.shape[2] // 2
+    base = p["enc0a"]["bias"].shape[0]
+
+    # enc0a with the space-to-depth FOLDED IN: packed e0a phase (dy, dx)
+    # = conv3x3(x_full)[2R+dy, 2c+dx], which is one stride-2 4x4 conv at
+    # full resolution (each phase's 3x3 window lands at offset (dy, dx)
+    # of the 4x4 kernel, in its own output-channel block — no collisions).
+    # Kills the measured ~9 ms XLA space-to-depth relayout of the 11-ch
+    # f32 input (benchmarks/unet_profile.py round-5 trace).
+    k0a, b0a = kb("enc0a")
+    k4 = jnp.zeros((4, 4, cin0, 4 * base), bf)
+    for ph, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        k4 = k4.at[
+            dy : dy + 3, dx : dx + 3, :, ph * base : (ph + 1) * base
+        ].set(k0a.astype(bf))
+    e0a_img = jax.lax.conv_general_dilated(
+        x, k4, (2, 2), [(1, 2), (1, 2)], dimension_numbers=dn_dims
+    ) + jnp.tile(b0a, 4)
+    e0a = cp.to_flat(nn.relu(e0a_img)[0])
+    k0b, b0b = kb("enc0b")
+    e0 = cp.conv3x3_flat(
+        [e0a], [_pack_kernel_s1(k0b.astype(bf), [base])], jnp.tile(b0b, 4),
+        h2, w2,
+    )
+    k1a, b1a = kb("enc1a")
+    e1 = cp.conv3x3_flat(
+        [e0], [_pack_kernel_s2(k1a.astype(bf), base)], b1a, h2, w2,
+    )
+    k1b, b1b = kb("enc1b")
+    e1b = cp.conv3x3_flat([e1], [k1b.astype(bf)], b1b, h2, w2)
+
+    def xconv(v, name, stride=1, act=True):
+        k, b = kb(name)
+        y = jax.lax.conv_general_dilated(
+            v, k.astype(bf), (stride, stride), "SAME",
+            dimension_numbers=dn_dims,
+        ) + b
+        return nn.relu(y) if act else y
+
+    e1_img = cp.from_flat(e1b, h2, w2, 2 * base)[None]
+    e2 = xconv(xconv(e1_img, "enc2a", stride=2), "enc2b")
+    up2 = jax.image.resize(e2, (1, h2, w2, e2.shape[-1]), "nearest")
+    up2f = cp.to_flat(up2[0])
+    kd1, bd1 = kb("dec1")
+    d1 = cp.conv3x3_flat(
+        [up2f, e1b],
+        [kd1[:, :, : 4 * base].astype(bf), kd1[:, :, 4 * base :].astype(bf)],
+        bd1, h2, w2,
+    )
+    kd0, bd0 = kb("dec0")
+    kd0p = _pack_kernel_s1(kd0, [2 * base, base])  # f32: presum stays exact
+    cg = 2 * base
+    kd0_d1 = sum(
+        kd0p[:, :, ph * cg : (ph + 1) * cg, :] for ph in range(4)
+    ).astype(bf)
+    kd0_e0 = kd0p[:, :, 4 * cg :, :].astype(bf)
+    d0 = cp.conv3x3_flat(
+        [d1, e0], [kd0_d1, kd0_e0], jnp.tile(bd0, 4), h2, w2,
+    )
+    ko, bo = kb("out")
+    op = cp.conv3x3_flat(
+        [d0], [_pack_kernel_s1(ko.astype(bf), [base])], jnp.tile(bo, 4),
+        h2, w2, relu=False,
+    )
+    outp = cp.from_flat(op, h2, w2, 12)[None]
+    return analytic + _depth_to_space(outp).astype(jnp.float32)
+
+
 def apply_denoiser(
     model, params, image, warped_prev, blur_map, mix: float = 1.0,
     noise: float = 0.0, frame=None,
@@ -401,7 +489,9 @@ def apply_denoiser(
     h, w = noisy.shape[:2]
     ph, pw = (-h) % 4, (-w) % 4
     is_unet = isinstance(model, UNetDenoiser)
-    if is_unet and PACKED_UNET_INFERENCE:
+    if is_unet and PACKED_UNET_INFERENCE and PALLAS_CONV:
+        apply = lambda *a: apply_unet_flat(params, *a)  # noqa: E731
+    elif is_unet and PACKED_UNET_INFERENCE:
         apply = lambda *a: apply_unet_packed(params, *a)  # noqa: E731
     else:
         apply = lambda *a: model.apply(params, *a)  # noqa: E731

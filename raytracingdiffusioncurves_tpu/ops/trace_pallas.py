@@ -235,6 +235,19 @@ _SLOTGEOM = True
 # Slot-geom table rows: GEOM_ROWS geometry + (id hi, id lo).
 SG_ROWS = GEOM_ROWS + 2
 
+# Level-split phase-1 slot-geom dot (round 5, ROADMAP P0.1): contract the
+# fixed-K slot dot over the lvl_cap level-0 slots only, and run the
+# level-1+ remainder under a per-wedge any(level >= 1 winner) cond —
+# candidate lists are distance-sorted, so level 0 resolves most rays and
+# the common wedge halves the contraction (K = 256 -> 128 on config3,
+# ~-20 ms of MAC count + half the one-hot build) against one ~12 ms-class
+# cond.  EXACT: a one-hot column selects at most one slot, so the split
+# partial sums only ever add zeros; when the cond is untaken no level-1
+# winner exists, and miss lanes carry slotp = 0 (FAR keys have zero low
+# bits, aux never updates) so they cannot trigger it.  Off switch for A/B
+# probes only.
+_SG_LEVEL_SPLIT = True
+
 # Covered-chunk diet for the overflow fallback walk (round 4): the walk is
 # seeded with the capped-list state, so chunks whose every hittable segment
 # already sits inside the lists (max passing-segment lb < horizon) cannot
@@ -1980,11 +1993,41 @@ def _trace_kernel(
                 ids_cl = jax.lax.broadcasted_iota(
                     jnp.int32, (cand_len, R), 0
                 )
-                oh_b = (ids_cl == slotp).astype(jnp.bfloat16)
                 sgt = sgeom_ref[0, pid_w]  # (2*SG_ROWS, cand_len) bf16
-                acc2 = jax.lax.dot_general(
-                    sgt, oh_b, dims, preferred_element_type=f32
-                )
+                if _SG_LEVEL_SPLIT and cand_len > lvl_cap:
+                    # level-split dot (see _SG_LEVEL_SPLIT): level-0 slots
+                    # always, the level-1+ remainder under a cond.
+                    oh0 = (
+                        jax.lax.broadcasted_iota(jnp.int32, (lvl_cap, R), 0)
+                        == slotp
+                    ).astype(jnp.bfloat16)
+                    acc2 = jax.lax.dot_general(
+                        sgt[:, :lvl_cap], oh0, dims,
+                        preferred_element_type=f32,
+                    )
+                    any_hi = jnp.any(
+                        (slotp >= lvl_cap) & (slotp < cand_len)
+                    )
+
+                    def _hi_dot(a):
+                        ohh = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (cand_len - lvl_cap, R), 0
+                            )
+                            + lvl_cap
+                            == slotp
+                        ).astype(jnp.bfloat16)
+                        return a + jax.lax.dot_general(
+                            sgt[:, lvl_cap:], ohh, dims,
+                            preferred_element_type=f32,
+                        )
+
+                    acc2 = jax.lax.cond(any_hi, _hi_dot, lambda a: a, acc2)
+                else:
+                    oh_b = (ids_cl == slotp).astype(jnp.bfloat16)
+                    acc2 = jax.lax.dot_general(
+                        sgt, oh_b, dims, preferred_element_type=f32
+                    )
                 geo = acc2[:SG_ROWS] + acc2[SG_ROWS:]  # hi+lo fold
                 gid_tab = (
                     geo[GEOM_ROWS : GEOM_ROWS + 1] * 128.0

@@ -168,7 +168,10 @@ def test_packed_unet_odd_size_via_apply_denoiser():
                                          frame=1))
     finally:
         dn.PACKED_UNET_INFERENCE = saved
-    assert np.abs(a - b).max() < 2e-3
+    # 5e-3 = ~1 bf16 ulp at O(1): with PALLAS_CONV on, the packed route is
+    # the flat chain, whose dec0 presummed phase kernel adds one bf16
+    # rounding (see test_packed_unet_pallas_conv_path).
+    assert np.abs(a - b).max() < 5e-3
 
 
 def test_warp_separable_matches_generic():
@@ -268,8 +271,10 @@ def test_pallas_conv_matches_xla_conv():
 
 
 def test_packed_unet_pallas_conv_path():
-    """The PALLAS_CONV=True packed forward stays in the same ~1-ulp class
-    as the plain forward (the lever must remain usable)."""
+    """The flat-chain Pallas forward (apply_unet_flat — the PALLAS_CONV
+    route) stays in the same ~1-ulp class as the plain forward: identical
+    math to apply_unet_packed except the shared flat layout and dec0's
+    pre-summed phase kernel (exact f32 sum, one bf16 rounding)."""
     params = dn.load_params("weights/denoiser_r3d.msgpack")
     model = dn.net_for_params(params)
     if not isinstance(model, dn.UNetDenoiser):
@@ -279,10 +284,9 @@ def test_packed_unet_pallas_conv_path():
     prev = jax.random.uniform(jax.random.fold_in(key, 1), (1, 24, 28, 3))
     aux = jnp.zeros((1, 24, 28, 2))
     plain = np.asarray(model.apply(params, noisy, prev, aux))
-    saved = dn.PALLAS_CONV
-    try:
-        dn.PALLAS_CONV = True
-        packed = np.asarray(dn.apply_unet_packed(params, noisy, prev, aux))
-    finally:
-        dn.PALLAS_CONV = saved
-    assert np.abs(plain - packed).max() < 2e-3
+    flat = np.asarray(dn.apply_unet_flat(params, noisy, prev, aux))
+    # 5e-3 = ~1 bf16 ulp at output magnitude ~1: the dec0 presummed phase
+    # kernel rounds the summed weight once where the packed path rounds
+    # each of four products (measured max 3.9e-3 vs apply_unet_packed,
+    # mean 5e-4 — pure accumulation-class, not structural).
+    assert np.abs(plain - flat).max() < 5e-3
