@@ -112,21 +112,28 @@ def main():
         np.asarray(to_uint8_device(img))
     render_u8_ms = (time.perf_counter() - t0) * 1000 / k
 
-    # --- dispatch_ms: issue the same frames without reading back ---
+    # --- dispatch_ms: issue the same frames WITHOUT any device sync ---
+    # (block=False: round 4's number included session.render()'s internal
+    # block_until_ready, i.e. a full tunnel round trip per frame — the
+    # 158-349 ms was RTT, not host dispatch cost)
     t0 = time.perf_counter()
     for _ in range(k):
-        img = session.render()  # returns device arrays; no host read
+        img = session.render(block=False)
+    issue_total = (time.perf_counter() - t0) * 1000
     # one final read closes the async pipeline so the timer is honest
     np.asarray(img)
-    dispatch_total = (time.perf_counter() - t0) * 1000
-    dispatch_ms = dispatch_total / k
+    dispatch_ms = issue_total / k
 
-    # --- encode_ms ---
+    # --- readback_u8_ms vs encode_ms: the tunnel half vs the host half ---
     v = viewer_http.HttpViewer(session, port=0)
-    arr = session.render()
+    img = session.render()
     t0 = time.perf_counter()
     for _ in range(10):
-        jpg = v._encode(arr)
+        host_u8 = v._readback_u8(img)
+    readback_u8_ms = (time.perf_counter() - t0) * 1000 / 10
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jpg = v._encode_jpeg(host_u8)
     encode_ms = (time.perf_counter() - t0) * 1000 / 10
 
     # --- client_fps: pull the real MJPEG stream over localhost HTTP ---
@@ -172,12 +179,14 @@ def main():
         "render_ms": round(render_ms, 2),
         "render_u8_ms": round(render_u8_ms, 2),
         "dispatch_ms": round(dispatch_ms, 2),
-        "readback_ms": round(render_ms - dispatch_ms, 2),
+        "readback_u8_ms": round(readback_u8_ms, 2),
         "encode_ms": round(encode_ms, 2),
         "frames_pulled": n_parts,
         "note": "tunneled TPU: render_ms includes the remote RTT; "
-                "dispatch_ms is the host-side per-dispatch cost a local "
-                "deployment would still pay (trace + jit call overhead)",
+                "dispatch_ms is sync-free issue cost (the host-side share "
+                "a local deployment would pay); readback_u8_ms is the "
+                "tunnel transfer; encode_ms is host-CPU JPEG only "
+                "(pipelined off the render thread since round 5)",
     }
     print(json.dumps(out), flush=True)
 

@@ -159,9 +159,15 @@ class InteractiveSession:
             grid.gather_len,
         )
 
-    def render(self) -> jax.Array:
+    def render(self, block: bool = True) -> jax.Array:
         """Render one frame; returns the (H, W, 4) image. Frame time is
-        recorded with the reference's protocol (optixHello.cpp:1258-1263)."""
+        recorded with the reference's protocol (optixHello.cpp:1258-1263).
+
+        ``block=False`` skips the device sync and returns the in-flight
+        frame (async dispatch): display loops that read the result anyway
+        (np.asarray / u8 quantize) get their sync from the read, so the
+        render thread never stalls on a tunnel round trip just to time
+        itself — frame_times then record dispatch issue only."""
         t0 = time.perf_counter()
         cand_tables, gather_len = self._accel_tables()
         if self.progressive:
@@ -187,7 +193,8 @@ class InteractiveSession:
                 gather_len=gather_len,
                 denoiser_params=self.denoiser_params,
             )
-        image.block_until_ready()
+        if block:
+            image.block_until_ready()
         self.frame_times.append(time.perf_counter() - t0)
         self.last_image = image
         return image

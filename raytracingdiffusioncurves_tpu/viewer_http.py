@@ -89,6 +89,7 @@ class HttpViewer:
         self.frames = 0
         self.last_screenshot = None
         self._jpeg = None
+        self._latest_arr = None  # newest host u8 frame for the encode loop
         self._cond = threading.Condition()
         self._render_err = None
         viewer = self
@@ -188,43 +189,79 @@ class HttpViewer:
             elif kind == "screenshot" and hasattr(self.session, "last_image"):
                 self.last_screenshot = self.session.screenshot()
 
-    def _encode(self, image) -> bytes:
-        from PIL import Image
-
+    def _readback_u8(self, image) -> np.ndarray:
+        """Device image -> host (H, W, 3) uint8 (the tunnel-side half)."""
         from .utils.image import to_uint8, to_uint8_device
 
         if hasattr(image, "devices"):
             # quantize ON DEVICE: the off-host display then pulls 1
             # byte/channel instead of 4 (the f32 readback was 3.08 s of
             # the 3.24 s tunnel viewer frame, results/viewer_fps_r4.log)
-            arr = np.asarray(to_uint8_device(
+            return np.asarray(to_uint8_device(
                 image, flip_vertical=self.session.config.diffusion_curve_save
             ))[..., :3]
-        else:
-            arr = to_uint8(
-                np.asarray(image),
-                flip_vertical=self.session.config.diffusion_curve_save,
-            )[..., :3]
+        return to_uint8(
+            np.asarray(image),
+            flip_vertical=self.session.config.diffusion_curve_save,
+        )[..., :3]
+
+    def _encode_jpeg(self, arr: np.ndarray) -> bytes:
+        """Host uint8 array -> JPEG bytes (host-CPU-only half; 17-60 ms at
+        1080p on this host — round-4's 1.09 s 'encode' was actually a
+        fresh device readback per call)."""
+        from PIL import Image
+
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, "JPEG", quality=self.quality)
         return buf.getvalue()
 
+    def _encode(self, image) -> bytes:
+        return self._encode_jpeg(self._readback_u8(image))
+
     def _render_loop(self):
+        """Render + readback; JPEG encode runs in its own pipelined thread
+        (_encode_loop), so stream fps is bounded by the slower stage, not
+        their sum.  render(block=False): the u8 readback provides the
+        device sync, so the loop never stalls on a round trip twice."""
         try:
             while self.running:
                 t0 = time.perf_counter()
                 self._apply_events()
-                img = self.session.render()
-                jpg = self._encode(img)
+                img = self.session.render(block=False)
+                arr = self._readback_u8(img)
                 with self._cond:
-                    self._jpeg = jpg
-                    self.frames += 1
+                    self._latest_arr = arr
                     self._cond.notify_all()
                 if self.max_fps:
                     dt = 1.0 / self.max_fps - (time.perf_counter() - t0)
                     if dt > 0:
                         time.sleep(dt)
         except Exception as e:  # surface in wait_frame instead of dying mute
+            self._render_err = e
+            with self._cond:
+                self._cond.notify_all()
+
+    def _encode_loop(self):
+        try:
+            seen = None
+            while self.running:
+                with self._cond:
+                    self._cond.wait_for(
+                        lambda: (self._latest_arr is not None
+                                 and self._latest_arr is not seen)
+                        or not self.running,
+                        timeout=1.0,
+                    )
+                    arr = self._latest_arr
+                if arr is None or arr is seen:
+                    continue
+                seen = arr
+                jpg = self._encode_jpeg(arr)
+                with self._cond:
+                    self._jpeg = jpg
+                    self.frames += 1
+                    self._cond.notify_all()
+        except Exception as e:
             self._render_err = e
             with self._cond:
                 self._cond.notify_all()
@@ -249,7 +286,8 @@ class HttpViewer:
 
     def start(self):
         self.running = True
-        for target in (self._render_loop, self.httpd.serve_forever):
+        for target in (self._render_loop, self._encode_loop,
+                       self.httpd.serve_forever):
             t = threading.Thread(target=target, daemon=True)
             t.start()
             self._threads.append(t)
