@@ -244,9 +244,11 @@ SG_ROWS = GEOM_ROWS + 2
 # cond.  EXACT: a one-hot column selects at most one slot, so the split
 # partial sums only ever add zeros; when the cond is untaken no level-1
 # winner exists, and miss lanes carry slotp = 0 (FAR keys have zero low
-# bits, aux never updates) so they cannot trigger it.  Off switch for A/B
-# probes only.
-_SG_LEVEL_SPLIT = True
+# bits, aux never updates) so they cannot trigger it.  MEASURED LOSING
+# (batch52): lady_bug 386.2 vs 377.9 off, dolphin neutral (523.3/523.9)
+# — most wedges carry SOME level-1 winner, so the cond fires too often to
+# amortize.  Kept as a probe lever only; default OFF.
+_SG_LEVEL_SPLIT = False
 
 # Covered-chunk diet for the overflow fallback walk (round 4): the walk is
 # seeded with the capped-list state, so chunks whose every hittable segment
