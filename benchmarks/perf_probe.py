@@ -38,7 +38,7 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
                gather_reuse=None, ablate_remap_table=None, gspan1=None,
                remap_build=None, gather_gsc=None, gather_hit_span=None,
                remap_precomp=None, gather_outmask=None, slotgeom=None,
-               chunk_cover=None, sg_lsplit=None):
+               chunk_cover=None, sg_lsplit=None, band_only=None):
     from raytracingdiffusioncurves_tpu.ops import candidates as cand_mod
     from raytracingdiffusioncurves_tpu.ops import refine
 
@@ -110,6 +110,8 @@ def time_trace(path, w, h, rpp, frames=10, ablate=None, label="", no_cand=False,
         trace_pallas.build_cand_tables.clear_cache()
     if sg_lsplit is not None:
         trace_pallas._SG_LEVEL_SPLIT = sg_lsplit
+    if band_only is not None:
+        trace_pallas._BAND_ONLY = band_only
     sgm_saved = trace_pallas._SLOTGEOM
     if slotgeom is not None:
         # the flag changes build_cand_tables' output TUPLE LENGTH and the
@@ -886,6 +888,27 @@ PROBES = {
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
         frames=3, hoist=True, min_sub=2, sagitta=0.5,
         dim_semantics="parallel", label="lb1080_256_s05_dimpar",
+    ),
+    # --- round-5 band-only sweep A/B (_BAND_ONLY) ---
+    "lb_s05_bo": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, band_only=True,
+        label="lb1080_256_s05_bandonly",
+    ),
+    "lb_s05_nbo": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, band_only=False,
+        label="lb1080_256_s05_dualchain",
+    ),
+    "dol_s05_bo": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        band_only=True, label="dol1080_64_s05_sw2_bandonly",
+    ),
+    "dol_s05_nbo": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        band_only=False, label="dol1080_64_s05_sw2_dualchain",
     ),
     # --- round-5 level-split phase-1 sg dot A/B (_SG_LEVEL_SPLIT) ---
     "lb_s05_lsp": lambda: time_trace(

@@ -250,6 +250,28 @@ SG_ROWS = GEOM_ROWS + 2
 # amortize.  Kept as a probe lever only; default OFF.
 _SG_LEVEL_SPLIT = False
 
+# Band-only sweep (round 5, ROADMAP P0.2; slot-geom scenes): the walks
+# carry ONLY the band chain — the strict chain's compares/select/min
+# (~12-18% of the sweep) and half the exit-reduction state disappear.
+# Soundness: a band winner that passes the strict window test IS the
+# strict winner (the band set is a superset, so the band min that lands in
+# the strict set is the strict min; with the id riding the packed key the
+# keys would be EQUAL — the round-4 clean rule is implied).  Clean-ray
+# decisions therefore move from key equality to strict_accept(band
+# winner's gathered geometry) — the same folded-geometry test the
+# rejected rule already used — and rays whose band winner is rejected by
+# root isolation RE-WALK the lists strict-only under a per-wedge
+# any(rejected) cond (rare: graze wedges only), with non-rejected lanes
+# seeded "settled" (key 0) so the re-walk exits as soon as the rejected
+# lanes are served.  Walk early exits switch to the band chain's worst —
+# a TIGHTER bound that remains exact for computing band minima.
+# Deviation class vs round 4: lanes whose sweep keys agreed but whose
+# folded-geometry strict test disagrees (a 2^-17-margin sliver) now take
+# the isolation root instead of the Newton root of the same winner — the
+# same accumulation-class as the existing folded strict test.  Off switch
+# for A/B probes.
+_BAND_ONLY = True
+
 # Covered-chunk diet for the overflow fallback walk (round 4): the walk is
 # seeded with the capped-list state, so chunks whose every hittable segment
 # already sits inside the lists (max passing-segment lb < horizon) cannot
@@ -639,6 +661,9 @@ def _trace_kernel(
         if sg_mode:
             _cl_k = tconsts_ref.shape[3]
             sg_nl = _cl_k // min(_cl_k, 1 << ID_BITS)
+        # band-only sweep applies to the slot-geom capped-list path only
+        # (see _BAND_ONLY); everywhere else the dual chains stay.
+        bo = sg_mode and _BAND_ONLY
 
         for _bounce in range(n_traces):
             # deferred overflow-fallback predicate (slot-geom mode only:
@@ -696,7 +721,7 @@ def _trace_kernel(
             def packed_min(ex, ey, c1, p0x, p0y, q, ids, band=None,
                            reduce_rows=True,
                            ox=oxf, oy=oyf, dx=dxf, dy=dyf, cross=crossf,
-                           bdsc=None):
+                           bdsc=None, chains="both"):
                 """Closest hit over (n, 1) constant columns: (1, R) packed
                 key(s) — (pk_band, pk_strict) in exact-silhouette mode (band
                 is not None), else a single strict pk.
@@ -755,17 +780,26 @@ def _trace_kernel(
                         return pk  # (n, R) i32
                     return jnp.min(pk, axis=0, keepdims=True)  # (1, R) i32
 
-                ok_strict = (prod_s >= 0.0) & (prod_t > 0.0)
-                ps = pmin(ok_strict)
+                # ``chains`` (round 5, band-only sweep): "both" returns
+                # (band, strict) as always; "band"/"strict" compute ONLY
+                # that chain's acceptance + min — the band-only walks drop
+                # the strict chain's compares/select/min entirely and the
+                # rejected-ray re-walk derives the strict chain on demand.
                 if band is None:
-                    return ps, ps
+                    ps = pmin((prod_s >= 0.0) & (prod_t > 0.0))
+                    return (ps, ps) if chains == "both" else (ps,)
+                if chains == "strict":
+                    return (pmin((prod_s >= 0.0) & (prod_t > 0.0)),)
                 # Sign-free band widening (see scene/device.py
                 # intersect_consts): with ms = sign(denom) * hb,
                 # (num_s+ms)(denom-num_s+ms) = prod_s + hb*|denom| + hb^2.
                 hb = band * (band_dsc if bdsc is None else bdsc)
                 had = hb * jnp.abs(denom)
                 ok_band = (prod_s + had + hb * hb >= 0.0) & (prod_t + had > 0.0)
-                return pmin(ok_band), ps
+                if chains == "band":
+                    return (pmin(ok_band),)
+                ok_strict = (prod_s >= 0.0) & (prod_t > 0.0)
+                return pmin(ok_band), pmin(ok_strict)
 
             exact = config.exact_silhouettes
 
@@ -796,10 +830,10 @@ def _trace_kernel(
                     jnp.where(upd_s, c, ch_s),
                 )
 
-            def far_state():
+            def far_state(n_chains=2):
                 far = jnp.full((1, R), _FAR_PACKED, jnp.int32)
                 zero = jnp.zeros((1, R), jnp.int32)
-                return (far, zero, far, zero)
+                return (far, zero) * n_chains
 
             # --- closest hit over segment chunks, with chunk culling ---
             # The accelerating structure (the reference's GAS role,
@@ -818,13 +852,17 @@ def _trace_kernel(
                 # beyond-CAND_MAX_SPAD scenes, and as the overflow fallback
                 # for candidate-list cells (vs round 2's first cut: a loop
                 # over EVERY chunk, which dominated lady_bug's frame).
-                def _chunk_walk(st0=None):
+                def _chunk_walk(st0=None, chains="both"):
                     # ``st0``: seed state — the capped-candidate-list walk's
                     # result continues into the chunk walk (re-sweeping a
                     # listed segment is an idempotent min), so the early
                     # exit starts tight.  _CWALK_SPLIT > 1: walk Q static
                     # lane sub-ranges independently, each with its own
-                    # early exit (see the knob's comment).
+                    # early exit (see the knob's comment).  ``chains``: the
+                    # walked chain set (band-only sweep / strict re-walk);
+                    # state is (pk, aux) per chain, exits use the LAST
+                    # chain (strict under "both", the only one otherwise).
+                    n_ch = 2 if chains == "both" else 1
                     count = ccnt_ref[0, pid_w, 0]
                     nq = _CWALK_SPLIT if R % (128 * _CWALK_SPLIT) == 0 else 1
                     rq = R // nq
@@ -851,11 +889,10 @@ def _trace_kernel(
                         )
 
                         def ic_q(c, st):
-                            pk_b, ch_b, pk_s, ch_s = st
                             ck_scratch[...] = _transpose_block(
                                 consts_t3_ref[c]
                             )
-                            c_b, c_s = packed_min(
+                            mins = packed_min(
                                 ck_scratch[:, 0:1],
                                 ck_scratch[:, 1:2],
                                 ck_scratch[:, 2:3],
@@ -865,18 +902,17 @@ def _trace_kernel(
                                 ids_q,
                                 band=ck_scratch[:, 6:7] if exact else None,
                                 ox=oxq, oy=oyq, dx=dxq, dy=dyq, cross=crq,
-                                bdsc=bdq,
+                                bdsc=bdq, chains=chains,
                             )
-                            upd_b = c_b < pk_b
-                            upd_s = c_s < pk_s
                             # sg mode: aux = sg_nl + chunk (sg_nl = 0 keeps
                             # the plain chunk index otherwise)
-                            return (
-                                jnp.where(upd_b, c_b, pk_b),
-                                jnp.where(upd_b, c + sg_nl, ch_b),
-                                jnp.where(upd_s, c_s, pk_s),
-                                jnp.where(upd_s, c + sg_nl, ch_s),
-                            )
+                            out = []
+                            for i, cm in enumerate(mins):
+                                pk, ch = st[2 * i], st[2 * i + 1]
+                                upd = cm < pk
+                                out.append(jnp.where(upd, cm, pk))
+                                out.append(jnp.where(upd, c + sg_nl, ch))
+                            return tuple(out)
 
                         def walk_cond(state):
                             i, st = state
@@ -891,7 +927,7 @@ def _trace_kernel(
                             # past its exit is hittable) — strictly tighter
                             # than the block-max texit clamp, still exact.
                             bt_up = jax.lax.bitcast_convert_type(
-                                (st[2] & _KEY_MASK) + np.int32(1 << ID_BITS),
+                                (st[-2] & _KEY_MASK) + np.int32(1 << ID_BITS),
                                 f32,
                             )
                             if texq is not None:
@@ -932,7 +968,7 @@ def _trace_kernel(
 
                     if nq == 1:
                         return sub_walk(
-                            0, far_state() if st0 is None else st0
+                            0, far_state(n_ch) if st0 is None else st0
                         )
                     parts = []
                     for qi in range(nq):
@@ -940,13 +976,13 @@ def _trace_kernel(
                         if st0 is None:
                             far = jnp.full((1, rq), _FAR_PACKED, jnp.int32)
                             zero = jnp.zeros((1, rq), jnp.int32)
-                            stq = (far, zero, far, zero)
+                            stq = (far, zero) * n_ch
                         else:
                             stq = tuple(s[:, sl_q] for s in st0)
                         parts.append(sub_walk(qi, stq))
                     return tuple(
                         jnp.concatenate([p[k] for p in parts], axis=1)
-                        for k in range(4)
+                        for k in range(2 * n_ch)
                     )
 
             if use_cand and _bounce == 0:
@@ -1185,14 +1221,16 @@ def _trace_kernel(
                         pk2m[:, :R], ch2[:, :R], pk2m[:, R:], ch2[:, R:]
                     )
 
-                def _list_walk(lb_off, tcap):
+                def _list_walk(lb_off, tcap, chains="both"):
                     """Distance-ordered early-exit walk of the 128-slot
                     level staged in tc_scratch (per-GROUP lbs read at
                     (lb_off >> 3) + g).  ``tcap``: optional (1, R) per-ray
                     strict-t upper bound from the already-merged previous
                     levels (quantized up one key step), so fallback levels
                     exit against hits the earlier levels already found.
-                    Returns the (8, R) packed running minima (band, strict).
+                    Returns the tuple of (8, R) packed running minima —
+                    (band, strict) under chains="both", one entry
+                    otherwise; the exit reduction always uses the LAST.
 
                     _WALK_SPLIT > 1: the exit compares against the worst
                     best-hit across the WHOLE block; splitting the ray lanes
@@ -1226,7 +1264,7 @@ def _trace_kernel(
 
                         def groupq(i, pks):
                             sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
-                            g_b, g_s = packed_min(
+                            mins = packed_min(
                                 tc_scratch[sl, 0:1],
                                 tc_scratch[sl, 1:2],
                                 tc_scratch[sl, 2:3],
@@ -1237,15 +1275,14 @@ def _trace_kernel(
                                 band=tc_scratch[sl, 6:7] if exact else None,
                                 reduce_rows=False,
                                 ox=oxq, oy=oyq, dx=dxq, dy=dyq, cross=crq,
-                                bdsc=bdq,
+                                bdsc=bdq, chains=chains,
                             )
-                            return (
-                                jnp.minimum(pks[0], g_b),
-                                jnp.minimum(pks[1], g_s),
+                            return tuple(
+                                jnp.minimum(p, m) for p, m in zip(pks, mins)
                             )
 
                         def walk_cond(st):
-                            g, pk8b, pk8s = st
+                            g, pk8s = st[0], st[-1]
                             best = jnp.min(pk8s, axis=0, keepdims=True)
                             # bitcast the VECTOR then reduce — Mosaic
                             # rejects scalar tpu.bitcast (i32 -> f32);
@@ -1274,14 +1311,14 @@ def _trace_kernel(
                             # always holds lvl_cap//8 groups, so clamped
                             # indices stay in scratch bounds — re-walking
                             # the last group is an idempotent min).
-                            g, pk8b, pk8s = st
-                            pk8b, pk8s = groupq(g, (pk8b, pk8s))
+                            g, pks = st[0], st[1:]
+                            pks = groupq(g, pks)
                             for _p in range(1, _lwp):
-                                pk8b, pk8s = groupq(
+                                pks = groupq(
                                     jnp.minimum(g + _p, lvl_cap // 8 - 1),
-                                    (pk8b, pk8s),
+                                    pks,
                                 )
-                            return g + _lwp, pk8b, pk8s
+                            return (g + _lwp,) + pks
 
                         # First pair peeled OUTSIDE the loop: short lists
                         # (the common cell: p50 candidate count is tiny)
@@ -1290,29 +1327,27 @@ def _trace_kernel(
                         # and later peel groups over-walk safely when
                         # n_groups is small (static clamp).
                         farq = jnp.full((8, rq), _FAR_PACKED, jnp.int32)
-                        stq = (farq, farq)
+                        stq = (farq,) * (2 if chains == "both" else 1)
                         for _p in range(_lwp):
                             stq = groupq(min(_p, lvl_cap // 8 - 1), stq)
                         st0 = (jnp.int32(_lwp),) + stq
-                        _, qb, qs = jax.lax.while_loop(
-                            walk_cond, walk_body, st0
-                        )
-                        return qb, qs
+                        res = jax.lax.while_loop(walk_cond, walk_body, st0)
+                        return res[1:]
 
                     if nq == 1:
                         return quarter_walk(0)
                     parts = [quarter_walk(qi) for qi in range(nq)]
-                    return (
-                        jnp.concatenate([p[0] for p in parts], axis=1),
-                        jnp.concatenate([p[1] for p in parts], axis=1),
+                    return tuple(
+                        jnp.concatenate([p[k] for p in parts], axis=1)
+                        for k in range(len(parts[0]))
                     )
 
-                def _cand_branch():
+                def _cand_branch(chains="both"):
                     ids_8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
 
                     def group(i, pks):
                         sl = pl.ds(pl.multiple_of(i * 8, 8), 8)
-                        g_b, g_s = packed_min(
+                        mins = packed_min(
                             tc_scratch[sl, 0:1],  # EX (cand_mod.TC_ORDER)
                             tc_scratch[sl, 1:2],  # EY
                             tc_scratch[sl, 2:3],  # C1
@@ -1321,19 +1356,22 @@ def _trace_kernel(
                             tc_scratch[sl, 5:6],  # QUAD
                             ids_8 + i * 8,
                             band=tc_scratch[sl, 6:7] if exact else None,
-                            reduce_rows=False,
+                            reduce_rows=False, chains=chains,
                         )
                         # full-sublane-rate (8, R) running minima; ONE
                         # sublane reduction per wedge after the walk
-                        return jnp.minimum(pks[0], g_b), jnp.minimum(pks[1], g_s)
+                        return tuple(
+                            jnp.minimum(p, m) for p, m in zip(pks, mins)
+                        )
 
                     far8 = jnp.full((8, R), _FAR_PACKED, jnp.int32)
                     # capped lists (cnt can read cand_len + 1 = "dropped")
                     # walk at most the lvl_cap level-0 slots that exist
                     n_groups = (jnp.minimum(cnt, lvl_cap) + 7) >> 3
                     if slot_mode or (cand_len >= s_pad and n_lvls == 1):
-                        pk8_b, pk8_s = jax.lax.fori_loop(
-                            0, n_groups, group, (far8, far8)
+                        pk8s = jax.lax.fori_loop(
+                            0, n_groups, group,
+                            (far8,) * (2 if chains == "both" else 1),
                         )
                     else:
                         # Distance-ordered early-exit walk (dense scenes):
@@ -1346,23 +1384,25 @@ def _trace_kernel(
                         # chunk walk; primary rays only (this branch is
                         # bounce 0).  On lady_bug 1080p the sweep was 817 of
                         # 1178 ms with the full fori walk.
-                        pk8_b, pk8_s = _list_walk(0, None)
-                    pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
-                    pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
+                        pk8s = _list_walk(0, None, chains)
+                    rows = [jnp.min(p8, axis=0, keepdims=True) for p8 in pk8s]
                     zero = jnp.zeros((1, R), jnp.int32)
                     if slot_mode or sg_mode:
                         # keys keep the SLOT: slot_mode gathers in slot
                         # space; sg_mode resolves ids via the slot-geom
                         # table after the sweep (aux = level 0 here)
-                        return (pk_b, zero, pk_s, zero)
-                    return remap_pair(pk_b, pk_s)
+                        out = []
+                        for r in rows:
+                            out += [r, zero]
+                        return tuple(out)
+                    return remap_pair(rows[0], rows[1])
 
                 if slot_mode or (cand_len >= s_pad and n_lvls == 1):
                     # Overflow impossible — lists hold every segment, or the
                     # caller certified max count <= cand_len (slot_mode) —
                     # so no cond (a traced lax.cond costs real time per
                     # wedge even on the untaken side).
-                    sweep_st = _cand_branch()
+                    sweep_st = _cand_branch("band" if bo else "both")
                 else:
                     # Capped distance-sorted lists + exact HORIZON
                     # fallbacks: ALWAYS walk level 0 first — its nearest-
@@ -1376,7 +1416,7 @@ def _trace_kernel(
                     # (Round 2 sent overflowed cells straight to the chunk
                     # walk; on lady_bug 1080p that walk was ~70% of the
                     # frame.)
-                    st = _cand_branch()
+                    st = _cand_branch("band" if bo else "both")
                     if _ABLATE_OVERFLOW_FB:  # attribution probe
                         sweep_st = st
                     else:
@@ -1406,30 +1446,37 @@ def _trace_kernel(
                                         0, pid_w, :, lb_off : lb_off + lvl_cap
                                     ]
                                 )
-                                # previous levels' per-ray strict best t,
-                                # quantized up: the level walk exits against
-                                # hits already found
+                                # previous levels' per-ray best t (the
+                                # exit chain: strict under dual, band when
+                                # band-only), quantized up: the level walk
+                                # exits against hits already found
                                 tcap = jax.lax.bitcast_convert_type(
-                                    (st[2] & _KEY_MASK)
+                                    (st[-2] & _KEY_MASK)
                                     + np.int32(1 << ID_BITS),
                                     f32,
                                 )
-                                pk8_b, pk8_s = _list_walk(lb_off, tcap)
-                                pk_b = jnp.min(pk8_b, axis=0, keepdims=True)
-                                pk_s = jnp.min(pk8_s, axis=0, keepdims=True)
+                                pk8s = _list_walk(
+                                    lb_off, tcap, "band" if bo else "both"
+                                )
+                                rows = [
+                                    jnp.min(p8, axis=0, keepdims=True)
+                                    for p8 in pk8s
+                                ]
                                 if sg_mode:
                                     # slot-space merge: aux records the
                                     # level (lvl is a Python constant)
-                                    upd_b = pk_b < st[0]
-                                    upd_s = pk_s < st[2]
-                                    return (
-                                        jnp.where(upd_b, pk_b, st[0]),
-                                        jnp.where(upd_b, lvl, st[1]),
-                                        jnp.where(upd_s, pk_s, st[2]),
-                                        jnp.where(upd_s, lvl, st[3]),
-                                    )
+                                    out = []
+                                    for i, r in enumerate(rows):
+                                        upd = r < st[2 * i]
+                                        out.append(
+                                            jnp.where(upd, r, st[2 * i])
+                                        )
+                                        out.append(
+                                            jnp.where(upd, lvl, st[2 * i + 1])
+                                        )
+                                    return tuple(out)
                                 pk_b, ch_b, pk_s, ch_s = remap_pair(
-                                    pk_b, pk_s, lvl
+                                    rows[0], rows[1], lvl
                                 )
                                 # merge (strictly-less: equal quantized keys
                                 # keep the earlier level's nearer-lb winner,
@@ -1445,7 +1492,7 @@ def _trace_kernel(
 
                             need_l = (cnt > lvl * lvl_cap) & (
                                 cslb_ref[0, pid_w, (lvl * lvl_cap) >> 3]
-                                < _worst_of(st[2])
+                                < _worst_of(st[-2])
                             )
                             st = jax.lax.cond(
                                 need_l, _lvl_walk, lambda s: s, st
@@ -1453,7 +1500,7 @@ def _trace_kernel(
                         if cand_len < s_pad:
                             need = (cnt > cand_len) & (
                                 cslb_ref[0, pid_w, cand_len >> 3]
-                                < _worst_of(st[2])
+                                < _worst_of(st[-2])
                             )
                             if sg_mode:
                                 # deferred: the sg fallback cond also
@@ -1565,9 +1612,19 @@ def _trace_kernel(
             # Mosaic cannot reshape i1 vectors, and the mask is relayouted
             # for shading).  Winners' exact t is recomputed after the gather
             # (the key quantizes t to 2^-17).
-            pk_b, ch_b, pk_s, ch_s = sweep_st
             sg_b = sg_mode and _bounce == 0
-            if sg_b:
+            if sg_b and bo:
+                # band-only sweep (see _BAND_ONLY): no strict chain —
+                # clean/graze decisions move to strict_accept on the band
+                # winner's gathered geometry (below), and the rejected-ray
+                # strict winners come from the deferred re-walk.
+                pk_b, ch_b = sweep_st
+                pk_s = ch_s = hit32_s = None
+                hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
+                best_i = best_i_s = None
+                clean_ray = any_graze = None
+            elif sg_b:
+                pk_b, ch_b, pk_s, ch_s = sweep_st
                 # slot-geom mode: ch_* carry aux (level, or sg_nl + chunk
                 # for walk winners); ids resolve after the deferred
                 # fallback via the slot-geom table.  Clean = same key AND
@@ -1581,6 +1638,7 @@ def _trace_kernel(
                 ) > 0
                 any_graze = jnp.any((pk_b != pk_s) | (ch_b != ch_s))
             else:
+                pk_b, ch_b, pk_s, ch_s = sweep_st
                 best_i = (pk_b & _ID_MASK) + ch_b * sc
                 hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
                 best_i_s = (pk_s & _ID_MASK) + ch_s * sc
@@ -1957,7 +2015,26 @@ def _trace_kernel(
                 #    geom table (walk ids are directly (local | chunk) —
                 #    no remap; gathers inside conds are Mosaic-safe on the
                 #    paths batch24's p1c probe exercised).
-                if sg_need is not None:
+                if sg_need is not None and bo:
+
+                    def _walk_geo(st):
+                        st2 = _chunk_walk(st, chains="band")
+                        wb_w = st2[1] >= sg_nl
+                        bi_w = (st2[0] & _ID_MASK) + (st2[1] - sg_nl) * sc
+                        hm = wb_w & (st2[0] < _FAR_PACKED)
+                        return st2 + (gather_geom(bi_w, hm),)
+
+                    def _no_walk(st):
+                        return st + (jnp.zeros((GEOM_ROWS, R), f32),)
+
+                    pk_b, ch_b, geo_walk = jax.lax.cond(
+                        sg_need, _walk_geo, _no_walk, (pk_b, ch_b)
+                    )
+                    # the walk may have replaced winners: refresh
+                    hit32 = (pk_b < _FAR_PACKED).astype(jnp.int32)
+                    hit = unflat(hit32) > 0
+                    wb = ch_b >= sg_nl  # (1, R) band walk-winner lanes
+                elif sg_need is not None:
 
                     def _walk_geo(st):
                         st2 = _chunk_walk(st)
@@ -1982,7 +2059,7 @@ def _trace_kernel(
                     ) > 0
                     any_graze = jnp.any((pk_b != pk_s) | (ch_b != ch_s))
                     wb = ch_b >= sg_nl  # (1, R) band walk-winner lanes
-                hit_s = unflat(hit32_s) > 0
+                hit_s = None if bo else unflat(hit32_s) > 0
 
                 # 2) slot-space phase 1: ONE fixed-K MXU pass gathers the
                 #    geometry rows AND the winner's global id (hi/lo rows
@@ -2074,67 +2151,239 @@ def _trace_kernel(
                 margin = band_margin(rwg)
                 strict = strict_accept(rwg)
 
-                def _iso_sg():
-                    tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
-                        refine.refine_hit_exact(
-                            rwg["cx"], rwg["cy"], rwg["tau0"],
-                            rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
-                            rwg["t_chord"], min_hit, margin=margin,
+                if bo:
+                    # --- band-only decisions (see _BAND_ONLY) ---
+                    # Clean = the band winner passes the strict window
+                    # test on its gathered geometry (implies it IS the
+                    # strict winner); graze wedges run isolation AND, for
+                    # lanes it rejects, a strict-only re-walk — both under
+                    # the same per-wedge cond.
+                    clean_ray = strict | ~hit
+                    any_graze = jnp.any(hit & ~strict)
+
+                    def _iso_sg_bo():
+                        tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                            refine.refine_hit_exact(
+                                rwg["cx"], rwg["cy"], rwg["tau0"],
+                                rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
+                                rwg["t_chord"], min_hit, margin=margin,
+                            )
                         )
+                        rej = hit & ~(strict | conv_i)
+                        any_rej = jnp.any(rej)
+
+                        def _rewalk(_):
+                            # strict-only re-walk of the lists: settled
+                            # (non-rejected) lanes are seeded at key 0 and
+                            # capped at t=0, so every early exit serves
+                            # only the rejected lanes' needs.
+                            rejf = flat(rej.astype(jnp.int32)) > 0
+                            tcap_r = jnp.where(rejf, FAR, jnp.float32(0.0))
+
+                            def _worst_s(pk_row):
+                                bt = jax.lax.bitcast_convert_type(
+                                    (pk_row & _KEY_MASK)
+                                    + np.int32(1 << ID_BITS), f32,
+                                )
+                                bt = jnp.minimum(bt, tcap_r)
+                                if texit is not None:
+                                    bt = jnp.minimum(
+                                        bt, texit * jnp.float32(1.00002)
+                                    )
+                                return jnp.minimum(
+                                    jnp.max(bt) * jnp.float32(1.00001),
+                                    tb_full,
+                                )
+
+                            tc_scratch[...] = _transpose_block(
+                                tconsts_ref[0, pid_w, :, :lvl_cap]
+                            )
+                            pk8r = _list_walk(0, tcap_r, "strict")
+                            pk0 = jnp.min(pk8r[0], axis=0, keepdims=True)
+                            zero = jnp.zeros((1, R), jnp.int32)
+                            st = (
+                                jnp.where(rejf, pk0, jnp.int32(0)), zero
+                            )
+                            for lvl in range(1, n_lvls):
+                                def _lvl_s(st, lb_off=lvl * lvl_cap,
+                                           lvl=lvl):
+                                    tc_scratch[...] = _transpose_block(
+                                        tconsts_ref[
+                                            0, pid_w, :,
+                                            lb_off : lb_off + lvl_cap,
+                                        ]
+                                    )
+                                    tcap2 = jnp.minimum(
+                                        jax.lax.bitcast_convert_type(
+                                            (st[0] & _KEY_MASK)
+                                            + np.int32(1 << ID_BITS), f32,
+                                        ),
+                                        tcap_r,
+                                    )
+                                    pk8l = _list_walk(
+                                        lb_off, tcap2, "strict"
+                                    )
+                                    pkl = jnp.min(
+                                        pk8l[0], axis=0, keepdims=True
+                                    )
+                                    upd = pkl < st[0]
+                                    return (
+                                        jnp.where(upd, pkl, st[0]),
+                                        jnp.where(upd, lvl, st[1]),
+                                    )
+
+                                need_l = (cnt > lvl * lvl_cap) & (
+                                    cslb_ref[0, pid_w, (lvl * lvl_cap) >> 3]
+                                    < _worst_s(st[0])
+                                )
+                                st = jax.lax.cond(
+                                    need_l, _lvl_s, lambda s: s, st
+                                )
+                            if cand_len < s_pad:
+                                need_c = (cnt > cand_len) & (
+                                    cslb_ref[0, pid_w, cand_len >> 3]
+                                    < _worst_s(st[0])
+                                )
+                                st = jax.lax.cond(
+                                    need_c,
+                                    lambda s: _chunk_walk(
+                                        s, chains="strict"
+                                    ),
+                                    lambda s: s, st,
+                                )
+                            # resolve ids: slot winners via the table's id
+                            # rows (M=2 dot), walk winners directly
+                            wb_s = st[1] >= sg_nl
+                            slotp_s = st[1] * lvl_cap + (st[0] & _ID_MASK)
+                            if cand_len < s_pad:
+                                slotp_s = jnp.where(
+                                    wb_s, jnp.int32(cand_len), slotp_s
+                                )
+                            oh_s = (ids_cl == slotp_s).astype(jnp.bfloat16)
+                            two = jax.lax.dot_general(
+                                sgeom_ref[
+                                    0, pid_w, GEOM_ROWS : GEOM_ROWS + 2
+                                ],
+                                oh_s, dims, preferred_element_type=f32,
+                            )
+                            gid_s = (
+                                two[0:1] * 128.0 + two[1:2]
+                            ).astype(jnp.int32)
+                            bi_s = jnp.where(
+                                wb_s,
+                                (st[0] & _ID_MASK) + (st[1] - sg_nl) * sc,
+                                gid_s,
+                            )
+                            hs32 = (
+                                (st[0] < _FAR_PACKED)
+                                & flat(rej.astype(jnp.int32)) > 0
+                            ).astype(jnp.int32)
+                            return bi_s, hs32
+
+                        def _no_rewalk(_):
+                            zero = jnp.zeros((1, R), jnp.int32)
+                            return zero, zero
+
+                        bi_s, hs32 = jax.lax.cond(
+                            any_rej, _rewalk, _no_rewalk, 0
+                        )
+                        return (
+                            tau_i, t_i, dbx_i, dby_i, bi_s, hs32,
+                            rej.astype(jnp.int32),
+                        )
+
+                    def _allclean_bo():
+                        z = jnp.zeros(RSHP, f32)
+                        zero = jnp.zeros((1, R), jnp.int32)
+                        return (
+                            z, z, z, z, zero, zero,
+                            jnp.zeros(RSHP, jnp.int32),
+                        )
+
+                    (tau_i, t_i, dbx_i, dby_i, best_i_s, hs32f,
+                     rej32) = jax.lax.cond(
+                        any_graze, _iso_sg_bo, _allclean_bo
                     )
-                    # strict winner's global id from the slot table's id
-                    # rows — needed only for rejected->fallback lanes,
-                    # which exist only in graze wedges, so the M=2 dot
-                    # (pads to one MXU tile) rides this cond
-                    slotp_s = ch_s * lvl_cap + (pk_s & _ID_MASK)
+                    rejected = rej32 > 0
+                    hit_pre = hit
+                    use_s = rejected & (unflat(hs32f) > 0)
+                    hit = (hit & ~rejected) | use_s
+                    use_f = flat(use_s.astype(jnp.int32)) > 0
+                    bi_f = jnp.where(use_f, best_i_s, best_i)
+                    hitv2 = use_s | hit_pre
+                    rw = winner_rows(bi_f, hitv2)
+                    acc = rw["acc"]
+                    tau_n, t_n, _, _, dbx_n, dby_n = newton(rw)
+                    sel = clean_ray | use_s
+                    tau = jnp.where(sel, tau_n, tau_i)
+                    t_ref = jnp.where(sel, t_n, t_i)
+                    dbx = jnp.where(sel, dbx_n, dbx_i)
+                    dby = jnp.where(sel, dby_n, dby_i)
+                    t_chord, gt0, gdt = (
+                        rw["t_chord"], rw["gt0"], rw["gdt"]
+                    )
+                else:
+                    def _iso_sg():
+                        tau_i, t_i, _, _, dbx_i, dby_i, conv_i = (
+                            refine.refine_hit_exact(
+                                rwg["cx"], rwg["cy"], rwg["tau0"],
+                                rwg["gt0"], rwg["gdt"], ox, oy, dx, dy,
+                                rwg["t_chord"], min_hit, margin=margin,
+                            )
+                        )
+                        # strict winner's global id from the slot table's id
+                        # rows — needed only for rejected->fallback lanes,
+                        # which exist only in graze wedges, so the M=2 dot
+                        # (pads to one MXU tile) rides this cond
+                        slotp_s = ch_s * lvl_cap + (pk_s & _ID_MASK)
+                        if sg_need is not None:
+                            slotp_s = jnp.where(
+                                ch_s >= sg_nl, jnp.int32(cand_len), slotp_s
+                            )
+                        oh_s = (ids_cl == slotp_s).astype(jnp.bfloat16)
+                        two = jax.lax.dot_general(
+                            sgeom_ref[0, pid_w, GEOM_ROWS : GEOM_ROWS + 2],
+                            oh_s, dims, preferred_element_type=f32,
+                        )
+                        gid_s = (two[0:1] * 128.0 + two[1:2]).astype(jnp.int32)
+                        return (
+                            tau_i, t_i, dbx_i, dby_i,
+                            (clean_ray | conv_i).astype(jnp.int32), gid_s,
+                        )
+
+                    def _allclean_sg():
+                        z = jnp.zeros(RSHP, f32)
+                        return (
+                            z, z, z, z, jnp.ones(RSHP, jnp.int32),
+                            jnp.zeros((1, R), jnp.int32),
+                        )
+
+                    tau_i, t_i, dbx_i, dby_i, conv32, gid_s_tab = jax.lax.cond(
+                        any_graze, _iso_sg, _allclean_sg
+                    )
+                    rejected = hit & ~((conv32 > 0) | strict)
+                    hit_pre = hit
+                    use_s = rejected & hit_s
+                    hit = (hit & ~rejected) | use_s
+                    use_f = flat(use_s.astype(jnp.int32)) > 0
+                    best_i_s = gid_s_tab
                     if sg_need is not None:
-                        slotp_s = jnp.where(
-                            ch_s >= sg_nl, jnp.int32(cand_len), slotp_s
+                        best_i_s = jnp.where(
+                            ch_s >= sg_nl,
+                            (pk_s & _ID_MASK) + (ch_s - sg_nl) * sc,
+                            best_i_s,
                         )
-                    oh_s = (ids_cl == slotp_s).astype(jnp.bfloat16)
-                    two = jax.lax.dot_general(
-                        sgeom_ref[0, pid_w, GEOM_ROWS : GEOM_ROWS + 2],
-                        oh_s, dims, preferred_element_type=f32,
-                    )
-                    gid_s = (two[0:1] * 128.0 + two[1:2]).astype(jnp.int32)
-                    return (
-                        tau_i, t_i, dbx_i, dby_i,
-                        (clean_ray | conv_i).astype(jnp.int32), gid_s,
-                    )
-
-                def _allclean_sg():
-                    z = jnp.zeros(RSHP, f32)
-                    return (
-                        z, z, z, z, jnp.ones(RSHP, jnp.int32),
-                        jnp.zeros((1, R), jnp.int32),
-                    )
-
-                tau_i, t_i, dbx_i, dby_i, conv32, gid_s_tab = jax.lax.cond(
-                    any_graze, _iso_sg, _allclean_sg
-                )
-                rejected = hit & ~((conv32 > 0) | strict)
-                hit_pre = hit
-                use_s = rejected & hit_s
-                hit = (hit & ~rejected) | use_s
-                use_f = flat(use_s.astype(jnp.int32)) > 0
-                best_i_s = gid_s_tab
-                if sg_need is not None:
-                    best_i_s = jnp.where(
-                        ch_s >= sg_nl,
-                        (pk_s & _ID_MASK) + (ch_s - sg_nl) * sc,
-                        best_i_s,
-                    )
-                bi_f = jnp.where(use_f, best_i_s, best_i)
-                hitv2 = use_s | hit_pre
-                rw = winner_rows(bi_f, hitv2)
-                acc = rw["acc"]
-                tau_n, t_n, _, _, dbx_n, dby_n = newton(rw)
-                sel = clean_ray | use_s
-                tau = jnp.where(sel, tau_n, tau_i)
-                t_ref = jnp.where(sel, t_n, t_i)
-                dbx = jnp.where(sel, dbx_n, dbx_i)
-                dby = jnp.where(sel, dby_n, dby_i)
-                t_chord, gt0, gdt = rw["t_chord"], rw["gt0"], rw["gdt"]
+                    bi_f = jnp.where(use_f, best_i_s, best_i)
+                    hitv2 = use_s | hit_pre
+                    rw = winner_rows(bi_f, hitv2)
+                    acc = rw["acc"]
+                    tau_n, t_n, _, _, dbx_n, dby_n = newton(rw)
+                    sel = clean_ray | use_s
+                    tau = jnp.where(sel, tau_n, tau_i)
+                    t_ref = jnp.where(sel, t_n, t_i)
+                    dbx = jnp.where(sel, dbx_n, dbx_i)
+                    dby = jnp.where(sel, dby_n, dby_i)
+                    t_chord, gt0, gdt = rw["t_chord"], rw["gt0"], rw["gdt"]
             elif fused:
                 # --- fused graze cond (slot-mode scenes) ---
                 # Root isolation AND the strict-fallback chain can only
