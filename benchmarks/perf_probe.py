@@ -889,6 +889,17 @@ PROBES = {
         frames=3, hoist=True, min_sub=2, sagitta=0.5,
         dim_semantics="parallel", label="lb1080_256_s05_dimpar",
     ),
+    # --- round-5 cand_levels re-probe at the chunk-cover era ---
+    "lb_s05_l1": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, cand_levels=1,
+        label="lb1080_256_s05_l1",
+    ),
+    "lb_s05_l2": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, cand_levels=2,
+        label="lb1080_256_s05_l2",
+    ),
     # --- round-5 band-only sweep A/B (_BAND_ONLY) ---
     "lb_s05_bo": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,

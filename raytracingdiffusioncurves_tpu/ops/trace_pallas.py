@@ -268,9 +268,15 @@ _SG_LEVEL_SPLIT = False
 # Deviation class vs round 4: lanes whose sweep keys agreed but whose
 # folded-geometry strict test disagrees (a 2^-17-margin sliver) now take
 # the isolation root instead of the Newton root of the same winner — the
-# same accumulation-class as the existing folded strict test.  Off switch
-# for A/B probes.
-_BAND_ONLY = True
+# same accumulation-class as the existing folded strict test.
+# MEASURED LOSING BADLY (batch54): lady_bug 496.5 vs 378.8, dolphin 723.9
+# vs 527.6 — any_graze is true in MOST wedges (one graze ray per 2048-ray
+# block suffices), so the re-walk branch (peel groups + scratch restage +
+# its own level/chunk conds) runs nearly every wedge and dwarfs the ~15%
+# sweep savings.  The strict chain's marginal cost inside the dual walk
+# (2 compares + select + min on shared products) is simply cheaper than
+# ANY per-wedge recovery mechanism.  Kept as a probe lever; default OFF.
+_BAND_ONLY = False
 
 # Covered-chunk diet for the overflow fallback walk (round 4): the walk is
 # seeded with the capped-list state, so chunks whose every hittable segment
