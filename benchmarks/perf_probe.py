@@ -889,6 +889,17 @@ PROBES = {
         frames=3, hoist=True, min_sub=2, sagitta=0.5,
         dim_semantics="parallel", label="lb1080_256_s05_dimpar",
     ),
+    # --- round-5 entry ablations at the committed s05 flags ---
+    "lb_s05_entry": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
+        frames=3, hoist=True, min_sub=2, sagitta=0.5, ablate="entry",
+        label="lb1080_256_s05_entry",
+    ),
+    "dol_s05_entry": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        ablate="entry", label="dol1080_64_s05_sw2_entry",
+    ),
     # --- round-5 cand_levels re-probe at the chunk-cover era ---
     "lb_s05_l1": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,
