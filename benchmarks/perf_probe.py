@@ -889,6 +889,17 @@ PROBES = {
         frames=3, hoist=True, min_sub=2, sagitta=0.5,
         dim_semantics="parallel", label="lb1080_256_s05_dimpar",
     ),
+    # --- round-5 VMEM-freed retries (sgeom off the scoped VMEM block) ---
+    "dol_s05_g1024": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        gather_gsc=1024, label="dol1080_64_s05_sw2_g1024",
+    ),
+    "dol_s05_l6": lambda: time_trace(
+        f"{XMLS}/DiffusionCurvePack/dolphin.xml", 1920, 1088, 64,
+        frames=2, hoist=True, min_sub=2, sagitta=0.5, wedge_samples=2,
+        cand_levels=6, label="dol1080_64_s05_sw2_l6",
+    ),
     # --- round-5 entry ablations at the committed s05 flags ---
     "lb_s05_entry": lambda: time_trace(
         f"{XMLS}/DiffusionCurvePack/lady_bug.xml", 1920, 1088, 256,

@@ -2105,7 +2105,8 @@ def _trace_kernel(
                 pltpu.make_async_copy(
                     sgeom_ref.at[pid_g, pid_w], sg_scratch, sg_sem
                 ).wait()
-                sgt = sg_scratch[...]  # (2*SG_ROWS, cand_len) bf16
+                # drop the sublane-tile pad rows (zeros) off the window
+                sgt = sg_scratch[...][: 2 * SG_ROWS]  # (2*SG_ROWS, L) bf16
                 if _SG_LEVEL_SPLIT and cand_len > lvl_cap:
                     # level-split dot (see _SG_LEVEL_SPLIT): level-0 slots
                     # always, the level-1+ remainder under a cond.
@@ -3640,9 +3641,10 @@ def trace_sums_flat(
             )
         )
         if sg:
-            # per-wedge slot-geom window + its DMA semaphore
+            # per-wedge slot-geom window (row count = the table's padded
+            # sublane-multiple rows) + its DMA semaphore
             scratch_shapes.append(
-                pltpu.VMEM((2 * SG_ROWS, cand_len), jnp.bfloat16)
+                pltpu.VMEM((sgeom.shape[2], cand_len), jnp.bfloat16)
             )
             scratch_shapes.append(pltpu.SemaphoreType.DMA)
     sums = pl.pallas_call(
