@@ -503,17 +503,12 @@ def segment_candidates_t(
                     (idc.astype(f32) - gid_hi * 128.0).astype(jnp.bfloat16),
                 ]
                 + [sel_lo[r][idc] for r in range(g)]
-                # 2 zero rows complete the lo half (ids are bf16-exact) +
-                # pad rows to the next sublane-tile multiple of 8: the
-                # kernel's per-wedge DMA window must be tile-aligned
-                + [jnp.zeros_like(idc, jnp.bfloat16)]
-                * (2 + (-(2 * (g + 2))) % 8)
+                + [jnp.zeros_like(idc, jnp.bfloat16)] * 2
             )
             return jnp.moveaxis(jnp.stack(rows, axis=-2), 0, 1)
 
-        sg_rows_p = 2 * (g + 2) + (-(2 * (g + 2))) % 8
         sgeom = jax.lax.map(one_chunk, ids_b)  # (nb, tb, W, rows, L)
-        sgeom = sgeom.reshape(nb * tb, n_w, sg_rows_p, cl)[:n_t]
+        sgeom = sgeom.reshape(nb * tb, n_w, 2 * (g + 2), cl)[:n_t]
 
     ckeep = None
     if cmax is not None:

@@ -502,18 +502,13 @@ def _trace_kernel(
     # allt_hl (same chunking) for the phase-1 band-winner gather
     geom_hl_ref = refs.pop(0) if two_phase else None
     if use_cand:
-        # slot-geom DMA scratch + sem (trailing; see the wedge-body DMA)
-        if slotgeom:
-            sg_sem = refs.pop()
-            sg_scratch = refs.pop()
-        tc_scratch = refs.pop()  # (L, TC_ROWS) f32 VMEM scratch
+        tc_scratch = refs.pop()  # (L, TC_ROWS) f32 VMEM scratch (trailing)
         tconsts_ref = refs.pop(0)
-        # (T, W, 2*SG_ROWS, L) bf16 slot-space geometry+id table
-        # (_SLOTGEOM) — memory_space=ANY: each wedge DMAs its own (2*SG_ROWS,
-        # L) window into sg_scratch at wedge START, so the transfer hides
-        # behind the sweep instead of serializing in the per-program entry
-        # block (batch50: entry 39.4/97.1 ms on lb/dolphin was dominated by
-        # the W-wedge table DMA; sgeom is ~70% of those bytes).
+        # (1, W, 2*SG_ROWS, L) bf16 slot-space geometry+id table (_SLOTGEOM)
+        # (round 5 probed an ANY + per-wedge-DMA variant: NEUTRAL on the
+        # trace — the pallas pipeline already overlaps in_spec DMAs — and
+        # ~+8 ms on chained config3, reverted; the table stays a padded
+        # 8-multiple of rows, the block ships the 2*SG_ROWS it uses)
         sgeom_ref = refs.pop(0) if slotgeom else None
         # precomputed (1, W, Gn, n_lvls*16) bf16 remap tables (_REMAP_PRECOMP)
         idhl_ref = (
@@ -667,14 +662,6 @@ def _trace_kernel(
             # slow in Mosaic and would dominate the ablated measurement)
             return jnp.zeros((8, R), f32) + flat(dx + ox)
 
-        # Slot-geom table DMA issued FIRST (after the raygen-ablate return,
-        # so ablation probes never leak a started copy): the whole sweep
-        # (ms-class) sits between this start and the phase-1 wait, so the
-        # (2*SG_ROWS, L) transfer is fully hidden.
-        if use_cand and slotgeom:
-            pltpu.make_async_copy(
-                sgeom_ref.at[pid_g, pid_w], sg_scratch, sg_sem
-            ).start()
 
         # Slot-geom mode (see _SLOTGEOM): winners ride (level, slot) keys;
         # the chunk-walk fallback tags its winners aux = sg_nl + chunk so
@@ -1685,11 +1672,7 @@ def _trace_kernel(
             if _ABLATE_STAGE == "intersect":
                 if sg_b:
                     # keys/aux live (note: the deferred sg fallback walk
-                    # has not run yet — its cost lands in "gather");
-                    # balance the wedge-start table DMA before returning
-                    pltpu.make_async_copy(
-                        sgeom_ref.at[pid_g, pid_w], sg_scratch, sg_sem
-                    ).wait()
+                    # has not run yet — its cost lands in "gather")
                     sink = hit32 + (pk_b & _ID_MASK) + ch_b
                     if not bo:
                         sink = sink + (pk_s & _ID_MASK) + ch_s
@@ -2100,13 +2083,7 @@ def _trace_kernel(
                 ids_cl = jax.lax.broadcasted_iota(
                     jnp.int32, (cand_len, R), 0
                 )
-                # wait for the wedge-start table DMA (hidden behind the
-                # sweep), then read the slot-geom table from VMEM
-                pltpu.make_async_copy(
-                    sgeom_ref.at[pid_g, pid_w], sg_scratch, sg_sem
-                ).wait()
-                # drop the sublane-tile pad rows (zeros) off the window
-                sgt = sg_scratch[...][: 2 * SG_ROWS]  # (2*SG_ROWS, L) bf16
+                sgt = sgeom_ref[0, pid_w]  # (2*SG_ROWS, cand_len) bf16
                 if _SG_LEVEL_SPLIT and cand_len > lvl_cap:
                     # level-split dot (see _SG_LEVEL_SPLIT): level-0 slots
                     # always, the level-1+ remainder under a cond.
@@ -2295,7 +2272,9 @@ def _trace_kernel(
                                 )
                             oh_s = (ids_cl == slotp_s).astype(jnp.bfloat16)
                             two = jax.lax.dot_general(
-                                sg_scratch[GEOM_ROWS : GEOM_ROWS + 2],
+                                sgeom_ref[
+                                    0, pid_w, GEOM_ROWS : GEOM_ROWS + 2
+                                ],
                                 oh_s, dims, preferred_element_type=f32,
                             )
                             gid_s = (
@@ -2374,7 +2353,7 @@ def _trace_kernel(
                             )
                         oh_s = (ids_cl == slotp_s).astype(jnp.bfloat16)
                         two = jax.lax.dot_general(
-                            sg_scratch[GEOM_ROWS : GEOM_ROWS + 2],
+                            sgeom_ref[0, pid_w, GEOM_ROWS : GEOM_ROWS + 2],
                             oh_s, dims, preferred_element_type=f32,
                         )
                         gid_s = (two[0:1] * 128.0 + two[1:2]).astype(jnp.int32)
@@ -3543,13 +3522,17 @@ def trace_sums_flat(
             )
         )
         if sg:
-            # slot-space geometry+id table (see _SLOTGEOM): stays in HBM
-            # (ANY); each WEDGE DMAs its own (2*SG_ROWS, L) window at wedge
-            # start, hidden behind the sweep — shipping the whole
-            # (W, 2*SG_ROWS, L) block per program serialized ~70% of the
-            # entry-stage bytes (batch50 entry 39.4/97.1 ms lb/dolphin).
+            # slot-space geometry+id table (see _SLOTGEOM): each program
+            # DMAs its tile's (W, 2*SG_ROWS, L) block (an ANY + per-wedge
+            # DMA variant measured neutral-to-worse in round 5 — the
+            # pipeline already overlaps these transfers)
             operands.append(sgeom)
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n_wedges, 2 * SG_ROWS, cand_len), fold4,
+                    memory_space=pltpu.VMEM,
+                )
+            )
         if _REMAP_PRECOMP and not slot_mode and not sg:
             # Precomputed per-(tile, wedge) hi/lo remap tables (see
             # _REMAP_PRECOMP): derived from tconsts' TC_ID row, so hoisted
@@ -3640,13 +3623,6 @@ def trace_sums_flat(
                 (min(cand_len, 1 << ID_BITS), cand_mod.TC_ROWS), jnp.float32
             )
         )
-        if sg:
-            # per-wedge slot-geom window (row count = the table's padded
-            # sublane-multiple rows) + its DMA semaphore
-            scratch_shapes.append(
-                pltpu.VMEM((sgeom.shape[2], cand_len), jnp.bfloat16)
-            )
-            scratch_shapes.append(pltpu.SemaphoreType.DMA)
     sums = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
