@@ -485,6 +485,7 @@ def _trace_kernel(
     gather_len: int = 128,  # slot one-hot length (>= every cell's count)
     two_phase: bool = False,  # phase-1 geometry gather + final-winner gather
     slotgeom: bool = False,  # slot-space geometry+id tables (_SLOTGEOM)
+    wedge_shift: int = 0,  # table entries shared by 2^shift adjacent wedges
 ):
     # Candidate tables (transposed layout, ops/candidates.py):
     # tconsts_ref (1, W, TC_ROWS, L) f32 sweep consts + global-id row;
@@ -614,9 +615,14 @@ def _trace_kernel(
         (raygen, sweep, gather, isolation, shade) is skipped.  On arch
         1024^2 HALF the (tile, wedge) cells are empty (p50 count = 0): the
         one cond per wedge buys back most of that half's frame time."""
+        # Wedge-coarsened tables (4K-class configs): 2^wedge_shift
+        # adjacent wedges share one conservative table entry, dividing
+        # table HBM by the same factor — fine wedge geometry (raygen,
+        # culling math) is untouched.
+        pid_tab = pid_w if wedge_shift == 0 else pid_w >> wedge_shift
         if _ABLATE_STAGE != "entry" and (use_cand or use_chunk_lists):
             cnt0 = (
-                ccand_ref[0, pid_w, 0] if use_cand else ccnt_ref[0, pid_w, 0]
+                ccand_ref[0, pid_tab, 0] if use_cand else ccnt_ref[0, pid_tab, 0]
             )
             return jax.lax.cond(
                 cnt0 == 0,
@@ -626,6 +632,7 @@ def _trace_kernel(
         return _wedge_body(pid_w)
 
     def _wedge_body(pid_w):
+        pid_tab = pid_w if wedge_shift == 0 else pid_w >> wedge_shift
         sample = pid_w * SW + (ridx & (SW - 1))
         # RNG stream keyed on the GLOBAL ray id so tile-sharded rendering is
         # bitwise identical to single-chip (tests/test_sharding.py).
@@ -874,7 +881,7 @@ def _trace_kernel(
                     # state is (pk, aux) per chain, exits use the LAST
                     # chain (strict under "both", the only one otherwise).
                     n_ch = 2 if chains == "both" else 1
-                    count = ccnt_ref[0, pid_w, 0]
+                    count = ccnt_ref[0, pid_tab, 0]
                     nq = _CWALK_SPLIT if R % (128 * _CWALK_SPLIT) == 0 else 1
                     rq = R // nq
 
@@ -959,7 +966,7 @@ def _trace_kernel(
 
                         def walk_body(state):
                             i, st = state
-                            st = ic_q(cids_ref[0, pid_w, i], st)
+                            st = ic_q(cids_ref[0, pid_tab, i], st)
                             # paired body (see _CWALK_PAIR): the clamped
                             # repeat of the final chunk is an idempotent min
                             for _p in range(1, _CWALK_PAIR):
@@ -1022,11 +1029,11 @@ def _trace_kernel(
                 cand_len = tconsts_ref.shape[3]
                 lvl_cap = min(cand_len, 1 << ID_BITS)  # slots per level
                 n_lvls = cand_len // lvl_cap
-                cnt = ccand_ref[0, pid_w, 0]
+                cnt = ccand_ref[0, pid_tab, 0]
                 # Slot-major consts staged through a VMEM scratch: Mosaic
                 # supports dynamic sublane slices on REFS, not on values.
                 tc_scratch[...] = _transpose_block(
-                    tconsts_ref[0, pid_w, :, :lvl_cap]
+                    tconsts_ref[0, pid_tab, :, :lvl_cap]
                 )  # (lvl_cap, TC_ROWS)
 
                 def remap_slots(pk, lvl=0):
@@ -1068,7 +1075,7 @@ def _trace_kernel(
                         # this level's (16, Gnp) hi/lo table, sliced
                         # statically off the ref (lvl is a Python constant)
                         # — the exact dot slices16 fed, minus the build
-                        hl = idhl_ref[0, pid_w, lvl * 16 : (lvl + 1) * 16, :]
+                        hl = idhl_ref[0, pid_tab, lvl * 16 : (lvl + 1) * 16, :]
                         two16 = jax.lax.dot_general(
                             hl, a_g, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
@@ -1310,7 +1317,7 @@ def _trace_kernel(
                                 jnp.max(bt_up) * jnp.float32(1.00001)
                             )
                             return (g < n_groups) & (
-                                cslb_ref[0, pid_w, (lb_off >> 3) + g] < worst
+                                cslb_ref[0, pid_tab, (lb_off >> 3) + g] < worst
                             )
 
                         def walk_body(st):
@@ -1502,7 +1509,7 @@ def _trace_kernel(
                                 )
 
                             need_l = (cnt > lvl * lvl_cap) & (
-                                cslb_ref[0, pid_w, (lvl * lvl_cap) >> 3]
+                                cslb_ref[0, pid_tab, (lvl * lvl_cap) >> 3]
                                 < _worst_of(st[-2])
                             )
                             st = jax.lax.cond(
@@ -1510,7 +1517,7 @@ def _trace_kernel(
                             )
                         if cand_len < s_pad:
                             need = (cnt > cand_len) & (
-                                cslb_ref[0, pid_w, cand_len >> 3]
+                                cslb_ref[0, pid_tab, cand_len >> 3]
                                 < _worst_of(st[-2])
                             )
                             if sg_mode:
@@ -1807,7 +1814,7 @@ def _trace_kernel(
                 # single largest cost of the round-2 frame.  The BlockSpec
                 # already narrowed the table's lane dim to gather_len (an
                 # in-kernel sub-128 lane slice miscompiles on this Mosaic).
-                tsh = tshade_ref[0, pid_w]  # (2*G8, gather_len) bf16
+                tsh = tshade_ref[0, pid_tab]  # (2*G8, gather_len) bf16
 
                 def gather(bi, hitm=None):  # slot-space: no chunk span
                     ids_local = jax.lax.broadcasted_iota(
@@ -2083,7 +2090,7 @@ def _trace_kernel(
                 ids_cl = jax.lax.broadcasted_iota(
                     jnp.int32, (cand_len, R), 0
                 )
-                sgt = sgeom_ref[0, pid_w]  # (2*SG_ROWS, cand_len) bf16
+                sgt = sgeom_ref[0, pid_tab]  # (2*SG_ROWS, cand_len) bf16
                 if _SG_LEVEL_SPLIT and cand_len > lvl_cap:
                     # level-split dot (see _SG_LEVEL_SPLIT): level-0 slots
                     # always, the level-1+ remainder under a cond.
@@ -2207,7 +2214,7 @@ def _trace_kernel(
                                 )
 
                             tc_scratch[...] = _transpose_block(
-                                tconsts_ref[0, pid_w, :, :lvl_cap]
+                                tconsts_ref[0, pid_tab, :, :lvl_cap]
                             )
                             pk8r = _list_walk(0, tcap_r, "strict")
                             pk0 = jnp.min(pk8r[0], axis=0, keepdims=True)
@@ -2244,7 +2251,7 @@ def _trace_kernel(
                                     )
 
                                 need_l = (cnt > lvl * lvl_cap) & (
-                                    cslb_ref[0, pid_w, (lvl * lvl_cap) >> 3]
+                                    cslb_ref[0, pid_tab, (lvl * lvl_cap) >> 3]
                                     < _worst_s(st[0])
                                 )
                                 st = jax.lax.cond(
@@ -2252,7 +2259,7 @@ def _trace_kernel(
                                 )
                             if cand_len < s_pad:
                                 need_c = (cnt > cand_len) & (
-                                    cslb_ref[0, pid_w, cand_len >> 3]
+                                    cslb_ref[0, pid_tab, cand_len >> 3]
                                     < _worst_s(st[0])
                                 )
                                 st = jax.lax.cond(
@@ -2353,7 +2360,7 @@ def _trace_kernel(
                             )
                         oh_s = (ids_cl == slotp_s).astype(jnp.bfloat16)
                         two = jax.lax.dot_general(
-                            sgeom_ref[0, pid_w, GEOM_ROWS : GEOM_ROWS + 2],
+                            sgeom_ref[0, pid_tab, GEOM_ROWS : GEOM_ROWS + 2],
                             oh_s, dims, preferred_element_type=f32,
                         )
                         gid_s = (two[0:1] * 128.0 + two[1:2]).astype(jnp.int32)
@@ -2923,6 +2930,61 @@ def _seg_table_bytes(
     return n_blocks * n_wedges * per_cell
 
 
+# Max adjacent wedges sharing one (conservative, wider-span) table entry
+# when fine per-wedge tables blow the HBM cap — the round-5 fix for
+# 4K-class high-rpp configs, where T x W fine tables cost ~156 GB and the
+# kind fell back to the full chunk sweep (config5 regressed 1.74 -> 5.8 s
+# between rounds 3 and 5 because of it).
+_WEDGE_COARSE_MAX = 16
+
+
+# Comfortable total-table size for banded builds: the band concat holds
+# input bands + the output simultaneously, so coarsen further (or demote
+# the slot shade table) until the tables sit well under HBM.
+_COARSE_TABLE_TARGET = 3 << 30
+# Slot shade-table budget: beyond it the scene demotes to the (proven)
+# global-gather full-list path rather than shipping a multi-GB per-cell
+# shade table (the cheap_prepass demotion's size-driven sibling).
+_SLOT_SHADE_CAP = 2 << 30
+
+
+def _wedge_coarse_shift(
+    scene: dev.DeviceScene,
+    n_wedges: int,
+    n_blocks: int,
+    g8: int,
+    sgeom: bool,
+):
+    """(shift, slot_eff) — the power-of-two wedge coarsening whose seg
+    tables fit (preferring sizes under _COARSE_TABLE_TARGET) and whether
+    slot shade tables ride (size-demoted past _SLOT_SHADE_CAP); None when
+    nothing <= _WEDGE_COARSE_MAX fits the HBM cap."""
+    slot = scene.s_pad <= (1 << ID_BITS)
+    n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
+    cl = _cand_len_for(scene.s_pad)
+    best = None
+    k = 0
+    while (1 << k) <= min(_WEDGE_COARSE_MAX, n_wedges):
+        w_k = n_wedges >> k
+        # the CAND_MAX_WEDGES prepass cap applies to the COARSENED table
+        # wedge count — high-rpp configs (4K x 1024: 256 wedges) reach the
+        # lists through coarsening.
+        if cand_mod.use_candidates(scene.s_pad, n_chunks, w_k):
+            slot_k = slot and (
+                n_blocks * w_k * 2 * g8 * cl * 2 <= _SLOT_SHADE_CAP
+            )
+            bytes_k = _seg_table_bytes(
+                n_blocks, w_k, g8, slot_k, cl, sgeom=sgeom
+            )
+            if bytes_k <= _CAND_TABLE_HBM_CAP:
+                if best is None:
+                    best = (k, slot_k)
+                if bytes_k <= _COARSE_TABLE_TARGET:
+                    return (k, slot_k)
+        k += 1
+    return best
+
+
 def _accel_kind(
     scene: dev.DeviceScene,
     n_wedges: int,
@@ -2931,33 +2993,111 @@ def _accel_kind(
     sgeom: bool = False,
 ):
     """Which camera-dependent acceleration tables this scene uses:
-    'seg' (segment candidate lists), 'chunk' (chunk candidate lists) or
-    None (plain chunk sweep)."""
+    'seg' (segment candidate lists, possibly wedge-coarsened), 'chunk'
+    (chunk candidate lists) or None (plain chunk sweep)."""
     n_chunks = scene.s_pad // SEG_CHUNK if scene.s_pad >= SEG_CHUNK else 1
     if _DISABLE_CAND:
         return None
-    slot = scene.s_pad <= (1 << ID_BITS)
-    if (
-        cand_mod.use_candidates(scene.s_pad, n_chunks, n_wedges)
-        and _seg_table_bytes(
-            n_blocks, n_wedges, g8, slot, _cand_len_for(scene.s_pad),
-            sgeom=sgeom,
-        )
-        <= _CAND_TABLE_HBM_CAP
-    ):
+    if _wedge_coarse_shift(scene, n_wedges, n_blocks, g8, sgeom) is not None:
         return "seg"
     if n_chunks > 1:
         return "chunk"
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_px"))
+# Prepass auto-banding threshold: (tiles x table-wedges) cells above which
+# build_cand_tables splits the build into row bands OUTSIDE the jit — the
+# one-shot 4K x 1024rpp prepass materialized ~34 GB of per-cell
+# intermediates (round 5; per-cell selection intermediates are ~130 KB, so
+# 25k cells keeps a band's working set ~3 GB).
+_PREPASS_CELL_CAP = 12_000
+
+
 def build_cand_tables(
     scene: dev.DeviceScene,
     camera: Camera,
     config: RenderConfig,
     px_start=0,
     n_px: int | None = None,
+):
+    """Band-splitting wrapper around the jitted prepass: huge tile counts
+    (4K-class) build in whole block-row bands and concatenate along the
+    tile axis, bounding the prepass working set.  The wedge-coarsening
+    shift is computed once for the FULL frame and forced on every band so
+    all bands share one table structure."""
+    w, h = scene.width, scene.height
+    if n_px is None:
+        n_px = h * w
+    (R, pxb, sw, n_wedges, tile_h, tiles_x, tiles_y, n_blocks) = _grid_geom(
+        scene, config, w, n_px
+    )
+    n_tr = _n_traces(scene, config)
+    used, gather_rows, _ = _gather_rows_for(scene, config, n_tr)
+    slot0 = scene.s_pad <= (1 << ID_BITS)
+    sg = _use_slotgeom(
+        scene.s_pad, config.exact_silhouettes, n_tr, slot0, n_wedges
+    )
+    kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows, sgeom=sg)
+    if kind != "seg":
+        return _build_cand_tables_inner(scene, camera, config, px_start, n_px)
+    shift, slot = _wedge_coarse_shift(
+        scene, n_wedges, n_blocks, gather_rows, sg
+    )
+    cells = n_blocks * (n_wedges >> shift)
+    if cells <= _PREPASS_CELL_CAP:
+        return _build_cand_tables_inner(
+            scene, camera, config, px_start, n_px,
+            _force_shift=(shift, slot),
+        )
+    n_bands = -(-cells // _PREPASS_CELL_CAP)
+    row_px = pxb * tiles_x  # one whole block row of pixels
+    band_px = -(-(-(-n_px // row_px)) // n_bands) * row_px
+    parts = []
+    off = 0
+    while off < n_px:
+        bp = min(band_px, n_px - off)
+        part = _build_cand_tables_inner(
+            scene, camera, config, px_start + off, bp,
+            _force_shift=(shift, slot),
+        )
+        if slot:
+            # narrow each band's slot shade table to its own certified
+            # count before accumulating — the un-narrowed cand_len-wide
+            # table at 4K is ~8.5 GB and the final concat would double it
+            # past HBM; bands re-pad to the running max below.
+            consts_t, tshade, counts = part
+            glb = max(16, -(-int(jax.device_get(counts.max())) // 16) * 16)
+            part = (consts_t, tshade[..., :glb], counts)
+        parts.append(part)
+        off += bp
+    if slot:
+        gmax = max(p[1].shape[-1] for p in parts)
+        parts = [
+            (
+                p[0],
+                jnp.pad(p[1], ((0, 0),) * 3 + ((0, gmax - p[1].shape[-1]),)),
+                p[2],
+            )
+            for p in parts
+        ]
+    return tuple(
+        None
+        if parts[0][j] is None
+        else jnp.concatenate([p[j] for p in parts], axis=0)
+        for j in range(len(parts[0]))
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_px", "_force_shift")
+)
+def _build_cand_tables_inner(
+    scene: dev.DeviceScene,
+    camera: Camera,
+    config: RenderConfig,
+    px_start=0,
+    n_px: int | None = None,
+    _force_shift: int | None = None,
 ):
     """Build the camera-dependent acceleration tables for trace_sums_flat's
     ``cand_tables`` argument — the analogue of the reference's accel build
@@ -2984,15 +3124,27 @@ def build_cand_tables(
     out = ()
     ckeep = None
     if kind == "seg":
+        # wedge coarsening (see _WEDGE_COARSE_MAX): tables built for
+        # groups of 2^shift adjacent wedges via the WIDER samples-per-wedge
+        # — the prepass's angular spans stay conservative, and the kernel
+        # derives the shift from the table shape.
+        shift, slot_b = (
+            _force_shift
+            if _force_shift is not None
+            else _wedge_coarse_shift(
+                scene, n_wedges, n_blocks, gather_rows, sg
+            )
+        )
+        sw_t = sw << shift
         cand_len = _cand_len_for(scene.s_pad)
         fb = not slot and cand_len < scene.s_pad
         consts_t, shade_hl, counts, lbs, sgeom, ckeep = (
             cand_mod.segment_candidates_t(
                 scene.seg_consts, scene.shade_all_t, tuple(used), w, h,
                 camera.zoom_factor, camera.offset_x, camera.offset_y,
-                config.rays_per_pixel, sw, tiles_x, tiles_y,
+                config.rays_per_pixel, sw_t, tiles_x, tiles_y,
                 TILE_W, tile_h, px_start, config.diffusion_curve_save,
-                cand_len=cand_len, with_shade=slot,
+                cand_len=cand_len, with_shade=slot_b,
                 order="id" if slot else "dist",
                 geom_rows=_sg_geom_rows() if sg else None,
                 chunk_cover=fb and _CHUNK_COVER,
@@ -3002,13 +3154,13 @@ def build_cand_tables(
         # (slot mode); bigger scenes gather globally, skip its HBM, and
         # carry per-slot lower-bound distances for the early-exit sweep
         # (plus the slot-geom table when the design applies)
-        if slot:
+        if slot_b:
             out = (consts_t, shade_hl, counts)
         elif sg:
             out = (consts_t, counts, lbs, sgeom)
         else:
             out = (consts_t, counts, lbs)
-        if slot or cand_len >= scene.s_pad:
+        if slot_b or cand_len >= scene.s_pad:
             # no chunk-walk fallback possible: the lists/levels hold
             # every candidate
             return out
@@ -3016,12 +3168,17 @@ def build_cand_tables(
     if kind in ("seg", "chunk"):
         out = out + cand_mod.chunk_candidates(
             scene.chunk_bounds, w, h, camera.zoom_factor, camera.offset_x,
-            camera.offset_y, config.rays_per_pixel, sw, tiles_x, tiles_y,
+            camera.offset_y, config.rays_per_pixel,
+            sw_t if kind == "seg" else sw, tiles_x, tiles_y,
             TILE_W, tile_h, px_start, config.diffusion_curve_save,
             keep=ckeep if kind == "seg" else None,
         )
         return out
     return None
+
+
+# probe scripts clear the jitted prepass between flag flips
+build_cand_tables.clear_cache = _build_cand_tables_inner.clear_cache
 
 
 class WorldGrid(typing.NamedTuple):
@@ -3213,6 +3370,8 @@ def seg_max_count(scene: dev.DeviceScene, cand_tables) -> int | None:
     if cand_tables is None or scene.s_pad > (1 << ID_BITS):
         return None
     counts = cand_tables[2]
+    if counts is None:  # size-demoted non-slot tables (lbs slot is empty)
+        return None
     # (T, W, 1) hoisted single-chip tables, or (n_shards, T, W, 1) stacked
     # sharded tables (parallel/sharded.py) — the max certifies every shard.
     if counts.ndim not in (3, 4) or counts.shape[-1] != 1:
@@ -3328,6 +3487,13 @@ def trace_sums_flat(
     kind = _accel_kind(scene, n_wedges, n_blocks, gather_rows, sgeom=sg0)
     use_cand = kind == "seg"
     sg = sg0 and use_cand
+    # wedge coarsening + size-driven slot demotion (shared with the table
+    # builders — the same inputs give the same pair everywhere)
+    _cand_coarse = (
+        _wedge_coarse_shift(scene, n_wedges, n_blocks, gather_rows, sg)
+        if use_cand
+        else (0, scene.s_pad <= (1 << ID_BITS))
+    )
     # List length: everything fits for scenes up to 2^ID_BITS sub-segments
     # (no overflow cond in the kernel at all, and the winner gather runs in
     # SLOT space — slot_mode); larger scenes carry _CAND_LEVELS 128-slot
@@ -3336,7 +3502,7 @@ def trace_sums_flat(
     # past the last level's horizon — those scenes ship chunk lists
     # alongside the segment lists unless the levels hold everything.
     cand_len = _cand_len_for(scene.s_pad)
-    slot_mode = use_cand and scene.s_pad <= (1 << ID_BITS)
+    slot_mode = use_cand and scene.s_pad <= (1 << ID_BITS) and _cand_coarse[1]
     # ``cheap_prepass`` (progressive/interactive callers whose camera moves
     # every frame): building the per-cell slot shade table in the in-frame
     # prepass costs far more than the handful of global winner gathers it
@@ -3460,6 +3626,9 @@ def trace_sums_flat(
         )
         operands.append(geom_hl)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    # wedge-coarsening defaults (overridden when seg tables are in play)
+    wedge_shift = 0
+    w_t = n_wedges
     if use_cand:
         # Candidate prepass (ops/candidates.py): precomputed per camera via
         # build_cand_tables when the caller hoists it, else fused under the
@@ -3489,7 +3658,7 @@ def trace_sums_flat(
                     camera.offset_x,
                     camera.offset_y,
                     rpp,
-                    sw,
+                    sw << _cand_coarse[0],
                     tiles_x,
                     tiles_y,
                     TILE_W,
@@ -3513,11 +3682,19 @@ def trace_sums_flat(
             # narrow the slot-gather table to the certified width (callers
             # can pre-narrow with narrow_cand_tables to keep this a no-op)
             tshade = tshade[..., :gl]
+        # wedge coarsening: the shift is DERIVED from the table shape, so
+        # hoisted, grid and in-frame tables all stay consistent with the
+        # kernel's pid_tab indexing.
+        w_t = ccand.shape[1]
+        assert n_wedges % w_t == 0 and n_wedges // w_t == (
+            1 << ((n_wedges // w_t).bit_length() - 1)
+        ), (n_wedges, w_t)
+        wedge_shift = (n_wedges // w_t).bit_length() - 1
         fold4 = lambda g: (g, 0, 0, 0)
         operands.append(tconsts)
         in_specs.append(
             pl.BlockSpec(
-                (1, n_wedges, cand_mod.TC_ROWS, cand_len), fold4,
+                (1, w_t, cand_mod.TC_ROWS, cand_len), fold4,
                 memory_space=pltpu.VMEM,
             )
         )
@@ -3529,7 +3706,7 @@ def trace_sums_flat(
             operands.append(sgeom)
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n_wedges, 2 * SG_ROWS, cand_len), fold4,
+                    (1, w_t, 2 * SG_ROWS, cand_len), fold4,
                     memory_space=pltpu.VMEM,
                 )
             )
@@ -3542,7 +3719,7 @@ def trace_sums_flat(
             operands.append(idhl)
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n_wedges, idhl.shape[2], idhl.shape[3]), fold4,
+                    (1, w_t, idhl.shape[2], idhl.shape[3]), fold4,
                     memory_space=pltpu.VMEM,
                 )
             )
@@ -3550,14 +3727,14 @@ def trace_sums_flat(
             operands.append(tshade)
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n_wedges, 2 * gather_rows, gl), fold4,
+                    (1, w_t, 2 * gather_rows, gl), fold4,
                     memory_space=pltpu.VMEM,
                 )
             )
         operands.append(ccand)
         in_specs.append(
             pl.BlockSpec(
-                (1, n_wedges, 1), lambda g: (g, 0, 0),
+                (1, w_t, 1), lambda g: (g, 0, 0),
                 memory_space=pltpu.SMEM,
             )
         )
@@ -3577,7 +3754,7 @@ def trace_sums_flat(
             operands.append(clbslots)
             in_specs.append(
                 pl.BlockSpec(
-                    (1, n_wedges, cand_len // 8 + 1), lambda g: (g, 0, 0),
+                    (1, w_t, cand_len // 8 + 1), lambda g: (g, 0, 0),
                     memory_space=pltpu.SMEM,
                 )
             )
@@ -3593,7 +3770,7 @@ def trace_sums_flat(
                 camera.offset_x,
                 camera.offset_y,
                 rpp,
-                sw,
+                sw << wedge_shift,
                 tiles_x,
                 tiles_y,
                 TILE_W,
@@ -3608,9 +3785,12 @@ def trace_sums_flat(
         operands.extend([cids, clbs, ccnts])
         in_specs.extend(
             [
-                pl.BlockSpec((1, n_wedges, n_chunks), fold, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n_wedges, n_chunks), fold, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n_wedges, 1), fold, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, cids.shape[1], n_chunks), fold,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, cids.shape[1], n_chunks), fold,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, cids.shape[1], 1), fold,
+                             memory_space=pltpu.SMEM),
             ]
         )
 
@@ -3624,7 +3804,7 @@ def trace_sums_flat(
             )
         )
     sums = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, wedge_shift=wedge_shift),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

@@ -83,10 +83,15 @@ def build_cand_tables_sharded(
     if per_shard[0] is None:
         return None
     stacked = tuple(
-        jnp.stack([t[k] for t in per_shard]) for k in range(len(per_shard[0]))
+        None
+        if per_shard[0][k] is None  # size-demoted tables carry a None slot
+        else jnp.stack([t[k] for t in per_shard])
+        for k in range(len(per_shard[0]))
     )
     sharding = NamedSharding(mesh, P(axis_name))
-    return tuple(jax.device_put(t, sharding) for t in stacked)
+    return tuple(
+        None if t is None else jax.device_put(t, sharding) for t in stacked
+    )
 
 
 def trace_sums_sharded(
@@ -135,7 +140,11 @@ def trace_sums_sharded(
         shard = jax.lax.axis_index(axis_name)
         px_start = shard * n_px_local
         # drop the leading (sharded, now size-1) stack axis
-        local_tables = tuple(t[0] for t in tables) if have_tables else None
+        local_tables = (
+            tuple(None if t is None else t[0] for t in tables)
+            if have_tables
+            else None
+        )
         csum, wsum, bsum = renderer.trace_sums_flat(
             scene_rep, cam, config, frame, px_start, n_px_local, backend,
             cand_tables=local_tables, gather_len=gather_len,

@@ -797,3 +797,37 @@ def test_adaptive_flattening_min_sub():
         (np.asarray(img_p), np.asarray(bm_p)),
         frac=3e-4,
     )
+
+
+def test_parity_wedge_coarsened_tables():
+    """Wedge-coarsened candidate tables (round 5: table entries shared by
+    2^shift adjacent wedges when fine per-wedge tables exceed the HBM cap
+    — the 4K-class config5 fix) render identically to fine tables: the
+    coarser angular spans are conservative supersets, so winners are
+    unchanged."""
+    import raytracingdiffusioncurves_tpu as rtdc
+    from raytracingdiffusioncurves_tpu.ops import trace_pallas as tp
+
+    scene = rtdc.load_scene(
+        "/root/reference/optixHello/xmls/arch.xml"
+    ).with_size(128, 64)
+    dev = rtdc.build_device_scene(scene)
+    cam = rtdc.Camera()
+    cfg = rtdc.RenderConfig(rays_per_pixel=32, use_blur=False,
+                            use_denoiser=False)
+    st = rtdc.init_frame_state(128, 64)
+    fine, _ = rtdc.render_frame(dev, cam, st, cfg, backend="pallas")
+    R, pxb, sw, n_w, tile_h, tx, ty, nb = tp._grid_geom(
+        dev, cfg, 128, 128 * 64
+    )
+    fine_bytes = tp._seg_table_bytes(
+        nb, n_w, 64, True, tp._cand_len_for(dev.s_pad)
+    )
+    saved = tp._CAND_TABLE_HBM_CAP
+    try:
+        tp._CAND_TABLE_HBM_CAP = fine_bytes // 2  # forces shift >= 1
+        assert tp._wedge_coarse_shift(dev, n_w, nb, 64, False)[0] >= 1
+        coarse, _ = rtdc.render_frame(dev, cam, st, cfg, backend="pallas")
+    finally:
+        tp._CAND_TABLE_HBM_CAP = saved
+    np.testing.assert_array_equal(np.asarray(fine), np.asarray(coarse))
